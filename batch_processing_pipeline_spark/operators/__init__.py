@@ -1,0 +1,25 @@
+"""Engine operators.
+
+Each module implements one operator family from SURVEY.md §2 as pure
+DataFrame transformations (JVM-side column expressions wherever possible, so
+whole-stage codegen stays intact and Catalyst can push filters/prune columns
+through them).
+"""
+
+from batch_processing_pipeline_spark.operators.prefix import (
+    normalize_queries,
+    expand_prefixes,
+    prefix_frequencies,
+)
+from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+from batch_processing_pipeline_spark.operators.merge import merge_frequencies
+from batch_processing_pipeline_spark.operators.sessionize import sessionize
+
+__all__ = [
+    "normalize_queries",
+    "expand_prefixes",
+    "prefix_frequencies",
+    "top_k_per_group",
+    "merge_frequencies",
+    "sessionize",
+]

@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+* exact dedup is a single hash aggregation on a fingerprint column (md5 of
+  normalized text) — only the 16-byte digest shuffles, never the document;
+* MinHash+LSH shuffles fixed-width signatures and joins only within LSH
+  bands, so candidate generation is O(candidates), not O(n²);
+* SimHash is computed entirely map-side (array expressions over the token
+  list — zero shuffle until the band join);
+* exact n-gram Jaccard is the *verification* step over candidate pairs (or
+  an oracle-checkable all-pairs op over a bounded scope).
+
+All column expressions, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.functions.rounding import round4
+from batch_processing_pipeline_spark.functions.text_analysis import (
+    char_shingles,
+    doc_fingerprint,
+)
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per normalized-text group (deterministic survivor).
+
+    Survivor = min/max id per group — unlike ``dropDuplicates`` the choice is
+    deterministic under shuffle. Returns the surviving ids + fingerprint +
+    group size (callers re-join to recover full rows, so only
+    (digest, id) pairs ever shuffle).
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+# -------------------------------------------------------------------- MinHash
+def minhash_signature(
+    shingles: Column, num_perm: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature: array of ``num_perm`` min-hashes over the shingle set.
+
+    Permutation *i* is ``xxhash64(shingle, seed+i)`` — one 64-bit hash per
+    (shingle, permutation), folded with ``array_min``. Empty shingle sets get
+    a sentinel signature of Long.MaxValue so they never collide with content.
+    """
+    max_long = F.lit(9223372036854775807)
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i)))
+                ),
+                max_long,
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return sig
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys: array of ``bands`` hashes, each over ``rows_per_band``
+    consecutive signature entries (classic LSH banding)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[signature[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* arrays, double in [0,1]."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard ≥
+    threshold. Candidate generation joins only rows sharing ≥1 LSH band —
+    at scale the band join is the only shuffle and its keys are 8-byte
+    hashes. The verification re-joins the shingle arrays for candidates
+    only.
+    """
+    rows_per_band = num_perm // bands
+    base = df.select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    banded = base.select(
+        F.col(id_col),
+        F.posexplode(
+            minhash_bands(minhash_signature(F.col("shingles"), num_perm), bands, rows_per_band)
+        ).alias("band_id", "band_key"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            on=[
+                F.col(f"a.band_id") == F.col(f"b.band_id"),
+                F.col(f"a.band_key") == F.col(f"b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = base
+    verified = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round4(jaccard(F.col("sh_a"), F.col("sh_b"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (bounded scopes only).
+
+    O(n²) by construction — the oracle-checkable ground truth against which
+    the LSH path is validated; at scale use ``minhash_lsh_dedup``.
+    """
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            round4(jaccard(F.col("a.sh"), F.col("b.sh"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token array — computed entirely within the row.
+
+    For each bit j: count tokens whose xxhash64 has bit j set; bit j of the
+    simhash is 1 iff that count exceeds half the tokens (sum of ±1 > 0).
+    Array expressions only — no explode, no shuffle.
+    """
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    # Fold over bit positions 0..62 (bit 63 excluded: keep result
+    # non-negative). A nested-HOF fold keeps the generated code O(1) in the
+    # bit count — 63 inlined filter expressions blow the JVM's 64 KB
+    # codegen method limit. Bit masks come from pow(2.0, j): powers of two
+    # are exact in doubles up to 2^62.
+    def bit_term(acc: Column, j: Column) -> Column:
+        mask = F.pow(F.lit(2.0), j).cast("long")
+        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        return acc + F.when(cnt * 2 > n, mask).otherwise(F.lit(0).cast("long"))
+
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(62)), F.lit(0).cast("long"), bit_term
+    )
+    return F.when(n > 0, sim).otherwise(F.lit(0).cast("long"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Banding on 16-bit slices of the simhash: any pair within hamming r <
+    bands shares at least one identical band (pigeonhole), so candidate
+    generation is a band-key equi-join, then exact hamming verification.
+    """
+    width = 64 // bands
+    sim = df.select(F.col(id_col), simhash64(F.col(tokens_col)).alias("simhash"))
+    banded = sim.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

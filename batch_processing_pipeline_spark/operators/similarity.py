@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, dot product as a JVM column expression. O(|Q|·|C|·d)
+  but embarrassingly parallel and shuffle-free until the final per-query
+  top-k (which Spark plans as a WindowGroupLimit two-phase top-k).
+* ``signlsh_topk`` — sign-random-projection LSH: hash every vector to a
+  b-bit bucket with deterministic pseudo-random hyperplanes, then search
+  only bucket-colliding pairs (multi-probe over Hamming-1 neighbors to
+  recover recall). The scale path: candidate generation is an equi-join on
+  bucket ids.
+
+An IVF variant (k-means coarse quantizer via pyspark.ml) is a natural third
+path; sign-LSH was chosen first because it is deterministic and
+dependency-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.functions.rounding import round4
+from batch_processing_pipeline_spark.functions.vector import cosine_similarity, dot_product
+from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, rk, neighbor_id, cosine). Queries are broadcast —
+    the corpus is scanned once, map-side, regardless of cluster size.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        round4(cosine_similarity(F.col("q_vec"), F.col("c_vec"))).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    ).select("query_id", "rk", "neighbor_id", "cosine")
+
+
+def _coeff_matrix(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1].
+
+    md5-derived so the planes are identical across runs/machines without any
+    runtime randomness (workflow/restart safe).
+    """
+    import hashlib
+
+    matrix = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "big"
+            )
+            row.append((h % 20001 - 10000) / 10000.0)
+        matrix.append(row)
+    return matrix
+
+
+def signlsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 7) -> Column:
+    """b-bit sign-LSH bucket id of a vector.
+
+    The coefficient matrix is a single array<array<double>> literal and the
+    bucket is a fold over planes (nested HOFs) — generated code stays small
+    regardless of dim × planes, unlike inlining dim·planes multiply terms.
+    """
+    coefs = F.lit(_coeff_matrix(n_planes, dim, seed))
+
+    def plane_term(acc: Column, p: Column) -> Column:
+        row = F.element_at(coefs, (p + F.lit(1)).cast("int"))
+        proj = F.aggregate(
+            F.zip_with(vec, row, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return acc + F.when(proj > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), plane_term
+    )
+
+
+def signlsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via sign-LSH bucketing.
+
+    Candidates = corpus vectors whose bucket matches the query bucket (or
+    any Hamming-1 neighbor bucket when ``multiprobe``). Recall depends on
+    n_planes; validated against ``cosine_topk`` in tests.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        signlsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        signlsh_bucket(F.col(vec_col), dim, n_planes).alias("q_bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            "query_id", "q_vec", F.explode(probes).alias("bucket")
+        )
+    else:
+        qb = qb.withColumnRenamed("q_bucket", "bucket")
+    scored = (
+        F.broadcast(qb)
+        .join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round4(cosine_similarity(F.col("q_vec"), F.col("c_vec"))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return top_k_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+    ).select("query_id", "rk", "neighbor_id", "cosine")

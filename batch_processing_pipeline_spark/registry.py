@@ -1,0 +1,866 @@
+"""Query registry: every operator the engine claims, as a runnable query.
+
+Each entry pairs a PySpark implementation (built from the engine's operator
+library where one applies, plain declarative DataFrame code otherwise) with
+an equivalent DuckDB oracle SQL string. The driver runs both at sf=0.01 and
+hash-compares results, so every computed column is aliased identically on
+both sides, floats go through the portable ``round4`` formula (see
+functions/rounding.py — plain ROUND(x,4) is not engine-portable at half-way
+boundaries), timestamps are projected to epoch seconds, and every ranking
+carries a unique tie-break (determinism contract, SURVEY.md §2.4 /
+FIXTURES.md §C).
+
+Entries whose oracle is ``None`` are genuinely hash-dependent or approximate
+(MinHash/SimHash/LSH) — the driver records a rows-only check and pytest
+validates them against exact ground truth instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.catalog import table_path
+from batch_processing_pipeline_spark.functions.rounding import round4, sql_round4
+from batch_processing_pipeline_spark.functions.text_analysis import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    shingle_fingerprint,
+    stopword_ratio,
+    tokens,
+    whitespace_token_count,
+)
+from batch_processing_pipeline_spark.multimodal.binary_ops import attach_media, media_stats
+from batch_processing_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from batch_processing_pipeline_spark.operators.prefix import (
+    expand_prefixes,
+    normalize_queries,
+    prefix_frequencies,
+)
+from batch_processing_pipeline_spark.operators.sessionize import sessionize
+from batch_processing_pipeline_spark.operators.similarity import cosine_topk, signlsh_topk
+from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+R = sql_round4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) parquet column normalized.
+
+    The fixture stores nanosecond timestamps, which Spark's vectorized
+    reader rejects; ``nanosAsLong`` reads them as raw nanos and we truncate
+    to microseconds — exactly what DuckDB's reader does, so both engines see
+    identical microsecond values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+# =====================================================================
+# DQ01–DQ28: the declared relational surface (SURVEY.md §2.4)
+# =====================================================================
+
+
+def dq01(spark, sf):
+    """Scan + projection (reference text scan analog: SURVEY §2.1 #1)."""
+    return _t(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+def dq02(spark, sf):
+    """Filter / compound predicate (§2.1 #2) — pushed to the parquet scan."""
+    o = _t(spark, sf, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+    ).select("o_orderkey", round4(F.col("o_totalprice")).alias("price"))
+
+
+def dq03(spark, sf):
+    """Normalization projection (§2.1 #2-#3: lower(trim()) + length guard)."""
+    d = _t(spark, sf, "documents")
+    return normalize_queries(
+        d.select("doc_id", "text"), text_col="text", out_col="q",
+        carry_cols=("doc_id",),
+    )
+
+
+def dq04(spark, sf):
+    """Prefix fan-out generator (§2.1 #4), bounded L=2..8 for the oracle."""
+    d = _t(spark, sf, "documents")
+    norm = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("query"))
+    return expand_prefixes(norm, max_len=8, carry_cols=("doc_id",)).select(
+        "doc_id", "prefix"
+    )
+
+
+def dq05(spark, sf):
+    """Hash aggregation: sum/avg/count (§2.1 #6/#10)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        round4(F.sum("l_quantity")).alias("sum_qty"),
+        round4(F.sum("l_extendedprice")).alias("sum_price"),
+        round4(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def dq06(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+def dq07(spark, sf):
+    """Inner equi-join; small side broadcast (customer ≪ orders at scale)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), round4(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+def dq08(spark, sf):
+    """Star join region→nation→customer→orders; dims broadcast."""
+    r = F.broadcast(_t(spark, sf, "region"))
+    n = F.broadcast(_t(spark, sf, "nation"))
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("o_orderkey").alias("orders_n"))
+    )
+
+
+def dq09(spark, sf):
+    """Left outer join + null handling: customers with zero orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") == 0)
+    )
+
+
+def dq10(spark, sf):
+    """Left-semi join (EXISTS)."""
+    s = _t(spark, sf, "supplier")
+    l = _t(spark, sf, "lineitem").where(F.col("l_quantity") > 45)
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def dq11(spark, sf):
+    """Left-anti join (NOT EXISTS)."""
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select("p_partkey")
+
+
+def dq12(spark, sf):
+    """Theta/range join (non-equi conjunct on top of the equi key)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, (o.o_custkey == c.c_custkey) & (o.o_totalprice > c.c_acctbal))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dq13(spark, sf):
+    """Top-K per group with deterministic tie-break (engine topk operator)."""
+    o = _t(spark, sf, "orders")
+    return top_k_per_group(
+        o,
+        group_cols=["o_custkey"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "rk", "o_orderkey", round4(F.col("o_totalprice")).alias("price"))
+
+
+def dq14(spark, sf):
+    """Analytic window: lag + running frame."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        round4(F.col("value")).alias("v"),
+        round4(F.sum("value").over(run)).alias("running"),
+        round4(F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("prev_v"),
+    )
+
+
+def dq15(spark, sf):
+    """Global sort + limit (top-k over everything)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", round4(F.col("o_totalprice")).alias("price"))
+    )
+
+
+def dq16(spark, sf):
+    """Set operations: INTERSECT + EXCEPT (distinct semantics), tagged union."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    i = (
+        c.where(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+        .intersect(
+            o.where(F.col("o_orderstatus") == "O").select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+        .select(F.lit("i").alias("tag"), "c_custkey")
+    )
+    e = (
+        c.select("c_custkey")
+        .subtract(o.select(F.col("o_custkey").alias("c_custkey")))
+        .select(F.lit("e").alias("tag"), "c_custkey")
+    )
+    return i.unionByName(e)
+
+
+def dq17(spark, sf):
+    """ROLLUP + GROUPING()."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g1"),
+            F.grouping("o_orderpriority").cast("int").alias("g2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "g1",
+            "g2",
+            "n",
+        )
+    )
+
+
+def dq18(spark, sf):
+    """CUBE + GROUPING()."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "g1",
+            "g2",
+            "n",
+        )
+    )
+
+
+def dq19(spark, sf):
+    """String function surface."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("b_up"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.reverse("p_brand").alias("b_rev"),
+    )
+
+
+def dq20(spark, sf):
+    """Date/time surface (UTC session — H9)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"), round4(F.sum("o_totalprice")).alias("total"))
+
+
+def dq21(spark, sf):
+    """Math surface."""
+    l = _t(spark, sf, "lineitem").where(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        round4(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+        ).alias("charge"),
+        F.floor("l_quantity").alias("fq"),
+        F.ceil("l_quantity").alias("cq"),
+        (F.col("l_orderkey") % 7).alias("m7"),
+        round4(F.sqrt("l_extendedprice")).alias("sq"),
+    )
+
+
+def dq22(spark, sf):
+    """Conditional surface: CASE WHEN / NULLIF."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 2000, "high")
+        .when(F.col("o_totalprice") >= 500, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st_or_null"),
+    )
+
+
+def dq23(spark, sf):
+    """Tumbling time bucket (batch twin of the streaming window)."""
+    e = _events(spark, sf)
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h_epoch"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), round4(F.sum("value")).alias("sv"))
+
+
+def dq24(spark, sf):
+    """Gap-based sessionization (engine sessionize operator; twin of
+    F.session_window)."""
+    e = _events(spark, sf)
+    s = sessionize(e, gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+
+
+def dq25(spark, sf):
+    """JSON extraction."""
+    e = _events(spark, sf)
+    return e.select("event_id", F.get_json_object("props", "$.k").alias("k"))
+
+
+def dq26(spark, sf):
+    """Array ops / dot-product similarity via ordered double fold."""
+    from batch_processing_pipeline_spark.functions.vector import dot_product
+
+    emb = _t(spark, sf, "embeddings")
+    a = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("va"))
+    b = emb.where(F.col("vec_id").between(1, 10)).select(
+        F.col("vec_id").alias("qb"), F.col("embedding").alias("vb")
+    )
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .select("qb", round4(dot_product(F.col("va"), F.col("vb"))).alias("dot"))
+    )
+
+
+def dq27(spark, sf):
+    """Exact dedup accounting per language."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct(F.lower(F.trim(F.col("text")))).alias("uniq"),
+    )
+
+
+def dq28(spark, sf):
+    """The reference pipeline end-to-end, distilled (bounded L=2..8, K=3):
+    normalize → prefix fan-out → frequency → deterministic top-K."""
+    d = _t(spark, sf, "documents")
+    queries = normalize_queries(d, text_col="text")
+    freq = prefix_frequencies(queries, max_len=8)
+    return top_k_per_group(
+        freq,
+        group_cols=["prefix"],
+        order_by=[F.desc("frequency"), F.asc("query")],
+        k=3,
+    ).select("prefix", "rk", "query", "frequency")
+
+
+# =====================================================================
+# LLM-data-pipeline extensions
+# =====================================================================
+
+
+def q_wordcount(spark, sf):
+    """Classic WordCount (reference §2.2: deleted me.spark.WordCount job)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup via md5 fingerprint — deterministic survivor + group size."""
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_jaccard(spark, sf):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 over a bounded scope (ground
+    truth for the LSH path)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup pairs (approximate scale path; rows-only check —
+    validated against exact Jaccard in tests/test_dedup.py)."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_dedup(d, shingle_n=5, num_perm=32, bands=16, threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (hash-dependent; rows-only check)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tokens")
+    )
+    return simhash_dedup(d, max_hamming=8, bands=4)
+
+
+def q_sim_topk(spark, sf):
+    """Brute-force exact cosine top-10 for query vectors 0..4."""
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+
+
+def q_sim_topk_lsh(spark, sf):
+    """Sign-LSH approximate cosine top-10 (scale path; rows-only check —
+    recall vs brute force asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf, "embeddings")
+    return signlsh_topk(emb.where(F.col("vec_id") < 5), emb, dim=64, k=10, n_planes=10)
+
+
+def q_text_stats(spark, sf):
+    """Token counting + quality scoring surface."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_m"),
+        whitespace_token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        round4(punct_ratio(t)).alias("punct_r"),
+        round4(stopword_ratio(t, "en")).alias("stop_r"),
+        round4(quality_score(t)).alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf):
+    """Stopword-overlap language ID."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf):
+    """Document fingerprints: md5 of normalized text + min-md5 shingle hash."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        shingle_fingerprint(F.col("text"), 5).alias("shingle_fp"),
+    )
+
+
+def q_mm_stats(spark, sf):
+    """Multimodal binary columns: byte length + sha256 over opaque payloads."""
+    d = attach_media(_t(spark, sf, "documents"))
+    return media_stats(d)
+
+
+# =====================================================================
+# Oracle SQL (DuckDB dialect)
+# =====================================================================
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_STOP_LISTS = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+
+_PUNCT = r"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+_MWL = "CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)"
+_QUALITY = (
+    "0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0) "
+    f"+ 0.3 * greatest(0.0, least(1.0, (({_MWL}) - 2.0) / 6.0)) "
+    f"+ 0.3 * (1.0 - least(1.0, 4.0 * ({_PUNCT})))"
+)
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       {R(f"CASE WHEN length(text) > 0 THEN {_PUNCT} ELSE 0.0 END")} AS punct_r,
+       {R(f"CASE WHEN len(list_distinct(toks)) > 0 THEN CAST(len(list_intersect(list_distinct(toks), [{_EN}])) AS DOUBLE) / CAST(len(list_distinct(toks)) AS DOUBLE) ELSE 0.0 END")} AS stop_r,
+       {R(_QUALITY)} AS quality
+FROM t
+"""
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_intersect(toks, [{_STOP_LISTS["de"]}])) AS s_de,
+         len(list_intersect(toks, [{_STOP_LISTS["en"]}])) AS s_en,
+         len(list_intersect(toks, [{_STOP_LISTS["es"]}])) AS s_es,
+         len(list_intersect(toks, [{_STOP_LISTS["fr"]}])) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+_JACC = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+)
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(lower(trim(text))) - 1),
+                                      i -> substring(lower(trim(text)), i, 3))) AS sh
+  FROM documents
+  WHERE doc_id < 60 AND length(lower(trim(text))) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {R(_JACC)} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {R(_JACC)} >= 0.5
+"""
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp,
+       CASE WHEN length(lower(trim(text))) >= 5
+            THEN list_aggregate(
+                   list_transform(range(1, length(lower(trim(text))) - 3),
+                                  i -> md5(substring(lower(trim(text)), i, 5))),
+                   'min')
+            ELSE md5(lower(trim(text))) END AS shingle_fp
+FROM documents
+"""
+
+_COS = (
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(c.embedding AS DOUBLE[]))"
+)
+_SIM_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {R(_COS)} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= 10
+"""
+
+ORACLES: dict[str, str | None] = {
+    "dq01_scan_project": "SELECT r_regionkey, r_name FROM region",
+    "dq02_filter": f"""
+        SELECT o_orderkey, {R("o_totalprice")} AS price
+        FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+    """,
+    "dq03_normalize": """
+        SELECT doc_id, substring(lower(trim(text)), 1, 500) AS q
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) >= 2
+    """,
+    "dq04_prefix_fanout": """
+        SELECT d.doc_id, substring(lower(trim(d.text)), 1, k.k) AS prefix
+        FROM documents d
+        CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+        WHERE length(trim(d.text)) >= k.k
+    """,
+    "dq05_agg_sum": f"""
+        SELECT l_returnflag, l_linestatus,
+               {R("SUM(l_quantity)")}      AS sum_qty,
+               {R("SUM(l_extendedprice)")} AS sum_price,
+               {R("AVG(l_discount)")}      AS avg_disc,
+               COUNT(*)                    AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "dq06_distinct": """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "dq07_join_inner": f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n, {R("SUM(o.o_totalprice)")} AS total
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "dq08_join_multiway": """
+        SELECT r.r_name, n.n_name, COUNT(o.o_orderkey) AS orders_n
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey   = c.c_custkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    "dq09_join_left_null": """
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey HAVING COUNT(o.o_orderkey) = 0
+    """,
+    "dq10_semi_join": """
+        SELECT s.s_suppkey, s.s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+    """,
+    "dq11_anti_join": """
+        SELECT p.p_partkey FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "dq12_theta_join": """
+        SELECT c.c_custkey, COUNT(*) AS n
+        FROM customer c JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal
+        GROUP BY c.c_custkey
+    """,
+    "dq13_topk_window": f"""
+        SELECT o_custkey, rk, o_orderkey, {R("o_totalprice")} AS price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders
+        ) t WHERE rk <= 3
+    """,
+    "dq14_analytic_window": f"""
+        SELECT user_id, event_id,
+               {R("value")} AS v,
+               {R("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running,
+               {R("COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0)")} AS prev_v
+        FROM events
+    """,
+    "dq15_sort_limit": f"""
+        SELECT o_orderkey, {R("o_totalprice")} AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "dq16_setops": """
+        SELECT 'i' AS tag, c_custkey FROM
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 0
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+        UNION ALL
+        SELECT 'e' AS tag, c_custkey FROM
+          (SELECT c_custkey FROM customer
+           EXCEPT
+           SELECT o_custkey FROM orders) t2
+    """,
+    "dq17_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS prio,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2,
+               COUNT(*) AS n
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "dq18_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "dq19_string_funcs": """
+        SELECT p_partkey,
+               upper(p_brand)                        AS b_up,
+               substring(p_name, 1, 5)               AS name5,
+               length(p_name)                        AS name_len,
+               replace(p_type, ' ', '_')             AS type_u,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+               reverse(p_brand)                      AS b_rev
+        FROM part
+    """,
+    "dq20_datetime": f"""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+               COUNT(*) AS n, {R("SUM(o_totalprice)")} AS total
+        FROM orders GROUP BY 1, 2
+    """,
+    "dq21_math": f"""
+        SELECT l_orderkey, l_linenumber,
+               {R("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+               CAST(CEIL(l_quantity) AS BIGINT) AS cq,
+               l_orderkey % 7 AS m7,
+               {R("SQRT(l_extendedprice)")} AS sq
+        FROM lineitem WHERE l_orderkey <= 100
+    """,
+    "dq22_conditional": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 2000 THEN 'high'
+                    WHEN o_totalprice >= 500  THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               NULLIF(o_orderstatus, 'O') AS st_or_null
+        FROM orders
+    """,
+    "dq23_time_bucket": f"""
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h_epoch,
+               event_type, COUNT(*) AS n, {R("SUM(value)")} AS sv
+        FROM events GROUP BY 1, 2
+    """,
+    "dq24_sessionize": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(LAG(ts) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                           > 1800
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ), s AS (
+          SELECT user_id, event_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS events_in_session
+        FROM s GROUP BY user_id, session_id
+    """,
+    "dq25_json": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+    """,
+    "dq26_vector_dot": f"""
+        SELECT b.vec_id AS qb,
+               {R("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS dot
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id = 0 AND b.vec_id BETWEEN 1 AND 10
+    """,
+    "dq27_exact_dedup": """
+        SELECT lang, COUNT(*) AS total,
+               COUNT(DISTINCT lower(trim(text))) AS uniq
+        FROM documents GROUP BY lang
+    """,
+    "dq28_autocomplete_e2e": """
+        WITH q AS (
+          SELECT substring(lower(trim(text)), 1, 500) AS query
+          FROM documents WHERE text IS NOT NULL AND length(trim(text)) >= 2
+        ), pairs AS (
+          SELECT substring(query, 1, k.k) AS prefix, query
+          FROM q CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+          WHERE length(query) >= k.k
+        ), freq AS (
+          SELECT prefix, query, COUNT(*) AS frequency FROM pairs GROUP BY prefix, query
+        ), ranked AS (
+          SELECT prefix, query, frequency,
+                 ROW_NUMBER() OVER (PARTITION BY prefix
+                                    ORDER BY frequency DESC, query ASC) AS rk
+          FROM freq
+        )
+        SELECT prefix, rk, query, frequency FROM ranked WHERE rk <= 3
+    """,
+    "wordcount": """
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          FROM documents WHERE length(lower(trim(text))) > 0
+        ) t GROUP BY word
+    """,
+    "dedup_exact": """
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+        FROM documents GROUP BY 1
+    """,
+    "dedup_jaccard_pairs": _JACCARD_ORACLE,
+    "dedup_minhash": None,
+    "dedup_simhash": None,
+    "sim_topk": _SIM_TOPK_ORACLE,
+    "sim_topk_lsh": None,
+    "text_stats": _TEXT_STATS_ORACLE,
+    "text_langid": _LANGID_ORACLE,
+    "text_fingerprint": _FINGERPRINT_ORACLE,
+    "mm_stats": """
+        SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dq01_scan_project": dq01,
+    "dq02_filter": dq02,
+    "dq03_normalize": dq03,
+    "dq04_prefix_fanout": dq04,
+    "dq05_agg_sum": dq05,
+    "dq06_distinct": dq06,
+    "dq07_join_inner": dq07,
+    "dq08_join_multiway": dq08,
+    "dq09_join_left_null": dq09,
+    "dq10_semi_join": dq10,
+    "dq11_anti_join": dq11,
+    "dq12_theta_join": dq12,
+    "dq13_topk_window": dq13,
+    "dq14_analytic_window": dq14,
+    "dq15_sort_limit": dq15,
+    "dq16_setops": dq16,
+    "dq17_rollup": dq17,
+    "dq18_cube": dq18,
+    "dq19_string_funcs": dq19,
+    "dq20_datetime": dq20,
+    "dq21_math": dq21,
+    "dq22_conditional": dq22,
+    "dq23_time_bucket": dq23,
+    "dq24_sessionize": dq24,
+    "dq25_json": dq25,
+    "dq26_vector_dot": dq26,
+    "dq27_exact_dedup": dq27,
+    "dq28_autocomplete_e2e": dq28,
+    "wordcount": q_wordcount,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk": q_sim_topk,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "mm_stats": q_mm_stats,
+}

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-safe defaults.
+
+Fixes reference hazard H3 (``IncrementalAutocomplete.java:48,58`` hard-codes
+``.master(local[2])`` in app code, silently overriding ``spark-submit
+--master``): this factory only sets a master when the caller explicitly asks
+for one (tests/bench), never in library code paths.
+
+Fixes H9 (timezone mix between an Amsterdam cron, a UTC JDBC URL and
+session-TZ ``current_timestamp()``): the session timezone is pinned to UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for correctness + scale. AQE handles runtime re-planning
+#: (partition coalescing, skew-join splitting) so a static
+#: ``shuffle.partitions`` only needs to be an upper bound.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF path (similarity / multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep parquet scans columnar + pushdown-friendly.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "batch-processing-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` is only applied when given explicitly (local tests/bench);
+    production submissions must control the master via ``spark-submit`` so a
+    cluster submission is never silently downgraded to local mode (H3).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Session TZ must hold even when reusing an existing session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

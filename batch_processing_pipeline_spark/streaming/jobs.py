@@ -1,0 +1,132 @@
+"""Structured Streaming mode.
+
+The reference runs the batch job every 5 minutes from a Kubernetes CronJob
+(``README.md:31-41``) over "the last 24 hours" of hourly files
+(``README.md:86``), then ships results MySQL → Debezium → Kafka → Redis
+(``docker-compose.yml:126-184``). A Spark-first design collapses that whole
+topology: a file-source stream with ``availableNow`` (cron parity) or a
+processing-time trigger, ``foreachBatch`` driving the same incremental merge
+the batch plan uses, publishing changed prefixes directly to the sink
+(parquet / Kafka / JDBC) — no CDC hop.
+
+Cumulative frequency state is unbounded (prefix × query keyspace), so it
+lives in the merged store (parquet here), NOT in Structured Streaming
+operator state; only windowed/trending aggregations keep operator state
+(bounded by watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.plans.autocomplete import autocomplete_batch
+
+
+def stream_query_log(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the hourly query-log directory."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts (batch twin: DQ23)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), key_col, "n", "sv")
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked sliding-window counts."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), key_col, "n")
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session-window counts (streaming twin of operators.sessionize / DQ24)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            user_col,
+            "events_in_session",
+        )
+    )
+
+
+def run_autocomplete_stream(
+    raw_stream: DataFrame,
+    state_dir: str,
+    suggestions_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    available_now: bool = True,
+):
+    """Streaming incremental autocomplete via ``foreachBatch``.
+
+    Each micro-batch: read current state parquet → merge batch counts →
+    write state to a NEW versioned path (stage-then-swap, H1/H2) → write
+    suggestions. Returns the started StreamingQuery.
+    """
+    import os
+
+    spark = raw_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state_path = os.path.join(state_dir, "current")
+        prev = None
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+        merged, _ = autocomplete_batch(batch_df, prev, k=k)
+        staged = os.path.join(state_dir, f"batch={batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        materialized = spark.read.parquet(staged)
+        from batch_processing_pipeline_spark.plans.autocomplete import suggestions
+
+        suggestions(materialized, k=k).write.mode("overwrite").parquet(suggestions_dir)
+        # swap: repoint "current" (local-FS rename; object stores use a manifest)
+        import shutil
+
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        shutil.copytree(staged, state_path)
+
+    writer = raw_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
