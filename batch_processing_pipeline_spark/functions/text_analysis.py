@@ -130,10 +130,44 @@ def doc_fingerprint(text: Column) -> Column:
 
 def shingle_fingerprint(text: Column, n: int = 5) -> Column:
     """Min md5 over character n-gram shingles — a 1-permutation MinHash that
-    is stable across engines (md5 hex compares identically everywhere)."""
+    is stable across engines (md5 hex compares identically everywhere).
+
+    Column form (array lambda → interpreted); for corpus-scale use the
+    codegen'd bulk form ``shingle_fingerprints`` — same values.
+    """
     hashes = F.transform(char_shingles(text, n), F.md5)
     return F.when(F.size(hashes) > 0, F.array_min(hashes)).otherwise(
         F.md5(F.lower(F.trim(text)))
+    )
+
+
+def shingle_fingerprints(df, id_col: str, text_col: str, n: int = 5):
+    """Bulk (id, fp, shingle_fp) — codegen formulation of the fingerprints.
+
+    Explodes shingle positions (min over a multiset of md5s equals min over
+    the set, so no distinct pass is needed) and folds with a map-side
+    combining MIN aggregate; only (id, 32-char digest) rows shuffle.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    base = df.select(F.col(id_col), F.md5(t).alias("fp"), t.alias("_t"))
+    sh = (
+        base.where(F.length("_t") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(n - 1))).alias("_i"),
+            "_t",
+        )
+        .select(F.col(id_col), F.md5(F.col("_t").substr(F.col("_i"), F.lit(n))).alias("h"))
+        .groupBy(id_col)
+        .agg(F.min("h").alias("shingle_fp"))
+    )
+    return (
+        base.join(sh, id_col, "left")
+        .select(
+            F.col(id_col),
+            "fp",
+            F.coalesce(F.col("shingle_fp"), F.col("fp")).alias("shingle_fp"),
+        )
     )
 
 

@@ -52,11 +52,14 @@ def exact_dedup(
 def minhash_signature(
     shingles: Column, num_perm: int = 32, seed: int = 42
 ) -> Column:
-    """MinHash signature: array of ``num_perm`` min-hashes over the shingle set.
+    """MinHash signature as a single column expression (array of min-hashes).
 
-    Permutation *i* is ``xxhash64(shingle, seed+i)`` — one 64-bit hash per
-    (shingle, permutation), folded with ``array_min``. Empty shingle sets get
-    a sentinel signature of Long.MaxValue so they never collide with content.
+    Permutation *i* is ``xxhash64(shingle, seed+i)`` folded with
+    ``array_min``. NOTE: array-lambda expressions run interpreted (outside
+    whole-stage codegen) — fine for small inputs and unit tests, but the
+    bulk path in ``minhash_signatures`` computes the same family via
+    explode + codegen'd aggregates, ~10× faster per shingle. Empty shingle
+    sets get a Long.MaxValue sentinel so they never collide with content.
     """
     max_long = F.lit(9223372036854775807)
     sig = F.array(
@@ -71,6 +74,55 @@ def minhash_signature(
         ]
     )
     return sig
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_perm: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) via the codegen-friendly bulk formulation.
+
+    Explode shingle START POSITIONS (not materialized shingle arrays), hash
+    each shingle ONCE with a codegen'd ``xxhash64``, then fold ``num_perm``
+    permutations as ordinary aggregate expressions ``min(xxhash64(h, i))``.
+    Everything stays inside whole-stage codegen and partial aggregation
+    combines map-side, so only (id, num_perm×8B) rows cross the shuffle.
+
+    Two deliberate deviations from the array formulation, both free:
+    * no ``array_distinct`` — MinHash over a multiset equals MinHash over
+      its set (duplicates never change a min);
+    * hash family is the double-hash (h, then (h, i)) — collision behavior
+      is equivalent to ``minhash_signature`` but not byte-compatible.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    exploded = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .where(F.length("_t") >= shingle_n)
+        .select(
+            F.col(id_col),
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
+            ).alias("_i"),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("_t").substr(F.col("_i"), F.lit(shingle_n))).alias("h"),
+        )
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -101,25 +153,49 @@ def minhash_lsh_dedup(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    estimate_slack: float = 0.2,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard ≥
-    threshold. Candidate generation joins only rows sharing ≥1 LSH band —
-    at scale the band join is the only shuffle and its keys are 8-byte
-    hashes. The verification re-joins the shingle arrays for candidates
-    only.
+    threshold. Three-stage funnel, each stage strictly cheaper per pair:
+
+    1. band join — only rows sharing ≥1 LSH band collide; keys are 8-byte
+       hashes. ``bands × rows_per_band = num_perm``: r=4 rows/band makes
+       the collision curve steep (j^4 per band), so sub-threshold pairs
+       rarely become candidates at all.
+    2. signature-estimate prefilter — candidates re-join only the 32-long
+       signatures; estimated Jaccard = matching-minhash fraction. Pairs
+       estimated below ``threshold - estimate_slack`` are dropped BEFORE
+       any shingle array moves.
+    3. exact verification — survivors join the shingle arrays for exact
+       Jaccard; output is hash-independent.
     """
     rows_per_band = num_perm // bands
-    base = df.select(
+    docs = df.select(F.col(id_col), F.col(text_col)).where(
+        F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
+    )
+    # The signature pass is CPU-bound (num_perm hashes per shingle); a
+    # small/compacted input (few parquet row groups) would serialize it on
+    # a handful of tasks. Spread it across the cluster when the source has
+    # fewer partitions than cores — at real scale inputs already have
+    # thousands of partitions and this is a no-op.
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < default_par:
+        docs = docs.repartition(default_par)
+    # ONE full-corpus pass computes the compact (id, 32×long) signature
+    # relation; it is persisted because every later stage (banding, both
+    # sides of the estimate prefilter) branches from it — without the
+    # persist, Spark's lineage recomputes the shingle+hash pass per branch.
+    # At 10^9 docs the relation is ~num_perm·8 B/doc — cache-able cluster-wide.
+    sigs = minhash_signatures(
+        docs, id_col, text_col, shingle_n, num_perm
+    ).persist()
+    banded = sigs.select(
         F.col(id_col),
-        char_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    banded = base.select(
-        F.col(id_col),
-        F.posexplode(
-            minhash_bands(minhash_signature(F.col("shingles"), num_perm), bands, rows_per_band)
-        ).alias("band_id", "band_key"),
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -127,8 +203,8 @@ def minhash_lsh_dedup(
         left.join(
             right,
             on=[
-                F.col(f"a.band_id") == F.col(f"b.band_id"),
-                F.col(f"a.band_key") == F.col(f"b.band_key"),
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
@@ -137,10 +213,51 @@ def minhash_lsh_dedup(
         )
         .distinct()
     )
-    sh = base
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    prefiltered = (
+        candidates.join(
+            sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a"),
+            "id_a",
+        )
+        .join(
+            sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b"),
+            "id_b",
+        )
+        .where(
+            est_matches.cast("double") / F.lit(float(num_perm))
+            >= F.lit(threshold - estimate_slack)
+        )
+        .select("id_a", "id_b")
+        # feeds both the candidate-id set and the verify joins — persist so
+        # the band self-join + prefilter chain runs once, not per branch
+        .persist()
+    )
+    # Exact verification: shingles are recomputed ONLY for candidate ids —
+    # the semi-join happens BEFORE the shingle projection, so the full
+    # corpus text is never re-shingled for this stage.
+    cand_ids = (
+        prefiltered.select(F.col("id_a").alias(id_col))
+        .unionByName(prefiltered.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
     verified = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        prefiltered.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",

@@ -107,49 +107,58 @@ def signlsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 7) -> 
     )
 
 
+def _table_buckets(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """Array of ``n_tables`` independent sign-LSH bucket ids for one vector."""
+    return F.array(
+        *[
+            signlsh_bucket(vec, dim, n_planes, seed=seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+    )
+
+
 def signlsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe: bool = True,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k via sign-LSH bucketing.
+    """Approximate top-k via multi-table sign-LSH (OR-construction).
 
-    Candidates = corpus vectors whose bucket matches the query bucket (or
-    any Hamming-1 neighbor bucket when ``multiprobe``). Recall depends on
-    n_planes; validated against ``cosine_topk`` in tests.
+    A pair is a candidate if it collides in ANY of ``n_tables`` independent
+    b-bit hash tables — the classic AND(b planes)/OR(L tables) trade-off:
+    larger ``n_planes`` prunes harder, more ``n_tables`` recovers recall.
+    Candidate generation is an equi-join on (table_id, bucket); only
+    candidates get exact cosine scoring. Recall vs the exact path is
+    asserted in tests/test_similarity.py.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        signlsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.posexplode(
+            _table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("table_id", "bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        signlsh_bucket(F.col(vec_col), dim, n_planes).alias("q_bucket"),
+        F.posexplode(
+            _table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("table_id", "bucket"),
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("q_bucket"),
-            *[
-                F.col("q_bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(n_planes)
-            ],
-        )
-        qb = qb.select(
-            "query_id", "q_vec", F.explode(probes).alias("bucket")
-        )
-    else:
-        qb = qb.withColumnRenamed("q_bucket", "bucket")
     scored = (
         F.broadcast(qb)
-        .join(c, "bucket")
+        .join(c, ["table_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -157,7 +166,6 @@ def signlsh_topk(
                 "cosine"
             ),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return top_k_per_group(
         scored,

@@ -434,9 +434,20 @@ def q_dedup_jaccard(spark, sf):
 
 def q_dedup_minhash(spark, sf):
     """MinHash+LSH near-dup pairs (approximate scale path; rows-only check —
-    validated against exact Jaccard in tests/test_dedup.py)."""
-    d = _t(spark, sf, "documents")
-    return minhash_lsh_dedup(d, shingle_n=5, num_perm=32, bands=16, threshold=0.6)
+    validated against exact Jaccard in tests/test_dedup.py).
+
+    The fixture corpus has no true near-dups (pairwise 5-gram Jaccard tops
+    out ≈0.31), so the query plants one: each document unioned with a
+    lightly mutated copy (id + 10^7, one appended token). The operator must
+    recover exactly those planted pairs at threshold 0.8.
+    """
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    return minhash_lsh_dedup(corpus, shingle_n=5, num_perm=32, bands=8, threshold=0.8)
 
 
 def q_dedup_simhash(spark, sf):
@@ -457,7 +468,9 @@ def q_sim_topk_lsh(spark, sf):
     """Sign-LSH approximate cosine top-10 (scale path; rows-only check —
     recall vs brute force asserted in tests/test_similarity.py)."""
     emb = _t(spark, sf, "embeddings")
-    return signlsh_topk(emb.where(F.col("vec_id") < 5), emb, dim=64, k=10, n_planes=10)
+    return signlsh_topk(
+        emb.where(F.col("vec_id") < 5), emb, dim=64, k=10, n_planes=6, n_tables=8
+    )
 
 
 def q_text_stats(spark, sf):
@@ -482,13 +495,14 @@ def q_text_langid(spark, sf):
 
 
 def q_text_fingerprint(spark, sf):
-    """Document fingerprints: md5 of normalized text + min-md5 shingle hash."""
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        doc_fingerprint(F.col("text")).alias("fp"),
-        shingle_fingerprint(F.col("text"), 5).alias("shingle_fp"),
+    """Document fingerprints: md5 of normalized text + min-md5 shingle hash
+    (codegen'd bulk formulation — same values as the column form)."""
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        shingle_fingerprints,
     )
+
+    d = _t(spark, sf, "documents")
+    return shingle_fingerprints(d, "doc_id", "text", 5)
 
 
 def q_mm_stats(spark, sf):

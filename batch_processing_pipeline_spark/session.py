@@ -33,6 +33,7 @@ def get_spark(
     app_name: str = "batch-processing-pipeline-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
@@ -40,10 +41,14 @@ def get_spark(
     ``master`` is only applied when given explicitly (local tests/bench);
     production submissions must control the master via ``spark-submit`` so a
     cluster submission is never silently downgraded to local mode (H3).
+    ``driver_memory`` only takes effect at JVM launch — in local mode the
+    driver heap IS the executor heap, so bench/tests size it explicitly.
     """
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
     conf = dict(_DEFAULT_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

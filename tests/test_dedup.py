@@ -1,0 +1,93 @@
+"""Dedup operators: LSH candidates validated against exact ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.functions.text_analysis import tokens
+from batch_processing_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog!"),  # near-dup of 0
+    (2, "The Quick Brown Fox Jumps Over The Lazy Dog"),  # exact dup of 0 after norm
+    (3, "completely different content about spark engines and parquet files"),
+    (4, "completely different content about spark engines and parquet files today"),
+    (5, "short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized(spark):
+    got = {r.doc_id: r.group_size for r in exact_dedup(_docs(spark)).collect()}
+    assert got[0] == 2  # doc 0 and doc 2 collapse; survivor = min id
+    assert 2 not in got
+    assert got[3] == 1
+
+
+def test_minhash_lsh_finds_all_high_jaccard_pairs(spark):
+    """LSH candidates must cover every pair exact Jaccard finds ≥ threshold."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(_docs(spark), shingle_n=5, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            _docs(spark), shingle_n=5, num_perm=32, bands=16, threshold=0.6
+        ).collect()
+    }
+    assert exact  # sanity: the fixture does contain near-dups
+    assert exact == lsh  # verification step makes LSH exact-above-threshold
+
+
+def test_minhash_jaccard_values_match_exact(spark):
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_dedup(_docs(spark), threshold=0.6, bands=16).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), shingle_n=5, threshold=0.6).collect()
+    }
+    for pair, j in exact.items():
+        assert abs(lsh[pair] - j) < 1e-9
+
+
+def test_simhash_close_for_near_dups_far_for_distinct(spark):
+    toks = _docs(spark).select("doc_id", tokens(F.col("text")).alias("tokens"))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dedup(toks, max_hamming=63, bands=4).collect()
+    }
+    assert pairs[(0, 2)] == 0  # identical token multisets after lowering
+    if (3, 4) in pairs:
+        assert pairs[(3, 4)] <= 16  # one extra token: small distance
+    # near-identical docs must be far closer than unrelated ones (if the
+    # unrelated pair even shares a band)
+    unrelated = pairs.get((0, 3))
+    if unrelated is not None:
+        assert unrelated > pairs[(0, 2)]
+
+
+def test_simhash_zero_shuffle_before_band_join(spark):
+    """simhash64 must be computed map-side: no exchange below the project."""
+    toks = _docs(spark).select("doc_id", tokens(F.col("text")).alias("tokens"))
+    from batch_processing_pipeline_spark.operators.dedup import simhash64
+
+    plan = (
+        toks.select(simhash64(F.col("tokens")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,55 @@
+"""Multimodal binary columns: schema plumbing, map-side stats, Arrow UDFs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.multimodal.binary_ops import (
+    attach_media,
+    decode_image_batches,
+    extract_features,
+    media_stats,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "hello world"), (1, "spark engine"), (2, "x" * 1000)],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_media_schema(spark):
+    df = attach_media(_docs(spark))
+    assert dict(df.dtypes)["content"] == "binary"
+    meta = [f for f in df.schema["media_meta"].dataType.fields]
+    assert [f.name for f in meta] == ["mime", "width", "height", "n_bytes"]
+    row = df.where("doc_id = 0").collect()[0]
+    assert row.media_meta.n_bytes == len("hello world")
+
+
+def test_media_stats_sha256(spark):
+    got = {r.doc_id: r for r in media_stats(attach_media(_docs(spark))).collect()}
+    assert got[0].sha256 == hashlib.sha256(b"hello world").hexdigest()
+    assert got[2].n_bytes == 1000
+
+
+def test_decode_image_batches_deterministic_fake(spark):
+    df = attach_media(_docs(spark))
+    got = {r.doc_id: r for r in decode_image_batches(df).collect()}
+    assert got[0].n_pixels == got[0].width * got[0].height
+    # deterministic: same input → same output
+    again = {r.doc_id: r for r in decode_image_batches(df).collect()}
+    assert {k: (v.width, v.height) for k, v in got.items()} == {
+        k: (v.width, v.height) for k, v in again.items()
+    }
+
+
+def test_extract_features_shape_and_norm(spark):
+    df = attach_media(_docs(spark))
+    rows = extract_features(df, dim=8).collect()
+    for r in rows:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5

@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the shapes that matter at 100 TB.
+
+Correctness tests prove the small-SF answer; these prove the PLAN — filters
+reach the parquet scan, projections prune columns, small dims broadcast,
+rank filters push below the shuffle, and nothing drops into Python row
+processing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq02_filter")
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq01_scan_project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "r_regionkey" in read_schema and "r_name" in read_schema
+    plan13 = _plan(spark, sf_dir, "dq13_topk_window")
+    read13 = plan13.split("ReadSchema:")[1].splitlines()[0]
+    # only the 3 needed columns of orders' 6 are read
+    assert "o_orderdate" not in read13 and "o_orderpriority" not in read13
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq08_join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq13_topk_window")
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_row_processing_in_relational_queries(spark, sf_dir):
+    for name in ["dq04_prefix_fanout", "dq05_agg_sum", "dq28_autocomplete_e2e",
+                 "sim_topk", "text_stats", "dedup_exact"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_semi_and_anti_joins_planned(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "dq10_semi_join")
+    assert "LeftAnti" in _plan(spark, sf_dir, "dq11_anti_join")
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: two HashAggregates around one Exchange."""
+    plan = _plan(spark, sf_dir, "dq05_agg_sum")
+    before_exchange = plan.split("Exchange")[0]
+    assert "HashAggregate" in before_exchange  # final agg above
+    after_exchange = plan.split("Exchange", 1)[1]
+    assert "HashAggregate" in after_exchange  # partial agg below

@@ -1,0 +1,76 @@
+"""Similarity search: exact vs numpy ground truth; LSH recall vs exact."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.functions.vector import cosine_similarity, dot_product
+from batch_processing_pipeline_spark.operators.similarity import cosine_topk, signlsh_topk
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_dot_product_matches_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(dot_product(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    assert abs(got - np.dot(a, b)) < 1e-9
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids)
+    mat, ids = mat[order], ids[order]
+
+    q = 0
+    sims = mat @ mat[q] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[q]))
+    sims_r = np.floor(sims * 10000 + 0.5) / 10000  # engine's portable round4
+    cand = [(s, i) for s, i in zip(sims_r, ids) if i != q]
+    expected = [i for s, i in sorted(cand, key=lambda t: (-t[0], t[1]))[:10]]
+
+    got = (
+        cosine_topk(emb.where(F.col("vec_id") == 0), emb, k=10)
+        .orderBy("rk")
+        .collect()
+    )
+    assert [r.neighbor_id for r in got] == expected
+
+
+def test_signlsh_recall_vs_bruteforce(spark, sf_dir):
+    """Approximate path must recover a solid fraction of true top-10."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(queries, emb, k=10).collect()
+    approx = signlsh_topk(queries, emb, dim=64, k=10, n_planes=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # random unit vectors in d=64 are nearly orthogonal — the hardest case
+    # for sign-LSH; with 8 tables × 4 planes the OR-construction should
+    # still recover most of the true top-10
+    assert sum(recalls) / len(recalls) > 0.5
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    plan = (
+        cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,103 @@
+"""Structured Streaming: windowed aggs match their batch twins; the
+foreachBatch incremental autocomplete stream merges state across batches."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.streaming.jobs import (
+    run_autocomplete_stream,
+    stream_query_log,
+    tumbling_event_counts,
+)
+
+EVENTS = [
+    # (event_id, ts, user_id, event_type, value)
+    (0, "2024-01-01 00:05:00", 1, "a", 1.0),
+    (1, "2024-01-01 00:20:00", 1, "a", 2.0),
+    (2, "2024-01-01 01:10:00", 1, "b", 3.0),
+    (3, "2024-01-01 01:40:00", 2, "a", 4.0),
+    (4, "2024-01-01 03:00:00", 2, "b", 5.0),
+]
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_json(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for e in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": e[0],
+                        "ts": e[1],
+                        "user_id": e[2],
+                        "event_type": e[3],
+                        "value": e[4],
+                    }
+                )
+                + "\n"
+            )
+
+
+def _await(query, timeout=60):
+    query.awaitTermination(timeout * 1000)
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    _write_json(str(src / "part1.json"), EVENTS)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        tumbling_event_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.ws.isoformat(), r.event_type): (r.n, r.sv)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = spark.createDataFrame(EVENTS, "event_id long, ts string, user_id long, event_type string, value double")
+    batch = batch.withColumn("ts", F.to_timestamp("ts"))
+    expected = {
+        ((r.h).isoformat(), r.event_type): (r.n, r.sv)
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")).collect()
+    }
+    assert got == expected
+
+
+def test_autocomplete_stream_merges_across_batches(spark, tmp_path):
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "2025-01-01-00.txt").write_text("test\ntest\nkheder\n")
+    state_dir = str(tmp_path / "state")
+    sugg_dir = str(tmp_path / "sugg")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_query_log(spark, str(logs))
+    q = run_autocomplete_stream(stream, state_dir, sugg_dir, ckpt, k=5)
+    _await(q)
+    state = spark.read.parquet(os.path.join(state_dir, "current"))
+    freq = {(r.prefix, r.query): r.frequency for r in state.collect()}
+    assert freq[("te", "test")] == 2
+
+    # second file arrives → restart with same checkpoint → only new file read
+    (logs / "2025-01-01-01.txt").write_text("test\n")
+    stream2 = stream_query_log(spark, str(logs))
+    q2 = run_autocomplete_stream(stream2, state_dir, sugg_dir, ckpt, k=5)
+    _await(q2)
+    state2 = spark.read.parquet(os.path.join(state_dir, "current"))
+    freq2 = {(r.prefix, r.query): r.frequency for r in state2.collect()}
+    assert freq2[("te", "test")] == 3  # 2 + 1, counted exactly once (H1)
+    sugg = {r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()}
+    assert sugg["te"] == ["test"]
