@@ -511,6 +511,76 @@ def q_mm_stats(spark, sf):
     return media_stats(d)
 
 
+def dq29_grouping_sets(spark, sf):
+    """GROUPING SETS through the SQL entry point (spark.sql passthrough)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS prio,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_stats_aggs(spark, sf):
+    """Statistical aggregate surface: stddev/variance/corr/covar."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        round4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        round4(F.var_samp("l_quantity")).alias("var_qty"),
+        round4(F.min("l_quantity")).alias("min_qty"),
+        round4(F.max("l_quantity")).alias("max_qty"),
+        round4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+        round4(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qp"),
+    )
+
+
+def q_array_agg(spark, sf):
+    """Ordered array aggregation (deterministic; H4-fixed collect)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return d.groupBy("lang").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_date_arith(spark, sf):
+    """Date arithmetic surface: datediff/quarter/weekday/last_day."""
+    l = _t(spark, sf, "lineitem").where(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_days"),
+        F.quarter("l_shipdate").alias("q"),
+        F.weekday("l_shipdate").alias("wd"),
+        F.dayofmonth(F.last_day("l_shipdate")).alias("eom_day"),
+    )
+
+
+def q_tfidf(spark, sf):
+    """TF-IDF document-term weights (reference-adjacent scoring system)."""
+    from batch_processing_pipeline_spark.functions.tfidf import tfidf
+
+    d = _t(spark, sf, "documents")
+    scored = tfidf(d)
+    return scored.select(
+        "doc_id", "word", "tf", round4(F.col("tfidf")).alias("w")
+    )
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect)
 # =====================================================================
@@ -835,6 +905,55 @@ ORACLES: dict[str, str | None] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "dq29_grouping_sets": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS prio,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "stats_aggs": f"""
+        SELECT l_returnflag,
+               {R("stddev_samp(l_quantity)")} AS sd_qty,
+               {R("var_samp(l_quantity)")} AS var_qty,
+               {R("MIN(l_quantity)")} AS min_qty,
+               {R("MAX(l_quantity)")} AS max_qty,
+               {R("corr(l_quantity, l_extendedprice)")} AS corr_qp,
+               {R("covar_samp(l_quantity, l_extendedprice)")} AS cov_qp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "array_agg_ordered": """
+        SELECT lang,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv,
+               COUNT(*) AS n
+        FROM documents WHERE doc_id < 100 GROUP BY lang
+    """,
+    "date_arith": """
+        SELECT l_orderkey, l_linenumber,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS epoch_days,
+               CAST(EXTRACT(QUARTER FROM l_shipdate) AS INTEGER) AS q,
+               CAST(isodow(l_shipdate) - 1 AS INTEGER) AS wd,
+               CAST(EXTRACT(DAY FROM last_day(CAST(l_shipdate AS DATE))) AS INTEGER) AS eom_day
+        FROM lineitem WHERE l_orderkey <= 500
+    """,
+    "tfidf": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          FROM documents WHERE length(lower(trim(text))) > 0
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+        ), dfreq AS (
+          SELECT word, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY word
+        ), n AS (
+          SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+        )
+        SELECT tf.doc_id, tf.word, tf.tf,
+               {R("tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df_docs)) + 1.0)")} AS w
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    """,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -877,4 +996,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "mm_stats": q_mm_stats,
+    "dq29_grouping_sets": dq29_grouping_sets,
+    "stats_aggs": q_stats_aggs,
+    "array_agg_ordered": q_array_agg,
+    "date_arith": q_date_arith,
+    "tfidf": q_tfidf,
 }
