@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -581,6 +582,87 @@ def q_tfidf(spark, sf):
     )
 
 
+def q_pivot(spark, sf):
+    """Pivot (dynamic columns from values)."""
+    l = _t(spark, sf, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("ls_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("ls_o"),
+    )
+
+
+def q_unpivot(spark, sf):
+    """Unpivot / melt (columns to rows)."""
+    p = _t(spark, sf, "part").where(F.col("p_partkey") <= 200)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "metric", "v"
+    ).select("p_partkey", "metric", round4(F.col("v")).alias("v"))
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles per group."""
+    l = _t(spark, sf, "lineitem")
+    pct = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.9]))
+    return l.groupBy("l_returnflag").agg(
+        round4(F.element_at(pct, 1)).alias("p25"),
+        round4(F.element_at(pct, 2)).alias("p50"),
+        round4(F.element_at(pct, 3)).alias("p90"),
+    )
+
+
+def q_udf_surface(spark, sf):
+    """Python UDF + Arrow pandas UDF surface (deterministic arithmetic, so
+    still oracle-checkable)."""
+    from pyspark.sql.functions import pandas_udf, udf
+
+    @pandas_udf("double")
+    def affine(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    shout = udf(lambda s: s.upper() if s is not None else None, "string")
+
+    e = _events(spark, sf).where(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        round4(affine(F.col("value"))).alias("v2"),
+        shout(F.col("event_type")).alias("etype_up"),
+    )
+
+
+def q_salted_agg(spark, sf):
+    """Skew-safe salted two-phase aggregation — must equal the plain
+    group-by (oracle is the plain SQL)."""
+    from batch_processing_pipeline_spark.operators.skew import salted_count, salted_sum
+
+    l = _t(spark, sf, "lineitem")
+    s = salted_sum(l, ["l_returnflag"], "l_quantity", out_col="sum_qty_raw")
+    c = salted_count(l, ["l_returnflag"], out_col="n")
+    return s.join(c, "l_returnflag").select(
+        "l_returnflag", round4(F.col("sum_qty_raw")).alias("sum_qty"), "n"
+    )
+
+
+def q_sim_topk_ivf(spark, sf):
+    """IVF (k-means cells) approximate cosine top-10 (rows-only; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    from batch_processing_pipeline_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = train_centroids(emb, k=8, seed=42)
+    return ivf_topk(emb.where(F.col("vec_id") < 5), emb, centroids, k=10, nprobe=3)
+
+
 # =====================================================================
 # Oracle SQL (DuckDB dialect)
 # =====================================================================
@@ -954,6 +1036,36 @@ ORACLES: dict[str, str | None] = {
                {R("tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df_docs)) + 1.0)")} AS w
         FROM tf JOIN dfreq USING (word) CROSS JOIN n
     """,
+    "pivot": """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS ls_f,
+               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS ls_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "unpivot": f"""
+        SELECT p_partkey, 'size' AS metric, {R("CAST(p_size AS DOUBLE)")} AS v
+        FROM part WHERE p_partkey <= 200
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, {R("p_retailprice")} AS v
+        FROM part WHERE p_partkey <= 200
+    """,
+    "percentiles": f"""
+        SELECT l_returnflag,
+               {R("quantile_cont(l_quantity, 0.25)")} AS p25,
+               {R("quantile_cont(l_quantity, 0.5)")}  AS p50,
+               {R("quantile_cont(l_quantity, 0.9)")}  AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "udf_surface": f"""
+        SELECT event_id, {R("value * 2.0 + 1.0")} AS v2,
+               upper(event_type) AS etype_up
+        FROM events WHERE event_id < 2000
+    """,
+    "salted_agg": f"""
+        SELECT l_returnflag, {R("SUM(l_quantity)")} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "sim_topk_ivf": None,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1001,4 +1113,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg_ordered": q_array_agg,
     "date_arith": q_date_arith,
     "tfidf": q_tfidf,
+    "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "percentiles": q_percentiles,
+    "udf_surface": q_udf_surface,
+    "salted_agg": q_salted_agg,
+    "sim_topk_ivf": q_sim_topk_ivf,
 }
