@@ -188,9 +188,13 @@ def minhash_lsh_dedup(
     # sides of the estimate prefilter) branches from it — without the
     # persist, Spark's lineage recomputes the shingle+hash pass per branch.
     # At 10^9 docs the relation is ~num_perm·8 B/doc — cache-able cluster-wide.
+    # The count() materializes the cache EAGERLY: a lazy persist lets the
+    # band self-join's two branches race and each computes the full
+    # signature pass before the cache is populated (~2× the dominant cost).
     sigs = minhash_signatures(
         docs, id_col, text_col, shingle_n, num_perm
     ).persist()
+    sigs.count()
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
@@ -237,6 +241,7 @@ def minhash_lsh_dedup(
         # the band self-join + prefilter chain runs once, not per branch
         .persist()
     )
+    prefiltered.count()  # eager, for the same race reason as sigs
     # Exact verification: shingles are recomputed ONLY for candidate ids —
     # the semi-join happens BEFORE the shingle projection, so the full
     # corpus text is never re-shingled for this stage.

@@ -107,15 +107,46 @@ def signlsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 7) -> 
     )
 
 
-def _table_buckets(
-    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int
-) -> Column:
-    """Array of ``n_tables`` independent sign-LSH bucket ids for one vector."""
-    return F.array(
-        *[
-            signlsh_bucket(vec, dim, n_planes, seed=seed + 1000 * t)
-            for t in range(n_tables)
-        ]
+def signlsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, table_id, bucket) for every vector — codegen bulk formulation.
+
+    Array-lambda folds run interpreted, so the per-column ``signlsh_bucket``
+    costs ~µs per (plane × dim) element. Here the vector explodes to
+    (id, pos, v) rows once, joins a broadcast (table, plane, pos, coef)
+    relation, and two map-side-combining aggregations build projections
+    then bucket bits — the whole thing stays in whole-stage codegen.
+    """
+    spark = df.sparkSession
+    coef_rows = [
+        (t, p, d, c)
+        for t in range(n_tables)
+        for p, row in enumerate(_coeff_matrix(n_planes, dim, seed + 1000 * t))
+        for d, c in enumerate(row)
+    ]
+    coefs = spark.createDataFrame(
+        coef_rows, "table_id int, plane int, pos int, coef double"
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    proj = (
+        exploded.join(F.broadcast(coefs), "pos")
+        .groupBy(id_col, "table_id", "plane")
+        .agg(F.sum(F.col("v").cast("double") * F.col("coef")).alias("proj"))
+    )
+    return proj.groupBy(id_col, "table_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("plane")).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
     )
 
 
@@ -139,19 +170,25 @@ def signlsh_topk(
     candidates get exact cosine scoring. Recall vs the exact path is
     asserted in tests/test_similarity.py.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.posexplode(
-            _table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
-        ).alias("table_id", "bucket"),
+    c = (
+        signlsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables, seed)
+        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "table_id",
+            "bucket",
+        )
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.posexplode(
-            _table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
-        ).alias("table_id", "bucket"),
+    qb = (
+        signlsh_buckets(queries, id_col, vec_col, dim, n_planes, n_tables, seed)
+        .join(queries.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "table_id",
+            "bucket",
+        )
     )
     scored = (
         F.broadcast(qb)

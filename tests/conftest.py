@@ -19,6 +19,9 @@ def spark():
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=16,
         driver_memory="6g",
+        # static config — needed by bucketed-table tests, must be set at
+        # session creation (CANNOT_MODIFY_STATIC_CONFIG at runtime)
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/bpp-test-warehouse"},
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s

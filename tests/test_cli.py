@@ -1,0 +1,73 @@
+"""CLI parity entry point: single-file and windowed batch runs."""
+
+from __future__ import annotations
+
+import json
+
+from batch_processing_pipeline_spark.cli import main
+
+
+def test_cli_single_file_batch(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "2025-06-10-23.txt").write_text("test\ntest\nkheder\nkheder\ngoodmorning\n")
+    state = str(tmp_path / "state")
+    sugg = str(tmp_path / "sugg")
+    rc = main(
+        [
+            "--logs", str(logs),
+            "--logfile", "2025-06-10-23",
+            "--state-dir", state,
+            "--suggestions-dir", sugg,
+            "--top-k", "10",
+        ]
+    )
+    assert rc == 0
+    got = {
+        r.prefix: json.loads(r.completions_json)
+        for r in spark.read.parquet(sugg).collect()
+    }
+    assert got["te"] == ["test"]
+    assert got["kh"] == ["kheder"]
+
+
+def test_cli_window_batch_incremental(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "2025-06-10-22.txt").write_text("alpha\n")
+    (logs / "2025-06-10-23.txt").write_text("alpha\nbeta\n")
+    s1 = str(tmp_path / "s1")
+    g1 = str(tmp_path / "g1")
+    rc = main(
+        [
+            "--logs", str(logs),
+            "--window-hours", "2",
+            "--end", "2025-06-10-23",
+            "--state-dir", s1,
+            "--suggestions-dir", g1,
+        ]
+    )
+    assert rc == 0
+    freq = {
+        (r.prefix, r.query): r.frequency for r in spark.read.parquet(s1).collect()
+    }
+    assert freq[("al", "alpha")] == 2  # both hourly files read
+
+    # second batch feeds previous state back in
+    s2 = str(tmp_path / "s2")
+    g2 = str(tmp_path / "g2")
+    rc = main(
+        [
+            "--logs", str(logs),
+            "--logfile", "2025-06-10-23",
+            "--prev-state", s1,
+            "--state-dir", s2,
+            "--suggestions-dir", g2,
+        ]
+    )
+    assert rc == 0
+    freq2 = {
+        (r.prefix, r.query): r.frequency for r in spark.read.parquet(s2).collect()
+    }
+    assert freq2[("al", "alpha")] == 3
+    assert freq2[("be", "beta")] == 2
