@@ -23,5 +23,14 @@ def round4(col: Column) -> Column:
 
 
 def sql_round4(expr: str) -> str:
-    """The identical formula in SQL text, for oracle queries."""
-    return f"floor(({expr}) * 10000.0 + 0.5) / 10000.0"
+    """The identical formula in SQL text (oracle queries AND spark.sql).
+
+    Every constant is cast to DOUBLE explicitly: bare ``10000.0`` parses as
+    a DECIMAL literal in Spark SQL (unlike ``F.lit``), and
+    ``bigint / decimal`` division yields DECIMAL — silently changing the
+    output type and value hash.
+    """
+    return (
+        f"floor(({expr}) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(10000.0 AS DOUBLE)"
+    )

@@ -76,6 +76,39 @@ def autocomplete_batch(
     return merged, suggestions(merged, k=k)
 
 
+def diff_suggestions(
+    prev: DataFrame | None,
+    cur: DataFrame,
+    key_col: str = "prefix",
+    payload_col: str = "completions_json",
+) -> DataFrame:
+    """Changed/new/deleted rows between two suggestion tables.
+
+    This collapses the reference's MySQL→Debezium→Kafka CDC hop (SURVEY
+    §3.3): instead of tailing a binlog to learn which prefixes changed,
+    the engine diffs the staged tables directly and publishes ONLY the
+    delta (to Kafka/Redis via sinks/). Output: (prefix, completions_json,
+    op) with op ∈ {'upsert', 'delete'}; unchanged rows are absent.
+
+    Both sides are (key, payload) projections, so the anti-joins shuffle
+    only digests of the serving table, never the full corpus.
+    """
+    cur_kv = cur.select(F.col(key_col), F.col(payload_col))
+    if prev is None:
+        return cur_kv.withColumn("op", F.lit("upsert"))
+    prev_kv = prev.select(F.col(key_col), F.col(payload_col))
+    upserts = cur_kv.join(
+        prev_kv, [key_col, payload_col], "left_anti"
+    ).withColumn("op", F.lit("upsert"))
+    deletes = (
+        prev_kv.select(key_col)
+        .join(cur_kv.select(key_col), key_col, "left_anti")
+        .withColumn(payload_col, F.lit(None).cast("string"))
+        .withColumn("op", F.lit("delete"))
+    )
+    return upserts.unionByName(deletes)
+
+
 def run_incremental_batch(
     raw_lines: DataFrame,
     state_path: str | None,

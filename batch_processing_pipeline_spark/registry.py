@@ -653,6 +653,47 @@ def q_salted_agg(spark, sf):
     )
 
 
+def q_rank_functions(spark, sf):
+    """Full ranking-function surface: dense_rank/percent_rank/cume_dist/
+    ntile/first_value (all tie-broken deterministically)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        round4(F.percent_rank().over(w)).alias("prk"),
+        round4(F.cume_dist().over(w)).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_orderkey").over(w).alias("top_order"),
+    )
+
+
+def q_range_window(spark, sf):
+    """Time-range window frame (RANGE BETWEEN INTERVAL ... PRECEDING) via
+    the SQL entry point."""
+    _events(spark, sf).createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT user_id, event_id,
+               {R("SUM(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")} AS hour_sum
+        FROM events
+        """
+    )
+
+
+def q_approx_distinct(spark, sf):
+    """HLL++ sketch surface — the count-distinct that works at 100 TB
+    (approximate; rows-only check, error bound asserted in tests)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_sim_topk_ivf(spark, sf):
     """IVF (k-means cells) approximate cosine top-10 (rows-only; recall vs
     brute force asserted in tests/test_similarity.py)."""
@@ -1066,6 +1107,23 @@ ORACLES: dict[str, str | None] = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "sim_topk_ivf": None,
+    "rank_functions": f"""
+        SELECT o_custkey, o_orderkey,
+               DENSE_RANK() OVER w AS drk,
+               {R("PERCENT_RANK() OVER w")} AS prk,
+               {R("CUME_DIST() OVER w")} AS cd,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(o_orderkey) OVER w AS top_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    "range_window": f"""
+        SELECT user_id, event_id,
+               {R("SUM(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")} AS hour_sum
+        FROM events
+    """,
+    "approx_distinct": None,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1119,4 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_surface": q_udf_surface,
     "salted_agg": q_salted_agg,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "rank_functions": q_rank_functions,
+    "range_window": q_range_window,
+    "approx_distinct": q_approx_distinct,
 }
