@@ -150,6 +150,61 @@ def signlsh_buckets(
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    ``use_lsh=True`` (the scale path): candidates are pairs colliding in
+    any sign-LSH table, then exact cosine verification — O(collisions),
+    not O(n²). ``use_lsh=False`` scores all pairs exactly (bounded scopes /
+    oracle ground truth only). Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        b = signlsh_buckets(base, id_col, vec_col, dim, n_planes, n_tables, seed)
+        withv = b.join(base, id_col)
+        a_side = withv.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            "table_id",
+            "bucket",
+        )
+        b_side = withv.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            "table_id",
+            "bucket",
+        )
+        pairs = (
+            a_side.join(b_side, ["table_id", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a_side = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b_side = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a_side.join(b_side, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            round4(cosine_similarity(F.col("va"), F.col("vb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def signlsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

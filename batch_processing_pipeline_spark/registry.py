@@ -653,6 +653,16 @@ def q_salted_agg(spark, sf):
     )
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (exact over a bounded scope — the
+    oracle ground truth; the LSH scale path is validated against this in
+    tests/test_similarity.py)."""
+    from batch_processing_pipeline_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 150)
+    return embedding_near_dup(emb, threshold=0.35, use_lsh=False)
+
+
 def q_rank_functions(spark, sf):
     """Full ranking-function surface: dense_rank/percent_rank/cume_dist/
     ntile/first_value (all tie-broken deterministically)."""
@@ -1124,6 +1134,14 @@ ORACLES: dict[str, str | None] = {
         FROM events
     """,
     "approx_distinct": None,
+    "dedup_embedding": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {R("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 150 AND b.vec_id < 150
+          AND {R("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} >= 0.35
+    """,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1180,4 +1198,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_functions": q_rank_functions,
     "range_window": q_range_window,
     "approx_distinct": q_approx_distinct,
+    "dedup_embedding": q_dedup_embedding,
 }

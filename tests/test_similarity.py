@@ -65,6 +65,29 @@ def test_signlsh_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) > 0.5
 
 
+def test_embedding_near_dup_lsh_vs_exact(spark, sf_dir):
+    """LSH-candidate near-dup must recover most exact pairs (and every pair
+    it emits must BE an exact pair — verification makes it precise)."""
+    from batch_processing_pipeline_spark.operators.similarity import embedding_near_dup
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 200)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(emb, 0.3, use_lsh=False).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(
+            emb, 0.3, use_lsh=True, dim=64, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert exact  # fixture has pairs above threshold
+    assert set(lsh) <= set(exact)  # precision 1.0 (exact verify)
+    for pair, c in lsh.items():
+        assert c == exact[pair]
+    assert len(lsh) / len(exact) > 0.5  # recall
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     plan = (
