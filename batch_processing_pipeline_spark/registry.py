@@ -663,6 +663,34 @@ def q_dedup_embedding(spark, sf):
     return embedding_near_dup(emb, threshold=0.35, use_lsh=False)
 
 
+def q_asof_join(spark, sf):
+    """As-of join: each purchase event picks up the user's most recent
+    prior error event (engine: union+window composition; oracle: DuckDB's
+    native ASOF JOIN)."""
+    from batch_processing_pipeline_spark.operators.asof import asof_join
+
+    e = _events(spark, sf)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        errors.withColumnRenamed("event_id", "err_event_id"),
+        on="user_id",
+        right_cols=("err_event_id", "value"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "err_event_id_r",
+        round4(F.col("value_r")).alias("err_value"),
+        F.unix_timestamp(F.col("ts_r")).alias("err_epoch"),
+    )
+
+
 def q_rank_functions(spark, sf):
     """Full ranking-function surface: dense_rank/percent_rank/cume_dist/
     ntile/first_value (all tie-broken deterministically)."""
@@ -1117,6 +1145,15 @@ ORACLES: dict[str, str | None] = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "sim_topk_ivf": None,
+    "asof_join": f"""
+        SELECT l.event_id, l.user_id,
+               r.event_id AS err_event_id_r,
+               {R("r.value")} AS err_value,
+               CAST(floor(epoch(r.ts)) AS BIGINT) AS err_epoch
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "rank_functions": f"""
         SELECT o_custkey, o_orderkey,
                DENSE_RANK() OVER w AS drk,
@@ -1199,4 +1236,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_window": q_range_window,
     "approx_distinct": q_approx_distinct,
     "dedup_embedding": q_dedup_embedding,
+    "asof_join": q_asof_join,
 }
