@@ -663,6 +663,30 @@ def q_dedup_embedding(spark, sf):
     return embedding_near_dup(emb, threshold=0.35, use_lsh=False)
 
 
+def q_array_funcs(spark, sf):
+    """Array function surface beyond explode: size/element_at/max/min/
+    contains/slice-sum."""
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        round4(F.element_at("embedding", 1).cast("double")).alias("e1"),
+        round4(F.array_max("embedding").cast("double")).alias("emax"),
+        round4(F.array_min("embedding").cast("double")).alias("emin"),
+    )
+
+
+def q_map_funcs(spark, sf):
+    """Map-typed columns: parse JSON props to map<string,int>, inspect."""
+    e = _events(spark, sf)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
 def q_asof_join(spark, sf):
     """As-of join: each purchase event picks up the user's most recent
     prior error event (engine: union+window composition; oracle: DuckDB's
@@ -1145,6 +1169,20 @@ ORACLES: dict[str, str | None] = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "sim_topk_ivf": None,
+    "array_funcs": f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               {R("CAST(embedding[1] AS DOUBLE)")} AS e1,
+               {R("CAST(list_max(embedding) AS DOUBLE)")} AS emax,
+               {R("CAST(list_min(embedding) AS DOUBLE)")} AS emin
+        FROM embeddings
+    """,
+    "map_funcs": """
+        SELECT event_id,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+    """,
     "asof_join": f"""
         SELECT l.event_id, l.user_id,
                r.event_id AS err_event_id_r,
@@ -1237,4 +1275,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "dedup_embedding": q_dedup_embedding,
     "asof_join": q_asof_join,
+    "array_funcs": q_array_funcs,
+    "map_funcs": q_map_funcs,
 }
