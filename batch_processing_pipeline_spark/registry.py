@@ -663,6 +663,23 @@ def q_dedup_embedding(spark, sf):
     return embedding_near_dup(emb, threshold=0.35, use_lsh=False)
 
 
+def q_curation(spark, sf):
+    """The LLM-data-pipeline composed end-to-end: score → quality filter →
+    exact dedup → curated corpus with metrics."""
+    from batch_processing_pipeline_spark.plans.curation import curate
+
+    d = _t(spark, sf, "documents")
+    return curate(d, min_quality=0.5)
+
+
+def q_curation_report(spark, sf):
+    """Per-language accounting of the curated corpus."""
+    from batch_processing_pipeline_spark.plans.curation import curate, curation_report
+
+    d = _t(spark, sf, "documents")
+    return curation_report(curate(d, min_quality=0.5))
+
+
 def q_array_funcs(spark, sf):
     """Array function surface beyond explode: size/element_at/max/min/
     contains/slice-sum."""
@@ -1169,6 +1186,8 @@ ORACLES: dict[str, str | None] = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "sim_topk_ivf": None,
+    "curation": None,  # set below — shares the scored-CTE fragment
+    "curation_report": None,  # set below
     "array_funcs": f"""
         SELECT vec_id,
                CAST(len(embedding) AS INTEGER) AS dim,
@@ -1218,6 +1237,60 @@ ORACLES: dict[str, str | None] = {
           AND {R("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} >= 0.35
     """,
 }
+
+_LANG_SCORES = " , ".join(
+    f"len(list_intersect(dtoks, [{_STOP_LISTS[lang]}])) AS s_{lang}"
+    for lang in ("de", "en", "es", "fr")
+)
+_LANG_CASE = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
+    "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+    "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+    "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+    "ELSE 'fr' END"
+)
+_CURATION_SCORED = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS dtoks
+  FROM documents
+), langscores AS (
+  SELECT doc_id, text, toks, {_LANG_SCORES} FROM t
+), scored AS (
+  SELECT doc_id,
+         {R(_QUALITY)} AS quality,
+         {_LANG_CASE} AS lang_pred,
+         CAST(len(toks) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         md5(lower(trim(text))) AS fp
+  FROM langscores
+), qualified AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), survivors AS (
+  SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+  FROM qualified GROUP BY fp
+), curated AS (
+  SELECT s.doc_id, s.fp AS fingerprint, s.dup_count,
+         q.quality, q.lang_pred, q.ws_tokens, q.bpe_tokens
+  FROM survivors s JOIN qualified q ON q.doc_id = s.doc_id
+)
+"""
+
+ORACLES["curation"] = (
+    _CURATION_SCORED
+    + "SELECT doc_id, fingerprint, dup_count, quality, lang_pred, ws_tokens, bpe_tokens FROM curated"
+)
+ORACLES["curation_report"] = (
+    _CURATION_SCORED
+    + f"""
+SELECT lang_pred, COUNT(*) AS docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       {R("AVG(quality)")} AS avg_quality
+FROM curated GROUP BY lang_pred
+"""
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq01_scan_project": dq01,
@@ -1277,4 +1350,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "array_funcs": q_array_funcs,
     "map_funcs": q_map_funcs,
+    "curation": q_curation,
+    "curation_report": q_curation_report,
 }
