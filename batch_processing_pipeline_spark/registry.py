@@ -28,11 +28,9 @@ from batch_processing_pipeline_spark.functions.rounding import round4, sql_round
 from batch_processing_pipeline_spark.functions.text_analysis import (
     STOPWORDS,
     bpe_ish_token_count,
-    doc_fingerprint,
     language_id,
     punct_ratio,
     quality_score,
-    shingle_fingerprint,
     stopword_ratio,
     tokens,
     whitespace_token_count,
