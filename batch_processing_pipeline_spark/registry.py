@@ -661,6 +661,18 @@ def q_dedup_embedding(spark, sf):
     return embedding_near_dup(emb, threshold=0.35, use_lsh=False)
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over near-dup pairs (bounded scope so the
+    DuckDB recursive-CTE oracle can verify the iterative algorithm)."""
+    from batch_processing_pipeline_spark.operators.components import connected_components
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    pairs = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def q_curation(spark, sf):
     """The LLM-data-pipeline composed end-to-end: score → quality filter →
     exact dedup → curated corpus with metrics."""
@@ -1184,6 +1196,30 @@ ORACLES: dict[str, str | None] = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "sim_topk_ivf": None,
+    "dedup_clusters": f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, length(lower(trim(text))) - 1),
+                                              i -> substring(lower(trim(text)), i, 3))) AS sh
+          FROM documents
+          WHERE doc_id < 60 AND length(lower(trim(text))) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE {R(_JACC)} >= 0.5
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach AS (
+          SELECT u AS node, u AS r FROM edges
+          UNION
+          SELECT e.u AS node, reach.r
+          FROM edges e JOIN reach ON e.v = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY node
+    """,
     "curation": None,  # set below — shares the scored-CTE fragment
     "curation_report": None,  # set below
     "array_funcs": f"""
@@ -1350,4 +1386,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_funcs": q_map_funcs,
     "curation": q_curation,
     "curation_report": q_curation_report,
+    "dedup_clusters": q_dedup_clusters,
 }

@@ -1,0 +1,34 @@
+"""Connected components: golden graphs + cluster survivor extraction."""
+
+from __future__ import annotations
+
+from batch_processing_pipeline_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+SCHEMA = "id_a long, id_b long"
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 1-2-3-4-5 chain: diameter 4, must converge to min label 1
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], SCHEMA)
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_separate_cliques_stay_separate(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)], SCHEMA
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
+
+
+def test_dedup_clusters_sizes_and_survivors(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7), (30, 31)], SCHEMA)
+    got = {r.component: (r.size, r.survivor) for r in dedup_clusters(pairs).collect()}
+    assert got[5] == (3, 5)
+    assert got[30] == (2, 30)
