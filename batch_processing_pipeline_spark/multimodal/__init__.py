@@ -6,6 +6,8 @@ from batch_processing_pipeline_spark.multimodal.binary_ops import (
     media_stats,
     decode_image_batches,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "media_stats",
     "decode_image_batches",
     "extract_features",
+    "resize_images",
+    "sample_frames",
 ]

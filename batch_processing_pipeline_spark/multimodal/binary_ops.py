@@ -103,6 +103,71 @@ def decode_image_batches(df: DataFrame, id_col: str = "doc_id", fake: bool = Tru
     return df.select(id_col, "content").mapInPandas(run, _DECODE_SCHEMA)
 
 
+_RESIZE_SCHEMA = "doc_id long, width int, height int, content binary"
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Resize payloads to (width, height) via mapInPandas.
+
+    Deterministic fake: truncate/pad the byte stream to width·height bytes
+    (stands in for a real resampler; the distributed shape — binary in,
+    binary out, no shuffle — is the real contract). ``fake=False`` raises
+    until PIL is wired in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires PIL; wire it here")
+            out = [
+                (bytes(payload) + b"\x00" * n)[:n] for payload in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(run, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Sample ``n_frames`` evenly spaced frames per video payload.
+
+    One input row fans out to ``n_frames`` rows (id, frame_idx, frame) —
+    the shape a frame-level feature extractor consumes. Deterministic fake:
+    equal byte slices stand in for decoded frames; ``fake=False`` raises
+    until ffmpeg/av is wired in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame sampling requires av/ffmpeg")
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["content"]):
+                data = bytes(payload)
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(data[i * step : (i + 1) * step] or b"\x00")
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, "content").mapInPandas(run, _FRAME_SCHEMA)
+
+
 _FEATURE_SCHEMA = "doc_id long, feature array<float>"
 
 

@@ -47,6 +47,32 @@ def test_decode_image_batches_deterministic_fake(spark):
     }
 
 
+def test_resize_images_fixed_dims(spark):
+    from batch_processing_pipeline_spark.multimodal.binary_ops import resize_images
+
+    df = attach_media(_docs(spark))
+    rows = resize_images(df, 8, 4).collect()
+    for r in rows:
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.content) == 32
+
+
+def test_sample_frames_fanout(spark):
+    from batch_processing_pipeline_spark.multimodal.binary_ops import sample_frames
+
+    df = attach_media(_docs(spark))
+    rows = sample_frames(df, n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    # deterministic fake
+    again = sample_frames(df, n_frames=4).collect()
+    assert sorted((r.doc_id, r.frame_idx, bytes(r.frame)) for r in rows) == sorted(
+        (r.doc_id, r.frame_idx, bytes(r.frame)) for r in again
+    )
+
+
 def test_extract_features_shape_and_norm(spark):
     df = attach_media(_docs(spark))
     rows = extract_features(df, dim=8).collect()
