@@ -233,11 +233,16 @@ def minhash_lsh_dedup(
         )
         .distinct()
     )
-    est_matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
+    # Elementwise signature agreement as a SUM of when-expressions, not a
+    # zip_with/filter HOF: array lambdas run interpreted, and this runs once
+    # per candidate pair (the widest row set in the funnel) — the unrolled
+    # form stays inside whole-stage codegen.
+    est_matches = sum(
+        (
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(num_perm)
+        ),
+        start=F.lit(0),
     )
     prefiltered = (
         candidates.join(
@@ -260,15 +265,28 @@ def minhash_lsh_dedup(
     prefiltered.count()  # eager, for the same race reason as sigs
     # Exact verification: shingles are recomputed ONLY for candidate ids —
     # the semi-join happens BEFORE the shingle projection, so the full
-    # corpus text is never re-shingled for this stage.
+    # corpus text is never re-shingled for this stage. Shingles are compared
+    # as 64-bit hashes (seed independent of the signature family): Jaccard
+    # over hashed shingle sets equals Jaccard over the string sets up to a
+    # ~d²/2⁶⁴ within-pair collision chance (d = shingles/doc). The hash
+    # keeps the later array_distinct/intersect/union on fixed-width longs
+    # instead of allocating every shingle as a string, and the projection
+    # stays map-side — no extra shuffle before the verify joins.
     cand_ids = (
         prefiltered.select(F.col("id_a").alias(id_col))
         .unionByName(prefiltered.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    norm = F.lower(F.trim(F.col(text_col)))
+    starts = F.sequence(F.lit(1), F.length(norm) - F.lit(shingle_n - 1))
+    hashed_shingles = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.xxhash64(norm.substr(i, F.lit(shingle_n)), F.lit(1_000_003)),
+        )
+    )
     sh = docs.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        char_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        F.col(id_col), hashed_shingles.alias("shingles")
     )
     verified = (
         prefiltered.join(
