@@ -190,3 +190,40 @@ def template_placeholders(text: Column, dictionary: dict[str, list[str]]) -> Col
 
         out = F.regexp_replace(out, f"(?i)\\b{re.escape(term)}\\b", placeholder)
     return out
+
+
+def word_ngram_counts(df, text_col: str = "text", n: int = 2, k: int = 50):
+    """Corpus-wide top-k word n-grams with counts — (ngram, n_occurrences).
+
+    Explodes n-gram START positions over the whitespace token array and
+    builds each n-gram with ``element_at`` + ``concat_ws`` — plain codegen
+    expressions, no array-lambda HOFs in the corpus pass. The count is a
+    map-side-combining aggregate, so only (ngram, partial count) rows cross
+    the shuffle; the top-k is a total order (count desc, then the n-gram
+    string itself, which is unique per group) so LIMIT is deterministic.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(toks.alias("_t"))
+        .where(F.size("_t") >= n)
+        .select(
+            F.col("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - F.lit(n - 1))
+            ).alias("_i"),
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("_t"), F.col("_i") + F.lit(j))
+                    for j in range(n)
+                ],
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )

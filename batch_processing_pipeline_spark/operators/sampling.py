@@ -1,0 +1,196 @@
+"""Deterministic sampling operators for training-data curation.
+
+Sampling at 100 TB must be (a) a single map-side filter — no shuffle, no
+RNG-state coordination across executors — and (b) reproducible across
+reruns, partitionings, and engines. Both follow from keying the decision on
+a hash of a stable row key instead of an RNG stream:
+
+    keep(row)  ⟺  first 8 hex chars of md5("seed:" || key)  <  threshold
+
+The 8-hex-char prefix is a uniform draw over [0, 2³²) encoded as
+fixed-width lowercase hex, so a lexicographic string compare IS the numeric
+compare — portable verbatim between Spark and DuckDB (and any engine with
+md5), which is what makes every operator here exactly oracle-checkable
+rather than only statistically testable. All decisions are pure column
+predicates: whole-stage codegen, pushdown-friendly, zero shuffle.
+
+The reference engine has no sampling surface (SURVEY.md §2.3); these close
+the training-data-curation charter gap alongside operators/dedup.py.
+
+Thresholds use floor(fraction·2³²) clamped to 2³²−1; the clamp drops rows
+whose draw is exactly 0xffffffff (P = 2⁻³²) from a fraction-1.0 stratum,
+the price of keeping the compare fixed-width. ``fraction >= 1`` therefore
+short-circuits to ``keep everything`` wherever it is statically known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MAX32 = (1 << 32) - 1
+
+
+def hash_unit(key: Column, seed: str) -> Column:
+    """Uniform draw in [0, 2³²) as fixed-width lowercase hex (8 chars)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
+    )
+
+
+def hex_threshold(fraction: float) -> str:
+    """floor(fraction·2³²) clamped to 2³²−1, as 8 lowercase hex chars.
+
+    Shared by the Spark operators and the oracle SQL builders so both sides
+    compare against byte-identical literals.
+    """
+    f = min(max(fraction, 0.0), 1.0)
+    return format(min(int(f * (1 << 32)), _MAX32), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, decided per-row by key hash.
+
+    Nested by construction: the kept set at fraction f₁ is a subset of the
+    kept set at f₂ ≥ f₁ under the same seed — growing a sample never
+    reshuffles previous membership (stable data ablations).
+    """
+    if fraction >= 1.0:
+        return df
+    return df.where(
+        hash_unit(F.col(key_col), seed) < F.lit(hex_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "strata",
+) -> DataFrame:
+    """Per-stratum hash sampling; strata absent from ``fractions`` drop.
+
+    One CASE expression per stratum — still a single map-side filter, no
+    per-stratum passes. Fractions are data-independent here; for fractions
+    derived from corpus statistics see :func:`domain_mix`.
+    """
+    h = hash_unit(F.col(key_col), seed)
+    cond = F.lit(False)
+    for stratum, fraction in fractions.items():
+        in_stratum = F.col(strata_col) == stratum
+        if fraction >= 1.0:
+            cond = cond | in_stratum
+        else:
+            cond = cond | (in_stratum & (h < F.lit(hex_threshold(fraction))))
+    return df.where(cond)
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits by cumulative hash thresholds.
+
+    Every row lands in exactly one split (the CASE ladder is exhaustive:
+    the last split is the ELSE branch), membership is independent of
+    partitioning and rerun-stable, and the same key always lands in the
+    same split — the property that keeps a train/test boundary leak-free
+    when the corpus is regenerated or appended to.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    h = hash_unit(F.col(key_col), seed)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = h < F.lit(hex_threshold(acc))
+        expr = F.when(branch, name) if expr is None else expr.when(branch, name)
+    return df.withColumn(out_col, expr.otherwise(names[-1]))
+
+
+def domain_mix(
+    df: DataFrame,
+    target: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Downsample to the largest corpus achieving a target domain mixture.
+
+    Given target proportions p_d (normalized over ``target``), the largest
+    achievable mixed corpus is N* = min_d cnt_d / p_d; each domain keeps
+    ≈ p_d·N* rows via its hash threshold. Domains outside ``target`` drop.
+
+    Fully distributed: domain counts are one tiny aggregate, broadcast back
+    onto the corpus; the keep decision stays a map-side predicate. The
+    per-domain threshold is floor(p_d·N*/cnt_d·2³²) — computed with the
+    same double-precision expression the oracle SQL uses, so the kept set
+    is engine-exact, not approximately equal.
+    """
+    spark = df.sparkSession
+    total = sum(target.values())
+    tgt = spark.createDataFrame(
+        [(d, p / total) for d, p in target.items()], [domain_col, "_p"]
+    )
+    cnt = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c"))
+    joined = cnt.join(tgt, domain_col)
+    scale = joined.agg(F.min(F.col("_c") / F.col("_p")).alias("_nstar"))
+    thresholds = (
+        joined.crossJoin(F.broadcast(scale))
+        .select(
+            F.col(domain_col),
+            F.format_string(
+                "%08x",
+                F.least(
+                    F.floor(
+                        F.col("_p") * F.col("_nstar") / F.col("_c") * F.lit(2.0**32)
+                    ).cast("long"),
+                    F.lit(_MAX32),
+                ),
+            ).alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .where(hash_unit(F.col(key_col), seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen uniformly and reproducibly.
+
+    Rank = row_number over (key hash, key) within the group: the retained
+    subset is a uniform draw (hash order is independent of any data order)
+    yet stable across reruns and engines. Spark plans this as two-phase
+    ``WindowGroupLimit``: every map task keeps only its local top-k per
+    group BEFORE the shuffle, so a hot group ships k rows per upstream
+    partition rather than its full row set — the per-domain cap stays
+    viable on a Zipf-skewed 100 TB corpus.
+    """
+    h = hash_unit(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

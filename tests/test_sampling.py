@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+    domain_mix,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_deterministic_sample_reproducible_and_sized(spark):
+    d = _docs(spark)
+    n = d.count()
+    a = {r.doc_id for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    b = {r.doc_id for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    assert a == b
+    # binomial(500, .3): mean 150, sd ~10 — 5 sd tolerance
+    assert abs(len(a) - 0.3 * n) < 0.1 * n
+
+
+def test_samples_nest_under_growing_fraction(spark):
+    d = _docs(spark)
+    small = {r.doc_id for r in deterministic_sample(d, 0.2, "doc_id").collect()}
+    big = {r.doc_id for r in deterministic_sample(d, 0.5, "doc_id").collect()}
+    assert small <= big
+
+
+def test_sample_fraction_one_keeps_everything(spark):
+    d = _docs(spark)
+    assert deterministic_sample(d, 1.0, "doc_id").count() == d.count()
+
+
+def test_stratified_sample_respects_strata_plan(spark):
+    d = _docs(spark)
+    out = stratified_sample(
+        d, {"de": 1.0, "en": 0.5}, strata_col="lang", key_col="doc_id"
+    )
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in kept}
+    totals = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert set(by_lang) == {"de", "en"}  # unplanned strata drop
+    assert by_lang["de"] == totals["de"]  # fraction 1.0 is exact
+    assert abs(by_lang["en"] - 0.5 * totals["en"]) < 0.2 * totals["en"]
+
+
+def test_assign_split_is_exact_partition(spark):
+    d = _docs(spark)
+    s = assign_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+    counts = {r.split: r["count"] for r in s.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()  # every row in exactly one split
+    assert counts["train"] > counts.get("val", 0)
+    # stability: same key → same split across invocations
+    again = assign_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+    diff = (
+        s.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_domain_mix_hits_target_proportions(spark):
+    d = _docs(spark)
+    target = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = domain_mix(d, target, domain_col="source", key_col="doc_id")
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= set(target)
+    total = sum(counts.values())
+    # src0 is the binding domain (25 docs / 0.5 = 50 = N*): kept ~wholly
+    for dom, p in target.items():
+        assert abs(counts[dom] / total - p) < 0.15, (dom, counts)
+
+
+def test_domain_mix_drops_untargeted_domains(spark):
+    d = _docs(spark)
+    out = domain_mix(d, {"src3": 1.0}, domain_col="source", key_col="doc_id")
+    assert {r.source for r in out.select("source").distinct().collect()} == {"src3"}
+
+
+def test_cap_per_group_exact_k_and_plan(spark):
+    from batch_processing_pipeline_spark.operators.sampling import cap_per_group
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = cap_per_group(d, 7, group_col="source", key_col="doc_id")
+    counts = [r["count"] for r in out.groupBy("source").count().collect()]
+    assert counts and all(c == 7 for c in counts)  # every fixture source has ≥7
+    # reproducible survivor set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in cap_per_group(d, 7, "source", "doc_id").collect()}
+    assert a == b
+    # two-phase plan: map-side WindowGroupLimit below the shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
