@@ -15,9 +15,14 @@ from batch_processing_pipeline_spark.functions.text_analysis import (
     language_id,
     doc_fingerprint,
     char_shingles,
+    word_ngram_counts,
 )
+from batch_processing_pipeline_spark.functions.pii import scrub_pii, pii_counts
 
 __all__ = [
+    "scrub_pii",
+    "pii_counts",
+    "word_ngram_counts",
     "dot_product",
     "l2_norm",
     "cosine_similarity",

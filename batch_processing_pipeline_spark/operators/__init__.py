@@ -14,6 +14,13 @@ from batch_processing_pipeline_spark.operators.prefix import (
 from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 from batch_processing_pipeline_spark.operators.merge import merge_frequencies
 from batch_processing_pipeline_spark.operators.sessionize import sessionize
+from batch_processing_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    assign_split,
+    domain_mix,
+    cap_per_group,
+)
 
 __all__ = [
     "normalize_queries",
@@ -22,4 +29,9 @@ __all__ = [
     "top_k_per_group",
     "merge_frequencies",
     "sessionize",
+    "deterministic_sample",
+    "stratified_sample",
+    "assign_split",
+    "domain_mix",
+    "cap_per_group",
 ]
