@@ -45,6 +45,11 @@ HEADLINE = [
     "tfidf",
     "salted_agg",
     "mm_stats",
+    "sample_hash",
+    "domain_mix",
+    "cap_per_group",
+    "pii_scrub",
+    "top_bigrams",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings
     "text_fingerprint",
