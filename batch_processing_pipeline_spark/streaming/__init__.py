@@ -7,8 +7,14 @@ from batch_processing_pipeline_spark.streaming.jobs import (
     session_event_counts,
     run_autocomplete_stream,
 )
+from batch_processing_pipeline_spark.streaming.dedup import (
+    dedup_within_watermark,
+    run_dedup_stream,
+)
 
 __all__ = [
+    "dedup_within_watermark",
+    "run_dedup_stream",
     "stream_query_log",
     "tumbling_event_counts",
     "sliding_event_counts",

@@ -1,0 +1,84 @@
+"""Streaming dedup: cross-batch fingerprint store drops re-ingested docs;
+within-watermark dedup collapses duplicates inside the stream."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from batch_processing_pipeline_spark.streaming.dedup import (
+    dedup_within_watermark,
+    run_dedup_stream,
+)
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _write_docs(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for doc_id, ts, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+
+
+def test_cross_batch_dedup_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "fp_store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(
+        f"{src}/b1.json",
+        [
+            (1, "2024-01-01 00:00:00", "alpha doc"),
+            (2, "2024-01-01 00:01:00", "beta doc"),
+            (3, "2024-01-01 00:02:00", "  Alpha doc"),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = run_dedup_stream(stream, store, out, ckpt)
+    q.awaitTermination(60 * 1000)
+
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # doc 3 normalizes ("alpha doc") to doc 1's fingerprint → dropped
+    assert first == {1, 2}
+
+    # second run, new files: one true duplicate of history, one new doc
+    _write_docs(
+        f"{src}/b2.json",
+        [
+            (4, "2024-01-01 01:00:00", "beta doc"),
+            (5, "2024-01-01 01:01:00", "gamma doc"),
+        ],
+    )
+    stream2 = spark.readStream.schema(SCHEMA).json(src)
+    q2 = run_dedup_stream(stream2, store, out, ckpt)
+    q2.awaitTermination(60 * 1000)
+
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert final == {1, 2, 5}  # 4 deduped against the durable store
+
+
+def test_dedup_within_watermark_drops_stream_dups(spark, tmp_path):
+    src = str(tmp_path / "in")
+    _write_docs(
+        f"{src}/b1.json",
+        [
+            (1, "2024-01-01 00:00:00", "same text"),
+            (2, "2024-01-01 00:05:00", "same text"),
+            (3, "2024-01-01 00:10:00", "other text"),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = (
+        dedup_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60 * 1000)
+    rows = spark.sql("SELECT doc_id FROM wm_dedup").collect()
+    kept = {r.doc_id for r in rows}
+    assert len(kept) == 2 and 3 in kept and len(kept & {1, 2}) == 1
