@@ -100,3 +100,35 @@ def test_cap_per_group_exact_k_and_plan(spark):
     # two-phase plan: map-side WindowGroupLimit below the shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+# ---- pure-function properties (no Spark round-trip) ----
+from hypothesis import given, strategies as st
+
+from batch_processing_pipeline_spark.operators.sampling import hex_threshold
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_hex_threshold_shape(f):
+    t = hex_threshold(f)
+    assert len(t) == 8 and t == t.lower()
+    assert 0 <= int(t, 16) <= (1 << 32) - 1
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_hex_threshold_monotone(f1, f2):
+    # monotone thresholds are what make samples nest under growing fractions
+    if f1 <= f2:
+        assert hex_threshold(f1) <= hex_threshold(f2)
+
+
+@given(st.floats(min_value=-10.0, max_value=10.0, allow_nan=False))
+def test_hex_threshold_clamps_out_of_range(f):
+    t = int(hex_threshold(f), 16)
+    if f <= 0.0:
+        assert t == 0
+    if f >= 1.0:
+        assert t == (1 << 32) - 1
