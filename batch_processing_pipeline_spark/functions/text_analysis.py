@@ -227,3 +227,68 @@ def word_ngram_counts(df, text_col: str = "text", n: int = 2, k: int = 50):
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition metrics — the Gopher-style repetition filters
+    (duplicated-word and duplicated-bigram share) used to drop template/spam
+    documents from training corpora.
+
+    Output: (id, n_words, dup_word_ratio, dup_bigram_ratio) where
+    dup_X_ratio = 1 − distinct(X)/total(X) in [0, 1] (bigram ratio is 0 for
+    single-word docs). Formulated as explode → map-side-combining
+    count/count-distinct aggregates keyed by document id — no array-lambda
+    HOFs in the corpus pass; only (id, token) rows reach the shuffle and
+    the per-id partial aggregation collapses them early.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("_t"))
+    )
+    words = (
+        base.select(F.col(id_col), F.explode("_t").alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("w").alias("_ndw"),
+        )
+    )
+    bigrams = (
+        base.where(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.size("_t") - F.lit(1))).alias("_i"),
+            "_t",
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("_t"), F.col("_i")),
+                F.element_at(F.col("_t"), F.col("_i") + F.lit(1)),
+            ).alias("bg"),
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nb"), F.countDistinct("bg").alias("_ndb"))
+    )
+    from batch_processing_pipeline_spark.functions.rounding import round4
+
+    return (
+        words.join(bigrams, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            round4(
+                F.lit(1.0)
+                - F.col("_ndw").cast("double") / F.col("n_words").cast("double")
+            ).alias("dup_word_ratio"),
+            F.coalesce(
+                round4(
+                    F.lit(1.0)
+                    - F.col("_ndb").cast("double") / F.col("_nb").cast("double")
+                ),
+                F.lit(0.0),
+            ).alias("dup_bigram_ratio"),
+        )
+    )

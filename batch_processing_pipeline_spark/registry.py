@@ -1581,3 +1581,28 @@ ORACLES["cap_per_group"] = """
     WHERE rk <= 10
 """
 QUERIES["cap_per_group"] = q_cap_per_group
+
+
+from batch_processing_pipeline_spark.functions.text_analysis import repetition_stats
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition metrics per document (duplicate word/bigram
+    share) — explode + map-side-combining count/count-distinct, no HOFs."""
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+ORACLES["text_repetition"] = rf"""
+    WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+               FROM documents WHERE length(trim(text)) > 0),
+         w AS (SELECT doc_id, len(t) AS nw, len(list_distinct(t)) AS ndw FROM d),
+         b AS (SELECT doc_id,
+                      [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)] AS bg
+               FROM d WHERE len(t) >= 2),
+         b2 AS (SELECT doc_id, len(bg) AS nb, len(list_distinct(bg)) AS ndb FROM b)
+    SELECT w.doc_id, CAST(w.nw AS BIGINT) AS n_words,
+           {sql_round4("1.0 - CAST(w.ndw AS DOUBLE) / CAST(w.nw AS DOUBLE)")} AS dup_word_ratio,
+           COALESCE({sql_round4("1.0 - CAST(b2.ndb AS DOUBLE) / CAST(b2.nb AS DOUBLE)")}, 0.0) AS dup_bigram_ratio
+    FROM w LEFT JOIN b2 USING (doc_id)
+"""
+QUERIES["text_repetition"] = q_text_repetition

@@ -45,3 +45,18 @@ def test_word_trigrams_deterministic_limit(spark):
     rows = word_ngram_counts(df, "text", n=3, k=2).collect()
     # ("a b c", 2) first; tie between "b c d"/"b c e" broken by ngram asc
     assert [(r.ngram, r.n_occurrences) for r in rows] == [("a b c", 2), ("b c d", 1)]
+
+
+def test_repetition_stats_golden(spark):
+    from batch_processing_pipeline_spark.functions.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ"), (3, "one")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_words == 4
+    assert rows[1].dup_word_ratio == 0.75  # 1 distinct / 4 total
+    assert abs(rows[1].dup_bigram_ratio - (1 - 1 / 3)) < 1e-3  # "spam spam" ×3
+    assert rows[2].dup_word_ratio == 0.0 and rows[2].dup_bigram_ratio == 0.0
+    assert rows[3].n_words == 1 and rows[3].dup_bigram_ratio == 0.0
