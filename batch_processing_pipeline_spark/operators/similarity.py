@@ -173,7 +173,11 @@ def embedding_near_dup(
         if dim is None:
             raise ValueError("dim is required for the LSH path")
         b = signlsh_buckets(base, id_col, vec_col, dim, n_planes, n_tables, seed)
-        withv = b.join(base, id_col)
+        # both sides of the band self-join branch from this relation;
+        # materialize it eagerly or each branch recomputes the bucket pass
+        # (same race as the minhash signature persist, operators/dedup.py)
+        withv = b.join(base, id_col).persist()
+        withv.count()
         a_side = withv.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
