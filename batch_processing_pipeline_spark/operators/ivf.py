@@ -80,6 +80,58 @@ def assign_cells(
     return df.withColumn(out_col, F.transform(nearest, lambda s: s["cell"]))
 
 
+def assign_cells_bulk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    n_cells: int = 1,
+) -> DataFrame:
+    """(id, cell array) for every vector — codegen bulk formulation.
+
+    The column form above folds k × dim element lambdas per row, which run
+    INTERPRETED. Here the vector explodes to (id, pos, v) once, joins a
+    broadcast (cell, pos, coef) centroid relation, and a map-side-combining
+    SUM builds all k squared distances per id in one codegen'd aggregation;
+    the n nearest cells are a two-phase top-k (WindowGroupLimit). Same
+    pattern as ``similarity.signlsh_buckets``. Distances differ from the
+    fold form only by float summation order (ties could in principle
+    resolve differently; cell id breaks them deterministically either way).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cent_rows = [
+        (cell, pos, float(v))
+        for cell, c in enumerate(centroids)
+        for pos, v in enumerate(c)
+    ]
+    cent = spark.createDataFrame(cent_rows, "cell int, pos int, coef double")
+    dists = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cell")
+        .agg(
+            F.sum(
+                (F.col("v").cast("double") - F.col("coef"))
+                * (F.col("v").cast("double") - F.col("coef"))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cell").asc())
+    return (
+        dists.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_cells)
+        .groupBy(id_col)
+        .agg(F.array_agg(F.struct("_rk", "cell")).alias("_sc"))
+        .select(
+            F.col(id_col),
+            F.transform(F.array_sort("_sc"), lambda s: s["cell"]).alias(out_col),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -95,15 +147,23 @@ def ivf_topk(
     ``nprobe`` nearest cells. Join on cell id → exact cosine on candidates
     → per-query top-k.
     """
-    c = assign_cells(corpus, centroids, vec_col, n_cells=1).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode("cell").alias("cell"),
+    c = (
+        assign_cells_bulk(corpus, centroids, id_col, vec_col, n_cells=1)
+        .join(corpus.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.explode("cell").alias("cell"),
+        )
     )
-    q = assign_cells(queries, centroids, vec_col, n_cells=nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode("cell").alias("cell"),
+    q = (
+        assign_cells_bulk(queries, centroids, id_col, vec_col, n_cells=nprobe)
+        .join(queries.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("cell").alias("cell"),
+        )
     )
     scored = (
         F.broadcast(q)

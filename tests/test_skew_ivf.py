@@ -59,3 +59,22 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # nprobe=4 of k=8 cells ≈ half the corpus scanned → decent recall even
     # on near-orthogonal random vectors
     assert sum(recalls) / len(recalls) > 0.45
+
+
+def test_assign_cells_bulk_matches_column_form(spark, sf_dir):
+    from batch_processing_pipeline_spark.operators.ivf import (
+        assign_cells,
+        assign_cells_bulk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_centroids(emb, k=8, seed=42)
+    col_form = {
+        r.vec_id: list(r.cell)
+        for r in assign_cells(emb, centroids, n_cells=2).select("vec_id", "cell").collect()
+    }
+    bulk_form = {
+        r.vec_id: list(r.cell)
+        for r in assign_cells_bulk(emb, centroids, n_cells=2).collect()
+    }
+    assert col_form == bulk_form
