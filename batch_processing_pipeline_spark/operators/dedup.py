@@ -6,8 +6,9 @@ Designed for 100 TB corpora:
   normalized text) — only the 16-byte digest shuffles, never the document;
 * MinHash+LSH shuffles fixed-width signatures and joins only within LSH
   bands, so candidate generation is O(candidates), not O(n²);
-* SimHash is computed entirely map-side (array expressions over the token
-  list — zero shuffle until the band join);
+* SimHash's bulk form explodes tokens through one codegen'd hash and a
+  map-side-combining bit-majority aggregation — only (id, 64 counters)
+  partials cross the shuffle (the column form stays for bounded inputs);
 * exact n-gram Jaccard is the *verification* step over candidate pairs (or
   an oracle-checkable all-pairs op over a bounded scope).
 
@@ -380,7 +381,7 @@ def simhash_dedup(
     generation is a band-key equi-join, then exact hamming verification.
     """
     width = 64 // bands
-    sim = df.select(F.col(id_col), simhash64(F.col(tokens_col)).alias("simhash"))
+    sim = simhash64_bulk(df, id_col, tokens_col)
     banded = sim.select(
         id_col,
         "simhash",
@@ -412,4 +413,46 @@ def simhash_dedup(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash64_bulk(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, simhash) for every document — codegen bulk formulation.
+
+    The column form (``simhash64``) folds 63 bit-filters over the token
+    array per row, which runs interpreted. Here tokens explode once, each
+    hashes once with a codegen'd ``xxhash64``, and one map-side-combining
+    aggregation counts the set-bit majority for all 63 bit positions (63
+    simple ``SUM(CASE)`` buffers — small generated code per buffer, unlike
+    63 inlined array-filter expressions which blow the JVM's 64 KB method
+    limit). Values are identical to ``simhash64`` (asserted in tests);
+    empty-token documents get the same 0 sentinel via the left join.
+    """
+    ex = df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("_tok")).select(
+        F.col(id_col), F.xxhash64("_tok").alias("_h")
+    )
+    masks = [1 << j for j in range(63)]
+    counts = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(0)
+            ).alias(f"_b{j}")
+            for j, m in enumerate(masks)
+        ],
+    )
+    sim = sum(
+        (
+            F.when(F.col(f"_b{j}") * 2 > F.col("_n"), F.lit(m)).otherwise(F.lit(0))
+            for j, m in enumerate(masks)
+        ),
+        start=F.lit(0).cast("long"),
+    ).cast("long")
+    agg = counts.select(F.col(id_col), sim.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )

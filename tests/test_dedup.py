@@ -91,3 +91,23 @@ def test_simhash_zero_shuffle_before_band_join(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_simhash_bulk_matches_column_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.text_analysis import tokens
+    from batch_processing_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash64_bulk,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("tokens")
+    )
+    col_form = {
+        r.doc_id: r.s
+        for r in d.select("doc_id", simhash64(F.col("tokens")).alias("s")).collect()
+    }
+    bulk_form = {r.doc_id: r.simhash for r in simhash64_bulk(d).collect()}
+    assert col_form == bulk_form
