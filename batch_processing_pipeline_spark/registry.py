@@ -1606,3 +1606,68 @@ ORACLES["text_repetition"] = rf"""
     FROM w LEFT JOIN b2 USING (doc_id)
 """
 QUERIES["text_repetition"] = q_text_repetition
+
+
+def q_histogram(spark, sf):
+    """Fixed-width histogram of document length (corpus reporting): one
+    map-side bucket projection + a map-side-combining count — the shape
+    that profiles a 100 TB column in a single pass."""
+    d = _t(spark, sf, "documents")
+    width, nbuckets = 50.0, 10
+    bucket = F.least(
+        F.floor(F.col("n_chars").cast("double") / F.lit(width)),
+        F.lit(nbuckets - 1),
+    ).cast("long")
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(50)).cast("long").alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(50)).cast("long").alias("hi"),
+            "n",
+        )
+    )
+
+
+ORACLES["histogram"] = """
+    SELECT bucket, CAST(bucket * 50 AS BIGINT) AS lo,
+           CAST((bucket + 1) * 50 AS BIGINT) AS hi, COUNT(*) AS n
+    FROM (SELECT CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 50.0), 9) AS BIGINT) AS bucket
+          FROM documents) t
+    GROUP BY bucket
+"""
+QUERIES["histogram"] = q_histogram
+
+
+def q_profile(spark, sf):
+    """Per-column profiling summary (SUMMARIZE-style corpus accounting):
+    one aggregation pass computes count/distinct/null/min/max for several
+    columns at once — no per-column scans."""
+    d = _t(spark, sf, "documents")
+    row = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("lang_nulls"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("doc_id").alias("doc_id_min"),
+        F.max("doc_id").alias("doc_id_max"),
+    )
+    return row
+
+
+ORACLES["profile"] = """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT lang) AS lang_distinct,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+           MIN(n_chars) AS n_chars_min,
+           MAX(n_chars) AS n_chars_max,
+           COUNT(DISTINCT source) AS source_distinct,
+           MIN(doc_id) AS doc_id_min,
+           MAX(doc_id) AS doc_id_max
+    FROM documents
+"""
+QUERIES["profile"] = q_profile
