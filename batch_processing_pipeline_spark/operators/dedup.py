@@ -201,26 +201,42 @@ def minhash_lsh_dedup(
     if docs.rdd.getNumPartitions() < default_par:
         docs = docs.repartition(default_par)
     # ONE full-corpus pass computes the compact (id, 32×long) signature
-    # relation; it is persisted because every later stage (banding, both
-    # sides of the estimate prefilter) branches from it — without the
-    # persist, Spark's lineage recomputes the shingle+hash pass per branch.
-    # At 10^9 docs the relation is ~num_perm·8 B/doc — cache-able cluster-wide.
-    # The count() materializes the cache EAGERLY: a lazy persist lets the
-    # band self-join's two branches race and each computes the full
-    # signature pass before the cache is populated (~2× the dominant cost).
+    # relation; it is persisted because the band self-join branches from it
+    # twice — without the persist, Spark's lineage recomputes the
+    # shingle+hash pass per branch. At 10^9 docs the relation is
+    # ~num_perm·8 B/doc — cache-able cluster-wide. The count() materializes
+    # the cache EAGERLY: a lazy persist lets the self-join's two branches
+    # race and each computes the full signature pass before the cache is
+    # populated (~2× the dominant cost).
     sigs = minhash_signatures(
         docs, id_col, text_col, shingle_n, num_perm
     ).persist()
     sigs.count()
+    # The signature travels WITH the band keys through the self-join
+    # (num_perm·8 B extra per banded row) so the estimate prefilter applies
+    # to the raw join output — BEFORE the distinct — and no join back to
+    # the signature relation is needed. Elementwise signature agreement is
+    # a SUM of when-expressions, not a zip_with HOF: array lambdas run
+    # interpreted, and this runs once per band collision (the widest row
+    # set in the funnel) — the unrolled form stays inside whole-stage
+    # codegen.
     banded = sigs.select(
         F.col(id_col),
+        F.col("sig"),
         F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
             "band_id", "band_key"
         ),
     )
     left = banded.alias("a")
     right = banded.alias("b")
-    candidates = (
+    est_matches = sum(
+        (
+            F.when(F.col("a.sig")[i] == F.col("b.sig")[i], 1).otherwise(0)
+            for i in range(num_perm)
+        ),
+        start=F.lit(0),
+    )
+    prefiltered = (
         left.join(
             right,
             on=[
@@ -229,65 +245,60 @@ def minhash_lsh_dedup(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    # Elementwise signature agreement as a SUM of when-expressions, not a
-    # zip_with/filter HOF: array lambdas run interpreted, and this runs once
-    # per candidate pair (the widest row set in the funnel) — the unrolled
-    # form stays inside whole-stage codegen.
-    est_matches = sum(
-        (
-            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
-            for i in range(num_perm)
-        ),
-        start=F.lit(0),
-    )
-    prefiltered = (
-        candidates.join(
-            sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a"),
-            "id_a",
-        )
-        .join(
-            sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b"),
-            "id_b",
-        )
         .where(
             est_matches.cast("double") / F.lit(float(num_perm))
             >= F.lit(threshold - estimate_slack)
         )
-        .select("id_a", "id_b")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
         # feeds both the candidate-id set and the verify joins — persist so
-        # the band self-join + prefilter chain runs once, not per branch
+        # the band self-join + prefilter chain runs once, not per branch.
+        # The relation is tiny (16 B/pair), unlike sigs.
         .persist()
     )
     prefiltered.count()  # eager, for the same race reason as sigs
+    # prefiltered is materialized; nothing downstream reads sigs — release
+    # the big cached relation now instead of leaking it into the session
+    # (the prefiltered pair cache is 16 B/pair and documented to live until
+    # the caller materializes the returned DataFrame).
+    sigs.unpersist()
     # Exact verification: shingles are recomputed ONLY for candidate ids —
     # the semi-join happens BEFORE the shingle projection, so the full
     # corpus text is never re-shingled for this stage. Shingles are compared
     # as 64-bit hashes (seed independent of the signature family): Jaccard
     # over hashed shingle sets equals Jaccard over the string sets up to a
-    # ~d²/2⁶⁴ within-pair collision chance (d = shingles/doc). The hash
-    # keeps the later array_distinct/intersect/union on fixed-width longs
-    # instead of allocating every shingle as a string, and the projection
-    # stays map-side — no extra shuffle before the verify joins.
+    # ~d²/2⁶⁴ within-pair collision chance (d = shingles/doc). The shingle
+    # sets are built by the codegen bulk path — explode start positions,
+    # hash each 5-gram once, collect_set the longs — NOT an array-transform
+    # HOF (array lambdas run interpreted and this pass touches every
+    # candidate document; the bulk form is ~5× faster). collect_set both
+    # dedups and keeps the shuffle rows fixed-width (id, 8 B hash).
     cand_ids = (
         prefiltered.select(F.col("id_a").alias(id_col))
         .unionByName(prefiltered.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     norm = F.lower(F.trim(F.col(text_col)))
-    starts = F.sequence(F.lit(1), F.length(norm) - F.lit(shingle_n - 1))
-    hashed_shingles = F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.xxhash64(norm.substr(i, F.lit(shingle_n)), F.lit(1_000_003)),
+    sh = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), norm.alias("_t"))
+        .select(
+            F.col(id_col),
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
+            ).alias("_i"),
         )
-    )
-    sh = docs.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), hashed_shingles.alias("shingles")
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.col("_t").substr(F.col("_i"), F.lit(shingle_n)), F.lit(1_000_003)
+            ).alias("_h"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("shingles"))
     )
     verified = (
         prefiltered.join(
