@@ -148,6 +148,13 @@ def shingle_fingerprints(df, id_col: str, text_col: str, n: int = 5):
     the set, so no distinct pass is needed) and folds with a map-side
     combining MIN aggregate; only (id, 32-char digest) rows shuffle.
     """
+    # The shingle pass is CPU-bound (one md5 per character position); a
+    # compacted input (few parquet row groups) would serialize it on a
+    # handful of tasks — spread it when the source has fewer partitions
+    # than cores (no-op at real scale where inputs have thousands).
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < default_par:
+        df = df.repartition(default_par)
     t = F.lower(F.trim(F.col(text_col)))
     base = df.select(F.col(id_col), F.md5(t).alias("fp"), t.alias("_t"))
     sh = (

@@ -125,6 +125,12 @@ def signlsh_buckets(
     then bucket bits — the whole thing stays in whole-stage codegen.
     """
     spark = df.sparkSession
+    # The bucket pass is CPU-bound (dim × planes × tables multiply-adds per
+    # vector); compacted inputs (few parquet row groups) would serialize it
+    # on a handful of tasks — spread it when the source has fewer
+    # partitions than cores (no-op at real scale).
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     coef_rows = [
         (t, p, d, c)
         for t in range(n_tables)
