@@ -200,7 +200,13 @@ def embedding_near_dup(
             a_side.join(b_side, ["table_id", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            # withv has served both sides of the self-join once the pair
+            # set materializes; release it rather than leaking the cache
+            # into long-lived sessions. The deduped pair relation is
+            # recomputable from lineage if evicted.
+            .localCheckpoint(eager=True)
         )
+        withv.unpersist()
     else:
         a_side = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b_side = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

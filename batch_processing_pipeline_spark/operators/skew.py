@@ -8,9 +8,17 @@ aggregate again on the key alone. Both aggregations combine map-side, so
 the hot key's traffic is split across ``salt_buckets`` reducers in phase 1
 and only ``salt_buckets`` pre-aggregated rows reach the phase-2 reducer.
 
-The salt is derived from a hash of the whole row's spark partition + a
-monotonic id — deterministic per run, uniform, and requiring no RNG (keeps
-plans replayable).
+The salt is derived from ``xxhash64`` over the ROW'S CONTENT (a
+caller-supplied key column when available, else every column) — NOT from
+``monotonically_increasing_id``/``rand``, which are assigned per task
+attempt: under failure recovery a partially recomputed map stage would
+re-salt surviving rows into different (key, salt) buckets than the shuffle
+files already fetched, double-counting or dropping rows
+(SPARK-23207-class hazard). A content hash is stable across retries, so
+replayed tasks reproduce identical buckets. Rows with identical content
+share a bucket — harmless for aggregation (their contributions combine
+map-side anyway); uniformity suffers only if one group is dominated by
+byte-identical rows.
 
 Only algebraic aggregates (sum/count/min/max) decompose this way; use
 two-level sketches for avg (sum+count) — provided as ``salted_avg``.
@@ -24,9 +32,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _with_salt(df: DataFrame, salt_buckets: int) -> DataFrame:
+def _with_salt(
+    df: DataFrame, salt_buckets: int, salt_key: Sequence[str] | None = None
+) -> DataFrame:
+    cols = list(salt_key) if salt_key else df.columns
     return df.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
     )
 
 
@@ -36,11 +47,16 @@ def salted_sum(
     value_col: str,
     out_col: str | None = None,
     salt_buckets: int = 16,
+    salt_key: Sequence[str] | None = None,
 ) -> DataFrame:
-    """groupBy(group_cols).sum(value_col), skew-safe."""
+    """groupBy(group_cols).sum(value_col), skew-safe.
+
+    ``salt_key``: columns whose content derives the salt (default: all) —
+    pass a high-cardinality unique key when one exists.
+    """
     out_col = out_col or f"sum_{value_col}"
     partial = (
-        _with_salt(df, salt_buckets)
+        _with_salt(df, salt_buckets, salt_key)
         .groupBy(*group_cols, "_salt")
         .agg(F.sum(value_col).alias("_partial"))
     )
@@ -52,9 +68,10 @@ def salted_count(
     group_cols: Sequence[str],
     out_col: str = "n",
     salt_buckets: int = 16,
+    salt_key: Sequence[str] | None = None,
 ) -> DataFrame:
     partial = (
-        _with_salt(df, salt_buckets)
+        _with_salt(df, salt_buckets, salt_key)
         .groupBy(*group_cols, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
@@ -67,11 +84,12 @@ def salted_avg(
     value_col: str,
     out_col: str | None = None,
     salt_buckets: int = 16,
+    salt_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Average decomposed as (sum, count) pairs through the salt level."""
     out_col = out_col or f"avg_{value_col}"
     partial = (
-        _with_salt(df, salt_buckets)
+        _with_salt(df, salt_buckets, salt_key)
         .groupBy(*group_cols, "_salt")
         .agg(
             F.sum(value_col).alias("_s"),

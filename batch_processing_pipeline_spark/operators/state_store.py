@@ -75,6 +75,13 @@ def run_bucketed_batch(
     output table is distinct from the input table, so a failed batch never
     corrupts current state). Returns the merged frame (lazily re-read).
     """
+    if out_table == state_table:
+        # the merged plan reads state_table LAZILY while saveAsTable
+        # overwrites it — writing in place corrupts current state
+        raise ValueError(
+            "out_table must differ from state_table (stage-then-swap): "
+            f"both are {state_table!r}"
+        )
     if spark.catalog.tableExists(state_table):
         state = spark.table(state_table)
         merged = merge_frequencies_join(state, new_counts)

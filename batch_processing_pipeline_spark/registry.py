@@ -644,8 +644,9 @@ def q_salted_agg(spark, sf):
     from batch_processing_pipeline_spark.operators.skew import salted_count, salted_sum
 
     l = _t(spark, sf, "lineitem")
-    s = salted_sum(l, ["l_returnflag"], "l_quantity", out_col="sum_qty_raw")
-    c = salted_count(l, ["l_returnflag"], out_col="n")
+    key = ["l_orderkey", "l_linenumber"]  # unique row key -> uniform, retry-stable salt
+    s = salted_sum(l, ["l_returnflag"], "l_quantity", out_col="sum_qty_raw", salt_key=key)
+    c = salted_count(l, ["l_returnflag"], out_col="n", salt_key=key)
     return s.join(c, "l_returnflag").select(
         "l_returnflag", round4(F.col("sum_qty_raw")).alias("sum_qty"), "n"
     )

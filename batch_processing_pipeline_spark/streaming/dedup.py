@@ -49,25 +49,46 @@ def dedup_within_watermark(
 
 def _merge_batch(
     batch: DataFrame,
+    epoch_id: int,
     store_path: str,
     out_path: str,
     id_col: str,
     text_col: str,
 ) -> None:
     """Anti-join one micro-batch against the fingerprint store; emit + record
-    survivors. Idempotent per batch id is the caller's trigger guarantee."""
+    survivors.
+
+    IDEMPOTENT under foreachBatch's at-least-once replay: both writes are
+    ``mode("overwrite")`` into batch-id-keyed partition directories
+    (``.../batch=<epoch>/``), so a replayed batch overwrites ITS OWN
+    partition instead of appending a second copy, and a half-finished
+    attempt (out written, store lost — or vice versa) is fully repaired by
+    the rerun. The anti-join reads only partitions with ``batch <
+    epoch_id``: a replay must not anti-join against fingerprints its own
+    failed attempt already recorded (that would emit an empty batch).
+    Partition discovery on the parent directory exposes ``batch`` as a
+    column on read.
+    """
     spark = batch.sparkSession
     fp = batch.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
     # within-batch survivor: deterministic min id per fingerprint
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     fresh = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     if os.path.exists(store_path):
-        seen = spark.read.parquet(store_path).select("fingerprint")
+        seen = (
+            spark.read.parquet(store_path)
+            .where(F.col("batch") < F.lit(int(epoch_id)))
+            .select("fingerprint")
+        )
         fresh = fresh.join(seen, "fingerprint", "left_anti")
     fresh = fresh.persist()
     try:
-        fresh.drop("fingerprint").write.mode("append").parquet(out_path)
-        fresh.select("fingerprint").write.mode("append").parquet(store_path)
+        fresh.drop("fingerprint").write.mode("overwrite").parquet(
+            f"{out_path}/batch={int(epoch_id)}"
+        )
+        fresh.select("fingerprint").write.mode("overwrite").parquet(
+            f"{store_path}/batch={int(epoch_id)}"
+        )
     finally:
         fresh.unpersist()
 
@@ -84,7 +105,7 @@ def run_dedup_stream(
     """Cross-history streaming exact dedup via foreachBatch + durable store."""
     writer = (
         docs.writeStream.foreachBatch(
-            lambda b, _epoch: _merge_batch(b, store_path, out_path, id_col, text_col)
+            lambda b, epoch: _merge_batch(b, epoch, store_path, out_path, id_col, text_col)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")

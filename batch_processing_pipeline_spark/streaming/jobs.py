@@ -100,13 +100,46 @@ def run_autocomplete_stream(
     Each micro-batch: read current state parquet → merge batch counts →
     write state to a NEW versioned path (stage-then-swap, H1/H2) → write
     suggestions. Returns the started StreamingQuery.
+
+    Crash-safety (H1):
+
+    * ``current`` is a SYMLINK repointed with ``os.replace`` (write the new
+      link under a temp name, rename over) — atomic on POSIX, so there is
+      no instant where no valid state exists. On an object store the
+      equivalent is a manifest/pointer object swapped with a single PUT.
+    * foreachBatch is at-least-once: the merged-through batch id is encoded
+      in the link target (``batch=<id>``); a replayed batch with
+      ``batch_id <= stored`` must NOT merge again (that would double-count
+      — the H1 hazard), so it only re-emits suggestions from the current
+      state, which is deterministic and overwrite-idempotent.
     """
     import os
 
     spark = raw_stream.sparkSession
 
+    def _merged_through(state_path: str) -> int:
+        """Batch id recorded in the current-state link target, -1 if none."""
+        if not os.path.islink(state_path):
+            return -1
+        target = os.path.basename(os.readlink(state_path))
+        try:
+            return int(target.split("=", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from batch_processing_pipeline_spark.plans.autocomplete import suggestions
+
         state_path = os.path.join(state_dir, "current")
+        last = _merged_through(state_path)
+        if last >= batch_id:
+            # replayed batch: state already includes it — merging again
+            # would double-count. Re-emit the (deterministic) suggestions
+            # so a crash between swap and suggestion write is repaired.
+            suggestions(spark.read.parquet(state_path), k=k).write.mode(
+                "overwrite"
+            ).parquet(suggestions_dir)
+            return
         prev = None
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
@@ -114,15 +147,19 @@ def run_autocomplete_stream(
         staged = os.path.join(state_dir, f"batch={batch_id}")
         merged.write.mode("overwrite").parquet(staged)
         materialized = spark.read.parquet(staged)
-        from batch_processing_pipeline_spark.plans.autocomplete import suggestions
-
         suggestions(materialized, k=k).write.mode("overwrite").parquet(suggestions_dir)
-        # swap: repoint "current" (local-FS rename; object stores use a manifest)
-        import shutil
+        # atomic swap: temp symlink + rename-over; never an empty window
+        old_target = os.readlink(state_path) if os.path.islink(state_path) else None
+        tmp_link = os.path.join(state_dir, f".current.tmp.{batch_id}")
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(staged, tmp_link)
+        os.replace(tmp_link, state_path)
+        if old_target is not None and os.path.isdir(old_target):
+            # pointer moved; previous state version is unreferenced
+            import shutil
 
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        shutil.copytree(staged, state_path)
+            shutil.rmtree(old_target, ignore_errors=True)
 
     writer = raw_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -58,3 +58,17 @@ def test_bucketed_state_side_avoids_exchange(spark, tmp_path):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS state_plan_t")
+
+
+def test_in_place_overwrite_rejected(spark, tmp_path):
+    """out_table == state_table would overwrite state the lazy merged plan
+    still reads — must be refused."""
+    import pytest
+
+    from batch_processing_pipeline_spark.operators.state_store import run_bucketed_batch
+
+    delta = spark.createDataFrame(
+        [("th", "the", 1)], "prefix string, query string, frequency long"
+    )
+    with pytest.raises(ValueError, match="stage-then-swap"):
+        run_bucketed_batch(spark, delta, "acc_state", "acc_state")

@@ -59,6 +59,32 @@ def test_cross_batch_dedup_survives_restart(spark, tmp_path):
     assert final == {1, 2, 5}  # 4 deduped against the durable store
 
 
+def test_merge_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch must overwrite its
+    own batch partition, not append a second copy — and must not anti-join
+    against fingerprints its own failed attempt recorded."""
+    from batch_processing_pipeline_spark.streaming.dedup import _merge_batch
+
+    store = str(tmp_path / "fp_store")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    _merge_batch(b0, 0, store, out, "doc_id", "text")
+    b1 = spark.createDataFrame(
+        [(3, "beta doc"), (4, "gamma doc")], "doc_id long, text string"
+    )
+    _merge_batch(b1, 1, store, out, "doc_id", "text")
+    once = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert once == [1, 2, 4]  # 3 deduped against batch 0
+    # replay epoch 1 (same data) — simulates a crash after the out write
+    _merge_batch(b1, 1, store, out, "doc_id", "text")
+    replayed = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert replayed == [1, 2, 4]
+    fps = spark.read.parquet(store).count()
+    assert fps == 3  # no duplicate fingerprints either
+
+
 def test_dedup_within_watermark_drops_stream_dups(spark, tmp_path):
     src = str(tmp_path / "in")
     _write_docs(
