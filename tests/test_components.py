@@ -32,3 +32,16 @@ def test_dedup_clusters_sizes_and_survivors(spark):
     got = {r.component: (r.size, r.survivor) for r in dedup_clusters(pairs).collect()}
     assert got[5] == (3, 5)
     assert got[30] == (2, 30)
+
+
+def test_chain_graph_converges_in_log_rounds(spark):
+    """A 1000-node path A-B-C-… is the worst case for plain min-label
+    propagation (O(diameter) rounds); pointer doubling must converge it
+    within 12 driver rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges, max_iterations=12)
+    comps = {r.component for r in labels.collect()}
+    assert comps == {0}
+    assert labels.count() == 1000
