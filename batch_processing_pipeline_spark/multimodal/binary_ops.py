@@ -1,9 +1,12 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side plumbing (schema, partition sizing, Arrow-batched UDF
-signatures) is real and tested; the actual media decode is stubbed behind
-``NotImplementedError`` / a deterministic fake because the image/audio
-libraries are not in this container. Swapping the stub for PIL/ffmpeg is a
+signatures) is real and tested. Decode is REAL for the two formats with
+stdlib representations — PNG (images, incl. resize/re-encode) and WAV PCM
+(audio frame sampling / features) via ``multimodal/codecs.py``; each
+kernel also keeps a deterministic ``fake=True`` mode so the distributed
+path is testable with arbitrary payloads. Only video decode remains
+stubbed (no stdlib container format); swapping in ffmpeg/av is a
 one-function change — the distributed shape does not move.
 
 Scale notes: media payloads dominate row size, so operations keep the binary
@@ -27,6 +30,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from batch_processing_pipeline_spark.multimodal import codecs
 
 #: Canonical media column pair: payload + typed metadata struct.
 MEDIA_SCHEMA = StructType(
@@ -74,31 +79,45 @@ def media_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 _DECODE_SCHEMA = "doc_id long, width int, height int, n_pixels long"
 
 
-def decode_image_batches(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+def decode_image_batches(df: DataFrame, id_col: str = "doc_id", fake: bool = False) -> DataFrame:
     """Decode image payloads → (id, width, height, n_pixels) via mapInPandas.
 
+    ``fake=False`` (default) REALLY decodes: PNG header + pixel data via
+    the stdlib codec (codecs.decode_png) — dimensions come from IHDR, and
+    the whole pixel buffer is unfiltered so a corrupt payload fails loudly.
     ``fake=True`` derives deterministic dimensions from the byte length so
-    the distributed path is testable without codecs; ``fake=False`` raises
-    until a real decoder (PIL) is wired in.
+    the distributed path is testable with non-image payloads.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL; wire it here"
+            if fake:
+                n = pdf["content"].map(len)
+                width = (n % 640 + 1).astype("int32")
+                height = (n % 480 + 1).astype("int32")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": width,
+                        "height": height,
+                        "n_pixels": (width * height).astype("int64"),
+                    }
                 )
-            n = pdf["content"].map(len)
-            width = (n % 640 + 1).astype("int32")
-            height = (n % 480 + 1).astype("int32")
-            yield pd.DataFrame(
+                continue
+            ws, hs = [], []
+            for payload in pdf["content"]:
+                w, h, _ch, _px = codecs.decode_png(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "width": width,
-                    "height": height,
-                    "n_pixels": (width * height).astype("int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
                 }
             )
+            out["n_pixels"] = (out["width"].astype("int64")) * out["height"]
+            yield out
 
     return df.select(id_col, "content").mapInPandas(run, _DECODE_SCHEMA)
 
@@ -107,24 +126,34 @@ _RESIZE_SCHEMA = "doc_id long, width int, height int, content binary"
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, id_col: str = "doc_id", fake: bool = True
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
     """Resize payloads to (width, height) via mapInPandas.
 
-    Deterministic fake: truncate/pad the byte stream to width·height bytes
-    (stands in for a real resampler; the distributed shape — binary in,
-    binary out, no shuffle — is the real contract). ``fake=False`` raises
-    until PIL is wired in.
+    ``fake=False`` (default) REALLY resamples: decode PNG → nearest-
+    neighbor resample of the pixel buffer → re-encode PNG with the same
+    color type (codecs.resize_nearest). ``fake=True`` truncates/pads the
+    raw byte stream — a codec-free stand-in for arbitrary payloads; either
+    way the distributed shape (binary in, binary out, no shuffle) is the
+    contract.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL; wire it here")
-            out = [
-                (bytes(payload) + b"\x00" * n)[:n] for payload in pdf["content"]
-            ]
+            if fake:
+                out = [
+                    (bytes(payload) + b"\x00" * n)[:n] for payload in pdf["content"]
+                ]
+            else:
+                _REV_CH = {1: 0, 3: 2, 2: 4, 4: 6}  # channels → PNG color type
+                out = []
+                for payload in pdf["content"]:
+                    w, h, ch, px = codecs.decode_png(bytes(payload))
+                    resized = codecs.resize_nearest(px, w, h, ch, width, height)
+                    out.append(
+                        codecs.encode_png(width, height, resized, _REV_CH[ch])
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -141,31 +170,78 @@ _FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 def sample_frames(
-    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", fake: bool = True
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
-    """Sample ``n_frames`` evenly spaced frames per video payload.
+    """Sample ``n_frames`` evenly spaced frames per media payload.
 
     One input row fans out to ``n_frames`` rows (id, frame_idx, frame) —
-    the shape a frame-level feature extractor consumes. Deterministic fake:
-    equal byte slices stand in for decoded frames; ``fake=False`` raises
-    until ffmpeg/av is wired in.
+    the shape a frame-level feature extractor consumes.
+
+    ``fake=False`` (default) REALLY decodes WAV payloads: the PCM stream is
+    parsed (codecs.decode_wav) and each frame is an evenly spaced window of
+    whole PCM sample blocks, so frame boundaries never split a sample.
+    Video payloads raise NotImplementedError (no stdlib container codec;
+    ffmpeg/av slots into this kernel). ``fake=True`` slices the raw bytes —
+    codec-free stand-in for arbitrary payloads.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires av/ffmpeg")
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["content"]):
                 data = bytes(payload)
-                step = max(1, len(data) // n_frames)
-                for i in range(n_frames):
+                if fake:
+                    step = max(1, len(data) // n_frames)
+                    cuts = [data[i * step : (i + 1) * step] or b"\x00" for i in range(n_frames)]
+                elif codecs.is_wav(data):
+                    _rate, channels, bits, pcm = codecs.decode_wav(data)
+                    block = max(1, channels * bits // 8)
+                    n_blocks = len(pcm) // block
+                    step = max(1, n_blocks // n_frames)
+                    cuts = [
+                        pcm[i * step * block : (i + 1) * step * block] or b"\x00"
+                        for i in range(n_frames)
+                    ]
+                else:
+                    raise NotImplementedError(
+                        "real frame sampling implemented for WAV PCM; video "
+                        "requires av/ffmpeg (wire it into this kernel)"
+                    )
+                for i, cut in enumerate(cuts):
                     ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(data[i * step : (i + 1) * step] or b"\x00")
+                    frames.append(cut)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, "content").mapInPandas(run, _FRAME_SCHEMA)
+
+
+_SYNTH_SCHEMA = "doc_id long, content binary"
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic grayscale PNG payload per document (payload generator
+    for tests/oracles): dimensions derive from the text's CHARACTER length
+    (``width = len % 13 + 1``, ``height = len % 7 + 1`` — reproducible in
+    ANSI SQL), pixels from its UTF-8 bytes tiled to fill. Runs the real
+    encoder distributed, so decode queries exercise a true encode→decode
+    round trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = "" if text is None else str(text)
+                w = len(s) % 13 + 1
+                h = len(s) % 7 + 1
+                need = w * h
+                b = s.encode("utf-8")
+                px = (b * (need // len(b) + 1))[:need] if b else b"\x00" * need
+                ids.append(doc_id)
+                outs.append(codecs.encode_png(w, h, px, color_type=0))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select(id_col, text_col).mapInPandas(run, _SYNTH_SCHEMA)
 
 
 _FEATURE_SCHEMA = "doc_id long, feature array<float>"
@@ -174,19 +250,30 @@ _FEATURE_SCHEMA = "doc_id long, feature array<float>"
 def extract_features(df: DataFrame, id_col: str = "doc_id", dim: int = 8, fake: bool = True) -> DataFrame:
     """Feature-extract payloads → fixed-dim float vector via mapInPandas.
 
-    Deterministic fake: first ``dim`` byte histogram buckets, normalized.
-    Real extractor (a vision model) would slot into the same signature.
+    ``fake=True`` (default): ``dim`` byte-histogram buckets over the RAW
+    payload, normalized — deterministic for any payload. ``fake=False``
+    histograms DECODED content (PNG pixel buffer / WAV PCM stream via the
+    stdlib codecs), so the features reflect media content, not container
+    bytes; a learned extractor slots into the same signature.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real feature extraction not wired in")
             feats = []
             for payload in pdf["content"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                data = bytes(payload)
+                if not fake:
+                    if codecs.is_png(data):
+                        _w, _h, _ch, data = codecs.decode_png(data)
+                    elif codecs.is_wav(data):
+                        _r, _c, _b, data = codecs.decode_wav(data)
+                    else:
+                        raise NotImplementedError(
+                            "real feature extraction implemented for PNG/WAV"
+                        )
+                arr = np.frombuffer(data, dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 total = hist.sum() or 1.0
                 feats.append((hist / total).tolist())

@@ -510,6 +510,20 @@ def q_mm_stats(spark, sf):
     return media_stats(d)
 
 
+def q_mm_decode(spark, sf):
+    """REAL image decode round trip: synthesize a grayscale PNG per document
+    (stdlib encoder, dims derived from text length), then decode it with the
+    stdlib PNG decoder inside mapInPandas. The oracle recomputes the
+    dimensions arithmetically — any header/filter/zlib bug breaks the match."""
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        decode_image_batches,
+        synthesize_png,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return decode_image_batches(synthesize_png(d), fake=False)
+
+
 def dq29_grouping_sets(spark, sf):
     """GROUPING SETS through the SQL entry point (spark.sql passthrough)."""
     _t(spark, sf, "orders").createOrReplaceTempView("orders")
@@ -1118,6 +1132,14 @@ ORACLES: dict[str, str | None] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "mm_decode": """
+        SELECT doc_id,
+               CAST(length(text) % 13 + 1 AS INTEGER) AS width,
+               CAST(length(text) % 7 + 1 AS INTEGER) AS height,
+               CAST((length(text) % 13 + 1) * (length(text) % 7 + 1) AS BIGINT)
+                   AS n_pixels
+        FROM documents
+    """,
     "dq29_grouping_sets": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS prio,
@@ -1367,6 +1389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "mm_stats": q_mm_stats,
+    "mm_decode": q_mm_decode,
     "dq29_grouping_sets": dq29_grouping_sets,
     "stats_aggs": q_stats_aggs,
     "array_agg_ordered": q_array_agg,
