@@ -83,9 +83,13 @@ def upsert_sql(
 ) -> str:
     """Server-side merge statement from staging into the target table.
 
-    mysql  → ``INSERT ... SELECT ... ON DUPLICATE KEY UPDATE`` (PK-driven)
-    ansi   → ``MERGE INTO ... USING ... WHEN MATCHED/NOT MATCHED`` (Postgres
-             15+, SQL Server, Oracle).
+    mysql    → ``INSERT ... SELECT ... ON DUPLICATE KEY UPDATE`` (PK-driven)
+    ansi     → ``MERGE INTO ... USING ... WHEN MATCHED/NOT MATCHED`` (Postgres
+               15+, SQL Server, Oracle).
+    postgres → ``INSERT ... SELECT ... ON CONFLICT (keys) DO UPDATE`` (any
+               Postgres; DuckDB parses it too, which is how the staged-merge
+               semantics are integration-tested without a live server —
+               tests/test_jdbc_merge.py).
     """
     collist = ", ".join(columns)
     if dialect == "mysql":
@@ -107,6 +111,16 @@ def upsert_sql(
             f"MERGE INTO {table} t USING {staging_table} s ON ({on}) "
             f"WHEN MATCHED THEN UPDATE SET {updates} "
             f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({inserts})"
+        )
+    if dialect == "postgres":
+        keylist = ", ".join(key_columns)
+        updates = ", ".join(
+            f"{c} = EXCLUDED.{c}" for c in columns if c not in key_columns
+        )
+        return (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {staging_table} "
+            f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}"
         )
     raise ValueError(f"unknown dialect: {dialect}")
 
