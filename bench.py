@@ -4,21 +4,31 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
+Also diffs per-query times against the newest BENCH_r{N}.json in the repo
+root (stderr only — the stdout contract stays one line) and calls out any
+query slower than REGRESSION_FACTOR× its previous time.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from batch_processing_pipeline_spark import get_spark
 from batch_processing_pipeline_spark.registry import QUERIES
+
+REGRESSION_FACTOR = 1.5
 
 #: Headline set: one per operator family — scans/filters, aggregation,
 #: joins (broadcast star + shuffle), window top-K, sessionization, the full
@@ -55,6 +65,93 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_minhash",
 ]
+
+
+def _load_previous() -> tuple[str, dict[str, float]] | None:
+    """Newest BENCH_r{N}.json next to this script, if any."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        queries = (doc.get("parsed") or doc).get("queries") or {}
+        return os.path.basename(best[1]), {k: float(v) for k, v in queries.items()}
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def _print_regression_diff(timings: dict[str, float]) -> None:
+    prev = _load_previous()
+    if prev is None:
+        print("# no previous BENCH_r*.json — skipping regression diff", file=sys.stderr)
+        return
+    name, old = prev
+    print(f"# regression diff vs {name} (>{REGRESSION_FACTOR}x flagged):", file=sys.stderr)
+    flagged = 0
+    for q, now in timings.items():
+        was = old.get(q)
+        if was is None:
+            print(f"#   {q}: {now:.3f}s (new)", file=sys.stderr)
+            continue
+        ratio = now / was if was > 0 else float("inf")
+        mark = ""
+        if was >= 0.2 and ratio > REGRESSION_FACTOR:  # sub-200ms noise exempt
+            mark = "  <-- REGRESSION"
+            flagged += 1
+        print(f"#   {q}: {now:.3f}s vs {was:.3f}s ({ratio:.2f}x){mark}", file=sys.stderr)
+    print(f"# regressions flagged: {flagged}", file=sys.stderr)
+
+
+def _bench_stream_batch(spark, sf_dir: str) -> float:
+    """End-to-end availableNow streaming run: 24 hourly query-log files →
+    incremental state merges (6 micro-batches of 4 files) → suggestions.
+    File generation happens OUTSIDE the timed window."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_autocomplete_stream,
+        stream_query_log,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        logs = os.path.join(work, "logs")
+        os.makedirs(logs)
+        lines = [
+            r.q
+            for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 3),
+                ).alias("q")
+            )
+            .collect()
+        ]
+        per_file = max(1, len(lines) // 24)
+        for h in range(24):
+            chunk = lines[h * per_file : (h + 1) * per_file]
+            with open(os.path.join(logs, f"2025-01-01-{h:02d}.txt"), "w") as f:
+                f.write("\n".join(chunk) + "\n")
+        t0 = time.time()
+        stream = stream_query_log(spark, logs, max_files_per_trigger=4)
+        q = run_autocomplete_stream(
+            stream,
+            os.path.join(work, "state"),
+            os.path.join(work, "sugg"),
+            os.path.join(work, "ckpt"),
+            k=10,
+        )
+        q.awaitTermination()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -95,6 +192,15 @@ def main() -> None:
         # the garbage NOW) so queries don't inherit each other's heap debt
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+
+    # streaming end-to-end (not a QUERIES entry: runs a full availableNow
+    # job, not a single DataFrame action)
+    dt = round(_bench_stream_batch(spark, sf_dir), 3)
+    timings["stream_batch"] = dt
+    total += dt
+    print(f"# stream_batch: {dt:.3f}s", file=sys.stderr)
+
+    _print_regression_diff(timings)
 
     print(
         json.dumps(
