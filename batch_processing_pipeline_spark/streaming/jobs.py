@@ -94,6 +94,7 @@ def run_autocomplete_stream(
     checkpoint_dir: str,
     k: int = 10,
     available_now: bool = True,
+    suggestion_buckets: int | None = None,
 ):
     """Streaming incremental autocomplete via ``foreachBatch``.
 
@@ -112,6 +113,17 @@ def run_autocomplete_stream(
       ``batch_id <= stored`` must NOT merge again (that would double-count
       — the H1 hazard), so it only re-emits suggestions from the current
       state, which is deterministic and overwrite-idempotent.
+
+    Scale (``suggestion_buckets=N``): suggestions are written partitioned
+    by ``bucket = pmod(xxhash64(prefix), N)`` with dynamic partition
+    overwrite, and each batch recomputes ONLY the buckets containing a
+    prefix the batch touched — per-batch publish cost is
+    ``(touched buckets / N) × state``, not the whole serving table. A
+    bucket must be rewritten whole (dynamic overwrite replaces the
+    partition), which is why bucketing beats partition-per-prefix: N stays
+    bounded (file count, listing) while small batches still skip most of
+    the table. ``None`` keeps the simple full-rewrite (bench/test default
+    for tiny states).
     """
     import os
 
@@ -127,8 +139,35 @@ def run_autocomplete_stream(
         except (IndexError, ValueError):
             return -1
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def _publish(merged: DataFrame, touched: DataFrame | None) -> None:
+        """Write the serving table. ``touched``: delta prefixes (None =
+        publish everything — first batch / replay repair)."""
         from batch_processing_pipeline_spark.plans.autocomplete import suggestions
+
+        if suggestion_buckets is None:
+            suggestions(merged, k=k).write.mode("overwrite").parquet(suggestions_dir)
+            return
+        bucket = F.pmod(F.xxhash64(F.col("prefix")), F.lit(suggestion_buckets))
+        scope = merged
+        if touched is not None:
+            affected = [
+                r.b for r in touched.select(bucket.alias("b")).distinct().collect()
+            ]
+            scope = merged.where(bucket.isin(affected))
+        (
+            suggestions(scope, k=k)
+            .withColumn("bucket", bucket)
+            .write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(suggestions_dir)
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from batch_processing_pipeline_spark.operators.prefix import (
+            normalize_queries,
+            prefix_frequencies,
+        )
 
         state_path = os.path.join(state_dir, "current")
         last = _merged_through(state_path)
@@ -136,9 +175,7 @@ def run_autocomplete_stream(
             # replayed batch: state already includes it — merging again
             # would double-count. Re-emit the (deterministic) suggestions
             # so a crash between swap and suggestion write is repaired.
-            suggestions(spark.read.parquet(state_path), k=k).write.mode(
-                "overwrite"
-            ).parquet(suggestions_dir)
+            _publish(spark.read.parquet(state_path), touched=None)
             return
         prev = None
         if os.path.exists(state_path):
@@ -147,7 +184,13 @@ def run_autocomplete_stream(
         staged = os.path.join(state_dir, f"batch={batch_id}")
         merged.write.mode("overwrite").parquet(staged)
         materialized = spark.read.parquet(staged)
-        suggestions(materialized, k=k).write.mode("overwrite").parquet(suggestions_dir)
+        # only prefixes in THIS batch can have changed top-k
+        touched = (
+            prefix_frequencies(normalize_queries(batch_df)).select("prefix").distinct()
+            if prev is not None and suggestion_buckets is not None
+            else None
+        )
+        _publish(materialized, touched)
         # atomic swap: temp symlink + rename-over; never an empty window
         old_target = os.readlink(state_path) if os.path.islink(state_path) else None
         tmp_link = os.path.join(state_dir, f".current.tmp.{batch_id}")

@@ -101,3 +101,59 @@ def test_autocomplete_stream_merges_across_batches(spark, tmp_path):
     assert freq2[("te", "test")] == 3  # 2 + 1, counted exactly once (H1)
     sugg = {r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()}
     assert sugg["te"] == ["test"]
+
+
+def test_autocomplete_stream_bucketed_delta_publish(spark, tmp_path):
+    """suggestion_buckets=N: each batch rewrites only the hash buckets its
+    prefixes land in (dynamic partition overwrite); untouched buckets'
+    files survive, and the serving table stays complete and current."""
+    import os as _os
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "2025-01-01-00.txt").write_text("test\ntest\nkheder\n")
+    state_dir = str(tmp_path / "state")
+    sugg_dir = str(tmp_path / "sugg")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_autocomplete_stream(
+        stream_query_log(spark, str(logs)), state_dir, sugg_dir, ckpt, k=5,
+        suggestion_buckets=8,
+    )
+    _await(q)
+    first = {r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()}
+    assert first["te"] == ["test"] and "kh" in first
+
+    # record per-bucket mtimes, then stream a batch touching ONLY "zebra"
+    def bucket_mtimes():
+        out = {}
+        for d in _os.listdir(sugg_dir):
+            if d.startswith("bucket="):
+                files = [
+                    _os.path.getmtime(_os.path.join(sugg_dir, d, f))
+                    for f in _os.listdir(_os.path.join(sugg_dir, d))
+                    if f.endswith(".parquet")
+                ]
+                out[d] = max(files) if files else 0.0
+        return out
+
+    before = bucket_mtimes()
+    (logs / "2025-01-01-01.txt").write_text("zebra\n")
+    q2 = run_autocomplete_stream(
+        stream_query_log(spark, str(logs)), state_dir, sugg_dir, ckpt, k=5,
+        suggestion_buckets=8,
+    )
+    _await(q2)
+    after = bucket_mtimes()
+    final = {r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()}
+    # zebra's prefixes appeared; old suggestions survived in place
+    assert final["ze"] == ["zebra"] and final["te"] == ["test"]
+    zebra_buckets = {
+        f"bucket={r.b}"
+        for r in spark.createDataFrame([("ze",), ("zeb",), ("zebr",), ("zebra",)], "prefix string")
+        .select(F.pmod(F.xxhash64("prefix"), F.lit(8)).alias("b")).distinct().collect()
+    }
+    untouched = set(before) - zebra_buckets
+    assert untouched, "test needs at least one untouched bucket"
+    for d in untouched:
+        assert after[d] == before[d], f"untouched {d} was rewritten"
