@@ -1695,3 +1695,176 @@ ORACLES["profile"] = """
     FROM documents
 """
 QUERIES["profile"] = q_profile
+
+
+# --------------------------------------------------------------------------
+# round 2: SQL-surface widening — subqueries, null-safe join, window frames,
+# regexp extraction, filtered aggregates
+def q_exists_subquery(spark, sf):
+    """Correlated EXISTS + NOT EXISTS through the SQL entry point (Catalyst
+    rewrites both to semi/anti joins — no per-row subquery execution)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > CAST(150000.0 AS DOUBLE))
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < CAST(5000.0 AS DOUBLE))
+        """
+    )
+
+
+ORACLES["exists_subquery"] = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 5000.0)
+"""
+QUERIES["exists_subquery"] = q_exists_subquery
+
+
+def q_scalar_subquery(spark, sf):
+    """Uncorrelated scalar subquery in a predicate (single-row broadcast)."""
+    _t(spark, sf, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        """
+    )
+
+
+ORACLES["scalar_subquery"] = """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+"""
+QUERIES["scalar_subquery"] = q_scalar_subquery
+
+
+def q_null_safe_join(spark, sf):
+    """Null-safe equality join (``eqNullSafe`` / IS NOT DISTINCT FROM):
+    null keys pair with null keys instead of vanishing from the result."""
+    o = _t(spark, sf, "orders")
+    a = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 5)
+        .cast("long")
+        .alias("ka")
+    )
+    b = (
+        o.select(
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") % 5)
+            .cast("long")
+            .alias("kb")
+        )
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    return (
+        a.join(b, a["ka"].eqNullSafe(b["kb"]))
+        .groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("nb").alias("nb"))
+        .select(F.col("ka").alias("k"), "n", "nb")
+    )
+
+
+ORACLES["null_safe_join"] = """
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS ka
+      FROM orders
+    ), b AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey % 5 END AS kb,
+             COUNT(*) AS nb
+      FROM orders GROUP BY 1
+    )
+    SELECT a.ka AS k, COUNT(*) AS n, MAX(b.nb) AS nb
+    FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+    GROUP BY a.ka
+"""
+QUERIES["null_safe_join"] = q_null_safe_join
+
+
+def q_window_frames(spark, sf):
+    """Explicit ROWS frame: moving sum/avg over the trailing 3 orders per
+    customer (deterministic order on the unique key)."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        round4(F.sum("o_totalprice").over(w)).alias("mov_sum"),
+        round4(F.avg("o_totalprice").over(w)).alias("mov_avg"),
+    )
+
+
+ORACLES["window_frames"] = f"""
+    SELECT o_custkey, o_orderkey,
+           {R("SUM(o_totalprice) OVER w")} AS mov_sum,
+           {R("AVG(o_totalprice) OVER w")} AS mov_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+QUERIES["window_frames"] = q_window_frames
+
+
+def q_regexp_extract_all(spark, sf):
+    """regexp_extract_all: every digit run per document as array<string>."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), 0).alias("nums"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), 0))
+        .cast("long")
+        .alias("n_nums"),
+    )
+
+
+ORACLES["regexp_extract_all"] = r"""
+    SELECT doc_id,
+           regexp_extract_all(text, '\d+', 0) AS nums,
+           CAST(length(regexp_extract_all(text, '\d+', 0)) AS BIGINT) AS n_nums
+    FROM documents
+"""
+QUERIES["regexp_extract_all"] = q_regexp_extract_all
+
+
+def q_filtered_aggs(spark, sf):
+    """Conditional aggregation (FILTER clause / count_if surface): the
+    predicates fold into the aggregate buffers — one pass, map-side
+    combining, no per-branch scans."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 150000.0, 1)).alias("n_big"),
+        round4(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")))
+        ).alias("sum_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLES["filtered_aggs"] = f"""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+           {R("SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')")}
+               AS sum_urgent,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+"""
+QUERIES["filtered_aggs"] = q_filtered_aggs
