@@ -1868,3 +1868,113 @@ ORACLES["filtered_aggs"] = f"""
     FROM orders GROUP BY o_orderstatus
 """
 QUERIES["filtered_aggs"] = q_filtered_aggs
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the eval
+    set; surviving corpus docs share no 24-char-gram with any of them. The
+    benchmark side is a broadcast set of shingle hashes — the corpus text
+    is probed map-side and never shuffles."""
+    from batch_processing_pipeline_spark.operators.decontaminate import decontaminate
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, ngram=24).select("doc_id")
+
+
+ORACLES["decontaminate"] = """
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, length(lower(trim(text))) - 22),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 24))) AS g
+      FROM documents
+      WHERE doc_id % 97 = 0 AND length(lower(trim(text))) >= 24
+    ), corp AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id % 97 <> 0
+    ), corp_g AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, length(t) - 22),
+               i -> substr(t, CAST(i AS INTEGER), 24))) AS g
+      FROM corp WHERE length(t) >= 24
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM corp_g WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT doc_id FROM corp
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+QUERIES["decontaminate"] = q_decontaminate
+
+
+def q_contamination_report(spark, sf):
+    """Audit view of decontamination: distinct shared 24-gram hash count per
+    contaminated document."""
+    from batch_processing_pipeline_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, ngram=24)
+
+
+ORACLES["contamination_report"] = """
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, length(lower(trim(text))) - 22),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 24))) AS g
+      FROM documents
+      WHERE doc_id % 97 = 0 AND length(lower(trim(text))) >= 24
+    ), corp AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, length(t) - 22),
+                 i -> substr(t, CAST(i AS INTEGER), 24))) AS g
+        FROM corp WHERE length(t) >= 24
+      ) WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id
+"""
+QUERIES["contamination_report"] = q_contamination_report
+
+
+def q_length_buckets(spark, sf):
+    """Token-length bucketing for training-batch packing: power-of-2 bucket
+    of the BPE-ish token count, with per-bucket volume stats — a single
+    map-side projection + map-side-combining aggregate."""
+    d = _t(spark, sf, "documents")
+    toks = bpe_ish_token_count(F.col("text"))
+    bucket = F.when(toks <= 0, F.lit(0)).otherwise(
+        F.floor(F.log2(toks.cast("double"))) + 1
+    ).cast("long")
+    return (
+        d.select(bucket.alias("len_bucket"), toks.alias("_t"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+            F.min("_t").cast("long").alias("min_tokens"),
+            F.max("_t").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+ORACLES["length_buckets"] = r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT CASE WHEN toks <= 0 THEN 0
+                ELSE CAST(FLOOR(log2(CAST(toks AS DOUBLE))) + 1 AS BIGINT) END
+               AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(toks) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+"""
+QUERIES["length_buckets"] = q_length_buckets
