@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int, seed: int) -> DataFrame:
-    """(id, h) — one codegen'd xxhash64 per character n-gram position."""
+    """(id, h) — one codegen'd xxhash64 per character n-gram position.
+
+    CPU-bound; spread compacted inputs across the cluster (no-op at real
+    scale where sources have thousands of splits)."""
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     t = F.lower(F.trim(F.col(text_col)))
     return (
         df.select(F.col(id_col), t.alias("_t"))

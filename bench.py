@@ -60,6 +60,7 @@ HEADLINE = [
     "cap_per_group",
     "pii_scrub",
     "top_bigrams",
+    "decontaminate",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings
     "text_fingerprint",
