@@ -63,3 +63,25 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     assert "HashAggregate" in before_exchange  # final agg above
     after_exchange = plan.split("Exchange", 1)[1]
     assert "HashAggregate" in after_exchange  # partial agg below
+
+
+def test_exists_subqueries_rewrite_to_joins(spark, sf_dir):
+    """Catalyst must decorrelate EXISTS/NOT EXISTS into semi/anti joins —
+    never per-row subquery execution."""
+    plan = _plan(spark, sf_dir, "exists_subquery")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filtered_aggs_single_pass(spark, sf_dir):
+    """Conditional aggregates fold into one aggregation — exactly one
+    exchange, no per-branch scans."""
+    plan = _plan(spark, sf_dir, "filtered_aggs")
+    assert plan.count("Exchange") == 1
+
+
+def test_window_frames_single_sort(spark, sf_dir):
+    """Both moving aggregates share one Window over one Sort/Exchange."""
+    plan = _plan(spark, sf_dir, "window_frames")
+    assert plan.count("Exchange") == 1
+    assert plan.count(" Sort ") <= 1 or plan.count("Sort") <= 2
