@@ -1978,3 +1978,113 @@ ORACLES["length_buckets"] = r"""
     FROM t GROUP BY 1
 """
 QUERIES["length_buckets"] = q_length_buckets
+
+
+def q_scd2(spark, sf):
+    """Type-2 versioned dimension apply over the customer table: %3 keys get
+    a balance bump (a %15 subset gets a LATER second update that must win),
+    %7 keys get a no-op update (no spurious version), %11 keys arrive as
+    brand-new +1e6 keys. Output is the full post-batch dimension."""
+    from batch_processing_pipeline_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t0 = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t2 = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    t3 = F.to_timestamp(F.lit("2024-01-03 00:00:00"))
+    upd = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            "c_name",
+            (F.col("c_acctbal").cast("double") + F.lit(100.0)).alias("bal"),
+            t2.alias("ts"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 15 == 0).select(
+                F.col("c_custkey").alias("k"),
+                "c_name",
+                (F.col("c_acctbal").cast("double") + F.lit(250.0)).alias("bal"),
+                t3.alias("ts"),
+            )
+        )
+        .unionByName(
+            # no-op update at a DISTINCT earlier ts: equal-ts updates for
+            # one key would make the latest-wins tie nondeterministic
+            c.where(F.col("c_custkey") % 7 == 0).select(
+                F.col("c_custkey").alias("k"),
+                "c_name",
+                F.col("c_acctbal").cast("double").alias("bal"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            )
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + F.lit(1000000)).alias("k"),
+                "c_name",
+                F.lit(0.0).alias("bal"),
+                t2.alias("ts"),
+            )
+        )
+    )
+    out = scd2_apply(dim, upd, ["k"], ["c_name", "bal"], ts_col="ts")
+    return out.select(
+        "k", "c_name", round4(F.col("bal")).alias("bal"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+ORACLES["scd2"] = f"""
+    WITH cur AS (
+      SELECT c_custkey AS k, c_name, CAST(c_acctbal AS DOUBLE) AS bal,
+             TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM customer
+    ), upd_raw AS (
+      SELECT c_custkey AS k, c_name, CAST(c_acctbal AS DOUBLE) + 100.0 AS bal,
+             TIMESTAMP '2024-01-02 00:00:00' AS ts
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) + 250.0,
+             TIMESTAMP '2024-01-03 00:00:00'
+      FROM customer WHERE c_custkey % 15 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE),
+             TIMESTAMP '2024-01-01 00:00:00'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, 0.0, TIMESTAMP '2024-01-02 00:00:00'
+      FROM customer WHERE c_custkey % 11 = 0
+    ), latest AS (
+      SELECT k, c_name, bal, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+        FROM upd_raw
+      ) WHERE rn = 1
+    ), j AS (
+      SELECT COALESCE(cur.k, latest.k) AS k,
+             cur.c_name AS cn, cur.bal AS cb,
+             cur.valid_from AS vf, cur.valid_to AS vt,
+             latest.c_name AS un, latest.bal AS ub, latest.ts AS uts,
+             cur.k IS NOT NULL AS has_cur, latest.k IS NOT NULL AS has_upd,
+             NOT (cur.c_name IS NOT DISTINCT FROM latest.c_name
+                  AND cur.bal IS NOT DISTINCT FROM latest.bal) AS changed
+      FROM cur FULL OUTER JOIN latest ON cur.k = latest.k
+    )
+    SELECT k, cn AS c_name, {R("cb")} AS bal, vf AS valid_from,
+           vt AS valid_to, TRUE AS is_current
+    FROM j WHERE has_cur AND (NOT has_upd OR NOT changed)
+    UNION ALL
+    SELECT k, cn, {R("cb")}, vf, uts, FALSE
+    FROM j WHERE has_cur AND has_upd AND changed
+    UNION ALL
+    SELECT k, un, {R("ub")}, uts, CAST(NULL AS TIMESTAMP), TRUE
+    FROM j WHERE has_upd AND (NOT has_cur OR changed)
+"""
+QUERIES["scd2"] = q_scd2
