@@ -2088,3 +2088,51 @@ ORACLES["scd2"] = f"""
     FROM j WHERE has_upd AND (NOT has_cur OR changed)
 """
 QUERIES["scd2"] = q_scd2
+
+
+def q_pack_sequences(spark, sf):
+    """Sequence packing for training batches: shard-local next-fit by
+    running token total. Docs mod into 32 independent shards (packing is
+    embarrassingly parallel — each executor packs its shard alone, the
+    honest distributed form of batch packing); within a shard, docs order
+    by (tokens DESC, doc_id) and a running-sum window assigns
+    bin = floor((cumsum-1)/budget). One shuffle (the window partition),
+    everything else map-side."""
+    d = _t(spark, sf, "documents")
+    budget = 512
+    toks = bpe_ish_token_count(F.col("text"))
+    base = d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        (F.col("doc_id") % 32).alias("shard"),
+    ).where(F.col("tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.desc("tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tokens").over(w)
+    return base.select(
+        "shard",
+        "doc_id",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.floor((cum - F.lit(1)) / F.lit(budget)).cast("long").alias("bin"),
+    )
+
+
+ORACLES["pack_sequences"] = r"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS tokens
+      FROM documents
+    )
+    SELECT shard, doc_id, tokens,
+           CAST(FLOOR((SUM(tokens) OVER (PARTITION BY shard
+                                         ORDER BY tokens DESC, doc_id ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) - 1)
+                      / 512.0) AS BIGINT) AS bin
+    FROM base WHERE tokens > 0
+"""
+QUERIES["pack_sequences"] = q_pack_sequences
