@@ -157,3 +157,33 @@ def test_autocomplete_stream_bucketed_delta_publish(spark, tmp_path):
     assert untouched, "test needs at least one untouched bucket"
     for d in untouched:
         assert after[d] == before[d], f"untouched {d} was rewritten"
+
+
+def test_autocomplete_stream_replay_does_not_double_count(spark, tmp_path):
+    """H1 under at-least-once replay: losing the checkpoint makes the source
+    replay batch 0 from scratch; the batch-id recorded in the state link
+    must stop the merge from double-counting."""
+    import shutil
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "2025-01-01-00.txt").write_text("test\ntest\nkheder\n")
+    state_dir = str(tmp_path / "state")
+    sugg_dir = str(tmp_path / "sugg")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_autocomplete_stream(stream_query_log(spark, str(logs)), state_dir, sugg_dir, ckpt, k=5)
+    _await(q)
+    state = spark.read.parquet(os.path.join(state_dir, "current"))
+    assert {(r.prefix, r.query): r.frequency for r in state.collect()}[("te", "test")] == 2
+
+    # checkpoint lost -> the whole input replays as batch 0
+    shutil.rmtree(ckpt)
+    q2 = run_autocomplete_stream(stream_query_log(spark, str(logs)), state_dir, sugg_dir, ckpt, k=5)
+    _await(q2)
+    state2 = spark.read.parquet(os.path.join(state_dir, "current"))
+    freq2 = {(r.prefix, r.query): r.frequency for r in state2.collect()}
+    assert freq2[("te", "test")] == 2  # NOT 4 — replay skipped the merge
+    # and suggestions were still (re)published
+    sugg = {r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()}
+    assert sugg["te"] == ["test"]
