@@ -2136,3 +2136,47 @@ ORACLES["pack_sequences"] = r"""
     FROM base WHERE tokens > 0
 """
 QUERIES["pack_sequences"] = q_pack_sequences
+
+
+def q_json_funcs(spark, sf):
+    """JSON function surface: path extraction (string + array index) and
+    typed parse via from_json. The JSON document is built with concat on
+    BOTH sides (not to_json — engines differ on float/key serialization),
+    so the oracle isolates the EXTRACTION semantics."""
+    o = _t(spark, sf, "orders")
+    js = F.concat(
+        F.lit('{"status": "'),
+        F.col("o_orderstatus"),
+        F.lit('", "pri": "'),
+        F.col("o_orderpriority"),
+        F.lit('", "total": '),
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+        F.lit(', "items": [1, '),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit("]}"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.get_json_object(js, "$.status").alias("status"),
+        F.get_json_object(js, "$.total").alias("total_s"),
+        F.get_json_object(js, "$.items[1]").alias("second_item"),
+        F.from_json(js, "total long").getField("total").alias("total_n"),
+    )
+
+
+ORACLES["json_funcs"] = """
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"status": "' || o_orderstatus || '", "pri": "' || o_orderpriority
+             || '", "total": ' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+             || ', "items": [1, ' || CAST(o_orderkey % 5 AS VARCHAR) || ']}' AS js
+      FROM orders
+    )
+    SELECT o_orderkey,
+           json_extract_string(js, '$.status') AS status,
+           json_extract_string(js, '$.total') AS total_s,
+           json_extract_string(js, '$.items[1]') AS second_item,
+           CAST(json_extract(js, '$.total') AS BIGINT) AS total_n
+    FROM j
+"""
+QUERIES["json_funcs"] = q_json_funcs
