@@ -238,3 +238,32 @@ def test_extract_features_real_decodes_pixels(spark):
     df = spark.createDataFrame([(1, payload)], "doc_id long, content binary")
     feat = extract_features(df, dim=4, fake=False).collect()[0].feature
     assert feat[0] == 1.0 and sum(feat[1:]) == 0.0
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is identity for any dims/color type."""
+    from hypothesis import given, settings, strategies as st
+
+    from batch_processing_pipeline_spark.multimodal.codecs import (
+        _CHANNELS,
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        ct=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def check(w, h, ct, data):
+        n = w * h * _CHANNELS[ct]
+        px = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        )
+        gw, gh, gch, got = decode_png(encode_png(w, h, px, ct))
+        assert (gw, gh, gch) == (w, h, _CHANNELS[ct])
+        assert got == px
+
+    check()
