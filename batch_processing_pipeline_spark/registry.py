@@ -2180,3 +2180,30 @@ ORACLES["json_funcs"] = """
     FROM j
 """
 QUERIES["json_funcs"] = q_json_funcs
+
+
+def q_dedup_rate(spark, sf):
+    """Corpus-level exact-duplicate rate in ONE aggregation pass — the
+    summary number a curation run reports before deciding dedup strategy.
+    Only md5 digests reach the aggregate, never document text."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("fp")).alias("n_unique"),
+        round4(
+            F.lit(1.0)
+            - F.count_distinct(F.col("fp")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+ORACLES["dedup_rate"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
+           {R("1.0 - CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE)"
+              " / CAST(COUNT(*) AS DOUBLE)")} AS dup_rate
+    FROM documents
+"""
+QUERIES["dedup_rate"] = q_dedup_rate
