@@ -2207,3 +2207,102 @@ ORACLES["dedup_rate"] = f"""
     FROM documents
 """
 QUERIES["dedup_rate"] = q_dedup_rate
+
+
+def q_funnel(spark, sf):
+    """Ordered funnel (view → click → purchase): per user, the first view,
+    the first click AFTER that view, the first purchase AFTER that click,
+    and the stage reached. Each stage is one type-filtered aggregation
+    (filter pushes to the scan) joined on the user key — at scale the three
+    stage relations are tiny next to the event log, which is read, never
+    shuffled raw."""
+    e = _events(spark, sf)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "tv",
+            "tc",
+            "tp",
+            F.when(F.col("tp").isNotNull(), 3)
+            .when(F.col("tc").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+ORACLES["funnel"] = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+    )
+    SELECT v.user_id, v.tv, c.tc, p.tp,
+           CAST(CASE WHEN p.tp IS NOT NULL THEN 3
+                     WHEN c.tc IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+"""
+QUERIES["funnel"] = q_funnel
+
+
+def q_retention(spark, sf):
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each later active day as (cohort, day_offset, n_users). Two
+    aggregations + one join on the user key; the classic growth-analytics
+    shape."""
+    e = _events(spark, sf)
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort")
+    )
+    act = e.select("user_id", F.to_date(F.col("ts")).alias("d")).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy("cohort", F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+ORACLES["retention"] = """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM first f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+"""
+QUERIES["retention"] = q_retention
