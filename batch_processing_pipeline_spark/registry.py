@@ -2306,3 +2306,88 @@ ORACLES["retention"] = """
     GROUP BY 1, 2
 """
 QUERIES["retention"] = q_retention
+
+
+def q_bigram_lm(spark, sf):
+    """Bigram language-model table: top-3 continuations per word with
+    conditional probability P(next | word) — the statistical core of a
+    next-word suggester. One explode + count, a per-word window total, and
+    a WindowGroupLimit top-k; heads with < 5 observations are dropped."""
+    d = _t(spark, sf, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    toks = F.split(s, r"\s+")
+    pairs = (
+        d.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"), "t"
+        )
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + F.lit(1)).alias("w2"),
+        )
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("w1")
+    wrank = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        c.withColumn("tot", F.sum("n").over(wtot))
+        .withColumn("rk", F.row_number().over(wrank))
+        .where((F.col("rk") <= 3) & (F.col("tot") >= 5))
+        .select(
+            "w1",
+            "rk",
+            "w2",
+            "n",
+            round4(F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+ORACLES["bigram_lm"] = rf"""
+    WITH d AS (SELECT lower(trim(text)) AS s FROM documents
+               WHERE length(trim(text)) > 0),
+         tk AS (SELECT string_split_regex(s, '\s+') AS t FROM d),
+         p AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+               FROM tk WHERE len(t) >= 2),
+         g AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM p),
+         c AS (SELECT w1, w2, COUNT(*) AS n FROM g GROUP BY 1, 2),
+         w AS (SELECT w1, w2, n,
+                      SUM(n) OVER (PARTITION BY w1) AS tot,
+                      ROW_NUMBER() OVER (PARTITION BY w1
+                                         ORDER BY n DESC, w2 ASC) AS rk
+               FROM c)
+    SELECT w1, CAST(rk AS INTEGER) AS rk, w2, n,
+           {R("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS prob
+    FROM w WHERE rk <= 3 AND tot >= 5
+"""
+QUERIES["bigram_lm"] = q_bigram_lm
+
+
+def q_outliers(spark, sf):
+    """Group-wise z-score outlier flagging: events whose value sits more
+    than 2 sample standard deviations from their type's mean. The filter
+    applies to the ROUNDED z (engine-portable float contract)."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.select("event_id", "event_type", round4(F.col("value")).alias("value"),
+                 round4(z).alias("z"))
+        .where(F.abs(F.col("z")) > 2.0)
+    )
+
+
+ORACLES["outliers"] = f"""
+    WITH z AS (
+      SELECT event_id, event_type, value,
+             {R("(value - AVG(value) OVER (PARTITION BY event_type))"
+                " / STDDEV_SAMP(value) OVER (PARTITION BY event_type)")} AS z
+      FROM events
+    )
+    SELECT event_id, event_type, {R("value")} AS value, z
+    FROM z WHERE ABS(z) > 2.0
+"""
+QUERIES["outliers"] = q_outliers
