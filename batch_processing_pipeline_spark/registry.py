@@ -2391,3 +2391,33 @@ ORACLES["outliers"] = f"""
     FROM z WHERE ABS(z) > 2.0
 """
 QUERIES["outliers"] = q_outliers
+
+
+def q_sample_weighted(spark, sf):
+    """Deterministic WEIGHTED sampling: keep probability proportional to a
+    per-row weight (here min(n_chars/1000, 1)). The uniform draw is the
+    md5-hex trick of operators/sampling.py; the per-row threshold is the
+    weight scaled to 32 bits and hex-formatted — identical arithmetic in
+    both engines, zero shuffles, reproducible under retries."""
+    d = _t(spark, sf, "documents")
+    n = F.length(F.col("text")).cast("double")
+    p = F.least(n / F.lit(1000.0), F.lit(1.0))
+    thr_n = F.least(
+        F.floor(p * F.lit(4294967296.0)), F.lit(4294967295.0)
+    ).cast("bigint")
+    thr_hex = F.format_string("%08x", thr_n)
+    u = F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 8)
+    return d.where(u < thr_hex).select(
+        "doc_id", F.length(F.col("text")).cast("long").alias("n_chars_w")
+    )
+
+
+ORACLES["sample_weighted"] = """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_w
+    FROM documents
+    WHERE substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', CAST(LEAST(FLOOR(
+                LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 4294967296.0
+            ), 4294967295.0) AS BIGINT))
+"""
+QUERIES["sample_weighted"] = q_sample_weighted
