@@ -1,4 +1,4 @@
-"""Skew mitigation: salted two-phase aggregation.
+"""Skew mitigation: salted two-phase aggregation + salted replicated join.
 
 At 100 TB the prefix distribution is Zipfian — a single hot key ("th…")
 lands every row on one reducer. AQE's skew handling covers joins but not
@@ -76,6 +76,46 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(*group_cols).agg(F.sum("_partial").cast("long").alias(out_col))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_key: Sequence[str] | None = None,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the FACT side, replicate the DIM side
+    ``salt_buckets`` ×, join on (key, salt).
+
+    A hot fact key ("null user", a celebrity id) lands all its rows on one
+    reducer in a plain shuffled join; salting spreads them across
+    ``salt_buckets`` reducers at the cost of shipping the dim relation
+    ``salt_buckets`` × through the shuffle — the right trade when the dim
+    side is small-ish but too big (or too many joins deep) to broadcast.
+    AQE's skew-join split covers sort-merge joins at runtime; this explicit
+    form works in every join mode and composes under further joins.
+
+    ``salt_key`` names fact columns that VARY WITHIN a join key (a row id,
+    a timestamp) — the salt must split a hot key's rows, so hashing the
+    join key itself would be useless (one bucket per key).  The salt is
+    content-derived (``xxhash64`` of those columns — NOT
+    rand()/monotonically_increasing_id), so task retries reproduce
+    identical buckets (SPARK-23207-class hazard, see module docstring).
+    Default: every fact column.
+
+    Dim replication uses ``explode(sequence(0 .. salt_buckets-1))`` —
+    codegen, no Python.  Result equals ``fact.join(dim, on, how)`` exactly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left")
+    f_salted = _with_salt(fact, salt_buckets, salt_key)
+    d_replicated = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
+    )
+    return f_salted.join(d_replicated, [on, "_salt"], how).drop("_salt")
 
 
 def salted_avg(

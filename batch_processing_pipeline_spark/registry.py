@@ -2421,3 +2421,160 @@ ORACLES["sample_weighted"] = """
             ), 4294967295.0) AS BIGINT))
 """
 QUERIES["sample_weighted"] = q_sample_weighted
+
+
+def q_interval_join(spark, sf):
+    """Point-in-interval join via the bucketed equi-key scale path
+    (operators/interval.py): high-value purchase events open a 1-hour
+    window; count every event falling inside each window. The naive
+    range-predicate formulation would plan as a nested-loop/cartesian
+    join; the bucketed form shuffles both sides on floor(ts/w) and
+    equi-joins (w = 3600 s, so each interval covers ≤ 2 buckets)."""
+    from batch_processing_pipeline_spark.operators.interval import (
+        bucketed_interval_join,
+    )
+
+    e = _events(spark, sf)
+    pts = e.select(
+        F.unix_timestamp("ts").alias("pt"), F.col("value").alias("pt_value")
+    )
+    wins = e.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 23 == 0)
+    ).select(
+        F.col("event_id").alias("win_id"),
+        F.unix_timestamp("ts").alias("win_s"),
+        (F.unix_timestamp("ts") + F.lit(3600)).alias("win_e"),
+    )
+    j = bucketed_interval_join(pts, wins, "pt", "win_s", "win_e", bucket_seconds=3600)
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        round4(F.sum("pt_value")).alias("sum_value"),
+    )
+
+
+ORACLES["interval_join"] = f"""
+    WITH w AS (
+      SELECT event_id AS win_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+      FROM events WHERE event_type = 'purchase' AND event_id % 23 = 0
+    )
+    SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {R("SUM(ev.value)")} AS sum_value
+    FROM w JOIN events ev
+      ON CAST(floor(epoch(ev.ts)) AS BIGINT) >= w.s
+     AND CAST(floor(epoch(ev.ts)) AS BIGINT) < w.e
+    GROUP BY 1
+"""
+QUERIES["interval_join"] = q_interval_join
+
+
+def q_fuzzy_join(spark, sf):
+    """Edit-distance-1 self-match over the distinct part-name dictionary via
+    deletion-neighborhood blocking (operators/fuzzy.py) — candidates come
+    from an equi-join on single-deletion variants (recall-lossless for
+    d <= 1), never a cartesian; exact levenshtein verifies survivors."""
+    from batch_processing_pipeline_spark.operators.fuzzy import fuzzy_self_join
+
+    names = (
+        _t(spark, sf, "part")
+        .select(F.col("p_name"))
+        .distinct()
+        .select(F.col("p_name").alias("nid"), F.col("p_name").alias("s"))
+    )
+    r = fuzzy_self_join(names, "nid", "s", max_distance=1)
+    return r.select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b"), "distance"
+    )
+
+
+ORACLES["fuzzy_join"] = """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+QUERIES["fuzzy_join"] = q_fuzzy_join
+
+
+def q_time_rollup(spark, sf):
+    """Hypertable-style multi-grain time rollup: hour + day + grand total
+    in ONE pass via ROLLUP (partial aggregation happens map-side for every
+    grain before the single shuffle — vs. three separate scans). Grains are
+    projected as strings so the grouping keys hash identically across
+    engines (Spark date_trunc returns TIMESTAMP, DuckDB DATE — strings
+    sidestep the type mismatch)."""
+    e = _events(spark, sf)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hour = F.date_format("ts", "yyyy-MM-dd HH:00")
+    return (
+        e.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+ORACLES["time_rollup"] = f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           strftime(ts, '%Y-%m-%d %H:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R("SUM(value)")} AS sum_value
+    FROM events
+    GROUP BY ROLLUP(day, hour)
+"""
+QUERIES["time_rollup"] = q_time_rollup
+
+
+def q_doc_chunk(spark, sf):
+    """Overlapping fixed-width chunking (size 500, stride 400) of every
+    document — zero-shuffle map-side explode (operators/chunking.py)."""
+    from batch_processing_pipeline_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, "doc_id", "text", size=500, stride=400)
+
+
+ORACLES["doc_chunk"] = """
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(range(0, 1 + (length(text) - 1) // 400)) AS chunk_idx
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 400 + 1 AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_idx * 400 + 1 AS INTEGER), 500))
+                AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(chunk_idx * 400 + 1 AS INTEGER), 500)) AS chunk_md5
+    FROM c
+"""
+QUERIES["doc_chunk"] = q_doc_chunk
+
+
+def q_skew_join(spark, sf):
+    """Salted replicated join (operators/skew.py salted_join): lineitem
+    fact salted on row content, orders dim replicated 16×, joined on
+    (key, salt) — the explicit skew-safe join form whose result equals the
+    plain equi-join (which is exactly what the oracle computes)."""
+    from batch_processing_pipeline_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, on="l_orderkey", salt_key=["l_orderkey", "l_linenumber"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round4(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+ORACLES["skew_join"] = f"""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           {R("SUM(l.l_quantity)")} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
+QUERIES["skew_join"] = q_skew_join

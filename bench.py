@@ -61,6 +61,11 @@ HEADLINE = [
     "pii_scrub",
     "top_bigrams",
     "decontaminate",
+    "interval_join",
+    "fuzzy_join",
+    "time_rollup",
+    "doc_chunk",
+    "skew_join",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings
     "text_fingerprint",

@@ -85,3 +85,19 @@ def test_window_frames_single_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_frames")
     assert plan.count("Exchange") == 1
     assert plan.count(" Sort ") <= 1 or plan.count("Sort") <= 2
+
+
+def test_range_and_fuzzy_joins_have_equi_keys(spark, sf_dir):
+    """The interval join and the fuzzy join both manufacture equi-keys
+    (time bucket / deletion variant) — neither may fall back to a
+    cartesian or nested-loop plan at any scale."""
+    for name in ("interval_join", "fuzzy_join", "skew_join"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_doc_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a map-side explode — no exchange in the plan."""
+    plan = _plan(spark, sf_dir, "doc_chunk")
+    assert "Exchange" not in plan
