@@ -107,6 +107,14 @@ def salted_join(
 
     Dim replication uses ``explode(sequence(0 .. salt_buckets-1))`` —
     codegen, no Python.  Result equals ``fact.join(dim, on, how)`` exactly.
+
+    The replicated dim carries a ``shuffle_hash`` hint: broadcasting it
+    would be strictly wrong (a broadcast join has no reducer skew to cure,
+    so if the dim broadcasts you should not be salting at all — and the
+    replicated build side is ``salt_buckets`` × the memory), while a
+    sort-merge join pays a needless sort on the fact side.  With the hint
+    each reducer hash-builds only its own (key, salt) slice of the dim —
+    the exact regime salting is for.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left")
@@ -114,7 +122,7 @@ def salted_join(
     d_replicated = dim.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
-    )
+    ).hint("shuffle_hash")
     return f_salted.join(d_replicated, [on, "_salt"], how).drop("_salt")
 
 

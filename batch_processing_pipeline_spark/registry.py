@@ -2578,3 +2578,85 @@ ORACLES["skew_join"] = f"""
     GROUP BY 1
 """
 QUERIES["skew_join"] = q_skew_join
+
+
+def q_char_entropy(spark, sf):
+    """Shannon entropy of the per-document character distribution — the
+    classic gibberish/boilerplate quality signal (low entropy = repeated
+    filler, high = random noise). Codegen position-explode → (doc, char)
+    counts with map-side combine → window-normalized probabilities → one
+    aggregate; no Python, two shuffles, both on (doc_id[, ch])."""
+    d = _t(spark, sf, "documents")
+    t = F.lower(F.col("text"))
+    chars = (
+        d.where(F.length(t) >= 1)
+        .select(
+            "doc_id",
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(t))).alias("_i"),
+        )
+        .select("doc_id", F.col("_t").substr(F.col("_i"), F.lit(1)).alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    probs = counts.select(
+        "doc_id",
+        (F.col("c").cast("double") / F.sum("c").over(w)).alias("p"),
+    )
+    return probs.groupBy("doc_id").agg(
+        round4(-F.sum(F.col("p") * F.log2("p"))).alias("entropy")
+    )
+
+
+ORACLES["char_entropy"] = f"""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(lower(text)) + 1),
+                    i -> substr(lower(text), CAST(i AS INTEGER), 1))) AS ch
+      FROM documents WHERE length(text) >= 1
+    ), counts AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ), probs AS (
+      SELECT doc_id,
+             CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+      FROM counts
+    )
+    SELECT doc_id, {R("-SUM(p * log2(p))")} AS entropy
+    FROM probs GROUP BY 1
+"""
+QUERIES["char_entropy"] = q_char_entropy
+
+
+def q_cusum(spark, sf):
+    """CUSUM drift tracking: per event type, the running sum of deviations
+    from the type mean in (ts, event_id) order — the standard changepoint
+    statistic (a sustained shift in the metric shows as a trend in the
+    cusum). Running sums are computed IN frame order on both engines, so
+    the float arithmetic is order-deterministic and hash-comparable."""
+    e = _events(spark, sf)
+    w_mean = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col("value") - F.avg("value").over(w_mean)
+    return e.select(
+        "event_id",
+        "event_type",
+        round4(F.sum(dev).over(w_run)).alias("cusum"),
+    )
+
+
+ORACLES["cusum"] = f"""
+    SELECT event_id, event_type,
+           {R("SUM(value - type_mean) OVER (PARTITION BY event_type"
+              " ORDER BY ts, event_id"
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cusum
+    FROM (
+      SELECT event_id, event_type, ts, value,
+             AVG(value) OVER (PARTITION BY event_type) AS type_mean
+      FROM events
+    )
+"""
+QUERIES["cusum"] = q_cusum

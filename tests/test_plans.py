@@ -95,6 +95,9 @@ def test_range_and_fuzzy_joins_have_equi_keys(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # the salted join must not broadcast its replicated dim (a broadcast
+    # join has no reducer skew to cure — the hint pins ShuffledHashJoin)
+    assert "ShuffledHashJoin" in _plan(spark, sf_dir, "skew_join")
 
 
 def test_doc_chunk_is_shuffle_free(spark, sf_dir):
