@@ -1,13 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side plumbing (schema, partition sizing, Arrow-batched UDF
-signatures) is real and tested. Decode is REAL for the two formats with
-stdlib representations — PNG (images, incl. resize/re-encode) and WAV PCM
-(audio frame sampling / features) via ``multimodal/codecs.py``; each
-kernel also keeps a deterministic ``fake=True`` mode so the distributed
-path is testable with arbitrary payloads. Only video decode remains
-stubbed (no stdlib container format); swapping in ffmpeg/av is a
-one-function change — the distributed shape does not move.
+signatures) is real and tested. Decode is REAL for the three formats with
+stdlib representations — PNG (images, incl. resize/re-encode), animated
+GIF (multi-frame LZW — the video-shaped path: decode + frame sampling),
+and WAV PCM (audio frame sampling / features) via
+``multimodal/codecs.py``; each kernel also keeps a deterministic
+``fake=True`` mode so the distributed path is testable with arbitrary
+payloads. Modern video containers (mp4/webm) still need ffmpeg/av — a
+one-function swap into the same kernels; the distributed shape does not
+move.
 
 Scale notes: media payloads dominate row size, so operations keep the binary
 column OUT of shuffles (stats/decodes are map-side ``mapInPandas``; joins
@@ -177,12 +179,15 @@ def sample_frames(
     One input row fans out to ``n_frames`` rows (id, frame_idx, frame) —
     the shape a frame-level feature extractor consumes.
 
-    ``fake=False`` (default) REALLY decodes WAV payloads: the PCM stream is
-    parsed (codecs.decode_wav) and each frame is an evenly spaced window of
-    whole PCM sample blocks, so frame boundaries never split a sample.
-    Video payloads raise NotImplementedError (no stdlib container codec;
-    ffmpeg/av slots into this kernel). ``fake=True`` slices the raw bytes —
-    codec-free stand-in for arbitrary payloads.
+    ``fake=False`` (default) REALLY decodes: animated GIFs are LZW-decoded
+    (codecs.decode_gif) and ``n_frames`` evenly spaced decoded frames are
+    emitted as full-canvas pixel buffers (``frame j = i·nf // n_frames``,
+    repeating frames when the animation is shorter than the sample); WAV
+    payloads yield evenly spaced windows of whole PCM sample blocks, so
+    frame boundaries never split a sample. Other containers raise
+    NotImplementedError (ffmpeg/av slots into this same kernel).
+    ``fake=True`` slices the raw bytes — codec-free stand-in for arbitrary
+    payloads.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,6 +198,10 @@ def sample_frames(
                 if fake:
                     step = max(1, len(data) // n_frames)
                     cuts = [data[i * step : (i + 1) * step] or b"\x00" for i in range(n_frames)]
+                elif codecs.is_gif(data):
+                    _w, _h, decoded = codecs.decode_gif(data)
+                    nf = len(decoded)
+                    cuts = [decoded[i * nf // n_frames] for i in range(n_frames)]
                 elif codecs.is_wav(data):
                     _rate, channels, bits, pcm = codecs.decode_wav(data)
                     block = max(1, channels * bits // 8)
@@ -204,8 +213,9 @@ def sample_frames(
                     ]
                 else:
                     raise NotImplementedError(
-                        "real frame sampling implemented for WAV PCM; video "
-                        "requires av/ffmpeg (wire it into this kernel)"
+                        "real frame sampling implemented for GIF animations "
+                        "and WAV PCM; other containers require av/ffmpeg "
+                        "(wire them into this kernel)"
                     )
                 for i, cut in enumerate(cuts):
                     ids.append(doc_id)
@@ -280,3 +290,52 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", dim: int = 8, fake: 
             yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
 
     return df.select(id_col, "content").mapInPandas(run, _FEATURE_SCHEMA)
+
+
+def synthesize_gif(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic animated-GIF payload per document (the video-shaped
+    twin of ``synthesize_png``): ``width = len % 11 + 1``, ``height =
+    len % 5 + 1``, ``n_frames = len % 3 + 2`` — all reproducible in ANSI
+    SQL — and frame ``f`` is a constant fill of ``(len + 7·f) % 251`` so
+    an oracle can recompute per-frame pixel sums arithmetically. Runs the
+    real encoder distributed: downstream decodes exercise a true
+    multi-frame LZW round trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = "" if text is None else str(text)
+                n = len(s)
+                w = n % 11 + 1
+                h = n % 5 + 1
+                frames = [
+                    bytes([(n + 7 * f) % 251]) * (w * h) for f in range(n % 3 + 2)
+                ]
+                ids.append(doc_id)
+                outs.append(codecs.encode_gif(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select(id_col, text_col).mapInPandas(run, _SYNTH_SCHEMA)
+
+
+_FRAME_STATS_SCHEMA = "doc_id long, frame_idx int, frame_len long, pixel_sum long"
+
+
+def frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-frame stats over a (id, frame_idx, frame) relation — the
+    feature-extraction stage a frame sampler feeds. Map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [bytes(x) for x in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_len": [len(x) for x in frames],
+                    "pixel_sum": [sum(x) for x in frames],
+                }
+            )
+
+    return df.mapInPandas(run, _FRAME_STATS_SCHEMA)

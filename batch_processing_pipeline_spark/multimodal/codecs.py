@@ -1,4 +1,4 @@
-"""Dependency-free media codecs: PNG (encode/decode) and WAV PCM.
+"""Dependency-free media codecs: PNG, animated GIF, and WAV PCM.
 
 The container has no PIL/ffmpeg, but "the decode step is stubbed" is a
 weaker contract than the pipeline needs — so the two formats with pure
@@ -12,10 +12,15 @@ stdlib representations get REAL codecs:
 * WAV: RIFF/PCM header parse + 16-bit PCM write — the shape an audio
   feature extractor consumes.
 
+* GIF87a/89a: animated — logical screen + frame composition, full
+  GIF-variant LZW decode (variable code width, KwKwK), extension
+  skipping; encoder emits the uncompressed-LZW construction. This is the
+  "video" path: multi-frame decode + frame sampling run for real.
+
 Everything here is per-row CPU work invoked from Arrow-batched
 ``mapInPandas`` kernels (multimodal/binary_ops.py) — the distributed plan
-never sees these internals. Video remains stubbed (no stdlib container
-format exists); its kernel raises with a clear message.
+never sees these internals. Modern video containers (mp4/webm) have no
+stdlib codec; their kernels raise with a clear message.
 """
 
 from __future__ import annotations
@@ -218,3 +223,199 @@ def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
     if rate < 0 or not pcm:
         raise MediaFormatError("missing fmt/data chunk")
     return rate, channels, bits, pcm
+
+
+# ----------------------------------------------------------------- GIF
+# GIF87a/89a: the one ANIMATED container with a pure-stdlib representation
+# — which makes the video-style frame-sampling kernel REAL instead of a
+# stub.  Encoder writes the classic "uncompressed GIF" LZW stream (literal
+# codes only, CLEAR emitted before the decoder's table would force a code-
+# width change — valid LZW any decoder reads); decoder implements full
+# GIF-variant LZW (variable code width, KwKwK case), extension skipping,
+# and frame composition onto the logical-screen canvas, so it also reads
+# properly-compressed GIFs produced by real encoders.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in _GIF_SIGS
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    """Wrap payload into ≤255-byte data sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF LZW bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def encode_gif(
+    width: int, height: int, frames: list[bytes], delay_cs: int = 4
+) -> bytes:
+    """Animated GIF89a with a 256-entry grayscale global palette.
+
+    Each frame is ``width*height`` palette-index bytes (index == gray
+    level).  LZW data uses the uncompressed-GIF construction: 9-bit literal
+    codes with a CLEAR every 250 pixels so the code width never grows.
+    """
+    if not frames:
+        raise MediaFormatError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise MediaFormatError(
+                f"frame is {len(f)} bytes, expected {width * height}"
+            )
+    out = bytearray()
+    out += b"GIF89a"
+    # logical screen descriptor: global color table, 8 bits, 256 entries
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(v for g in range(256) for v in (g, g, g))  # gray palette
+    clear, eoi = 256, 257
+    for frame in frames:
+        # graphic control extension (delay; no transparency, no disposal)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        # image descriptor: full-canvas frame, no local table, sequential
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # LZW minimum code size
+        bw = _BitWriter()
+        bw.write(clear, 9)
+        for i, px in enumerate(frame):
+            if i and i % 250 == 0:
+                bw.write(clear, 9)
+            bw.write(px, 9)
+        bw.write(eoi, 9)
+        out += _gif_subblocks(bw.finish())
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
+    """GIF-variant LZW: LSB-first codes, variable width 3..12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = base + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise MediaFormatError(f"corrupt LZW stream (code {code})")
+        out += entry
+        prev = entry
+        # decoder table growth forces a width bump at 2^width (cap 12 bits)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
+    """→ (width, height, [frame pixels]) — palette-index bytes per frame,
+    each a full canvas (sub-rectangle frames are composited onto the
+    previous canvas; disposal modes beyond 'keep' are not distinguished,
+    which matches the synthesizer and the common crawler case).
+    Interlaced frames raise (out of scope, like interlaced PNG).
+    """
+    if not is_gif(data):
+        raise MediaFormatError("not a GIF payload")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))  # global color table
+    canvas = bytearray(width * height)
+    frames: list[bytes] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise MediaFormatError("interlaced GIF not supported")
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 0x07))  # local color table
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            pixels = _lzw_decode(min_code, bytes(lzw), w * h)
+            if len(pixels) < w * h:
+                raise MediaFormatError("LZW stream shorter than frame")
+            for row in range(h):
+                start = (top + row) * width + left
+                canvas[start : start + w] = pixels[row * w : (row + 1) * w]
+            frames.append(bytes(canvas))
+        else:
+            raise MediaFormatError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise MediaFormatError("GIF contains no image data")
+    return width, height, frames

@@ -2660,3 +2660,212 @@ ORACLES["cusum"] = f"""
     )
 """
 QUERIES["cusum"] = q_cusum
+
+
+def q_mm_frames(spark, sf):
+    """REAL video-style frame sampling: synthesize an animated GIF per
+    document (stdlib encoder; dims/frame count/fill derived from text
+    length), LZW-decode it inside mapInPandas, sample 4 evenly spaced
+    frames, and emit per-frame stats. The oracle recomputes frame length
+    and pixel sum arithmetically — any LZW/composition/sampling bug breaks
+    the match."""
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        frame_stats,
+        sample_frames,
+        synthesize_gif,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return frame_stats(sample_frames(synthesize_gif(d), n_frames=4, fake=False))
+
+
+ORACLES["mm_frames"] = """
+    WITH base AS (
+      SELECT doc_id, length(text) AS L FROM documents
+    ), f AS (
+      SELECT doc_id, L, unnest(range(0, 4)) AS frame_idx FROM base
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((L % 11 + 1) * (L % 5 + 1) AS BIGINT) AS frame_len,
+           CAST((L % 11 + 1) * (L % 5 + 1)
+                * ((L + 7 * ((frame_idx * (L % 3 + 2)) // 4)) % 251)
+                AS BIGINT) AS pixel_sum
+    FROM f
+"""
+QUERIES["mm_frames"] = q_mm_frames
+
+
+def q_wow_growth(spark, sf):
+    """Week-over-week growth per event type. Weeks are absolute epoch
+    buckets (floor(epoch/604800)) — calendar-week functions disagree
+    across engines (ISO vs US weeks), epoch arithmetic cannot. The first
+    week per type has NULL growth (nothing to compare against)."""
+    e = _events(spark, sf)
+    week = F.floor(F.unix_timestamp("ts") / F.lit(604800))
+    weekly = (
+        e.select(week.alias("week_bucket"), "event_type")
+        .groupBy("event_type", "week_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week_bucket")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week_bucket",
+        "n",
+        round4(
+            (F.col("n") - prev).cast("double") / prev.cast("double")
+        ).alias("wow_growth"),
+    )
+
+
+ORACLES["wow_growth"] = f"""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_bucket, n,
+           {R("CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY week_bucket) AS DOUBLE)"
+              " / CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week_bucket) AS DOUBLE)")}
+               AS wow_growth
+    FROM weekly
+"""
+QUERIES["wow_growth"] = q_wow_growth
+
+
+def q_equidepth_buckets(spark, sf):
+    """Equi-depth (decile) histogram of lineitem quantity — the scale-safe
+    formulation: exact decile boundaries from ONE tiny aggregate row,
+    broadcast back, bucket assigned map-side as a sum of comparisons.
+    (A global ntile() would sort the whole table through one reducer;
+    this plans as agg + broadcast + map — no global sort at any size.)"""
+    li = _t(spark, sf, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = li.agg(
+        *[
+            F.percentile("l_quantity", F.lit(q)).alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucketed = li.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + sum(
+                (
+                    F.when(F.col("l_quantity") > F.col(f"_b{i}"), 1).otherwise(0)
+                    for i in range(9)
+                ),
+                start=F.lit(0),
+            )
+        ).cast("int").alias("bucket"),
+        "l_quantity",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round4(F.min("l_quantity")).alias("min_q"),
+        round4(F.max("l_quantity")).alias("max_q"),
+    )
+
+
+ORACLES["equidepth_buckets"] = f"""
+    WITH b AS (
+      SELECT {", ".join(f"quantile_cont(l_quantity, {i/10.0}) AS _b{i-1}" for i in range(1, 10))}
+      FROM lineitem
+    )
+    SELECT CAST(1 + {" + ".join(f"(CASE WHEN l_quantity > _b{i} THEN 1 ELSE 0 END)" for i in range(9))}
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R("MIN(l_quantity)")} AS min_q,
+           {R("MAX(l_quantity)")} AS max_q
+    FROM lineitem, b
+    GROUP BY 1
+"""
+QUERIES["equidepth_buckets"] = q_equidepth_buckets
+
+
+def q_dedup_survivorship(spark, sf):
+    """Golden-record selection over near-dup clusters: every document in
+    the bounded scope gets a cluster (components over jaccard-0.5 pairs;
+    singletons are their own cluster), and each cluster elects a survivor
+    — longest text, ties to the smallest doc_id. The standard curation
+    step after near-dedup: keep one representative per duplicate group."""
+    from batch_processing_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    pairs = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.5)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labeled = (
+        d.select("doc_id", F.length("text").cast("long").alias("n_chars_s"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_s",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars_s"), F.asc("doc_id")
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .join(sizes, "cluster")
+        .select(
+            "cluster",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars_s").alias("survivor_chars"),
+            "n_members",
+        )
+    )
+
+
+ORACLES["dedup_survivorship"] = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(lower(trim(text))) - 1),
+                                          i -> substring(lower(trim(text)), i, 3))) AS sh
+      FROM documents
+      WHERE doc_id < 60 AND length(lower(trim(text))) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {R(_JACC)} >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON e.v = reach.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_s,
+             COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      WHERE d.doc_id < 60
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY n_chars_s DESC, doc_id ASC) AS rn
+      FROM labeled
+    )
+    SELECT r.cluster, r.doc_id AS survivor_doc_id,
+           r.n_chars_s AS survivor_chars, s.n_members
+    FROM ranked r
+    JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM labeled GROUP BY 1) s ON r.cluster = s.cluster
+    WHERE r.rn = 1
+"""
+QUERIES["dedup_survivorship"] = q_dedup_survivorship
