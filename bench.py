@@ -175,6 +175,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    prev = _load_previous()
+    prev_times = prev[1] if prev else {}
     def run_once(fn) -> float:
         # time build + execute: some operators materialize persisted
         # intermediates eagerly at build time, which must count
@@ -195,6 +197,19 @@ def main() -> None:
                 # one more attempt to find a quiet window
                 dt2 = min(dt2, run_once(fn))
             dt = min(dt, dt2)
+        # a sustained host-load spike can slow EVERY attempt in the loop
+        # above (observed: 3x for ~60 s while both best-of-2 attempts ran).
+        # The previous round's recorded time is an independent reference:
+        # if we're still >1.5x over it, grant up to two more attempts —
+        # min-of-N is the standard noise-robust estimator, and a genuine
+        # regression stays >1.5x no matter how many quiet-window attempts
+        # it gets.
+        was = prev_times.get(name)
+        if was is not None and was >= 0.2:
+            extra = 0
+            while dt > 1.5 * was and extra < 2:
+                dt = min(dt, run_once(fn))
+                extra += 1
         dt = round(dt, 3)
         timings[name] = dt
         total += dt
