@@ -1,0 +1,695 @@
+"""TPC-H query suite over the fixture star schema.
+
+The classic decision-support workload a user of the reference engine's
+relational surface would bring to 100 TB: multi-way star joins, correlated
+and scalar subqueries, exists/not-exists, group-filter-having, windowed
+argmax. Queries follow the official TPC-H formulations, adapted where the
+fixture schema trims a column (no ``partsupp`` table, no
+``l_shipmode/l_commitdate/l_receiptdate``, no ``c_phone/o_shippriority``);
+each adaptation is noted in the query's docstring.
+
+Scale notes (100 TB):
+* ``nation``/``region`` are constant-size (25/5 rows) — always broadcast
+  explicitly.
+* ``customer``/``part``/``supplier`` grow with SF — left to the planner:
+  at bench SF they broadcast via AQE; on a cluster their stats push the
+  join to shuffled-hash/sort-merge. Hard-coding ``broadcast()`` on them
+  would OOM executors at real scale, so the code deliberately does not.
+* Every aggregate is expressed on the DataFrame API so Catalyst plans
+  partial (map-side) aggregation before the exchange, and every filter is
+  a plain column predicate that pushes into the parquet scan.
+
+Floats that reach compared output go through the portable ``round4``
+formula (functions/rounding.py) on both the Spark and oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.catalog import table_path
+from batch_processing_pipeline_spark.functions.rounding import round4, sql_round4
+
+R = sql_round4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+def _rev():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+TPCH_QUERIES: dict = {}
+TPCH_ORACLES: dict[str, str] = {}
+
+
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1 pricing summary report — unmodified (all columns present).
+
+    One scan, map-side partial aggregation on a 6-group key; the shipdate
+    predicate pushes into the parquet scan.
+    """
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= _ts("2001-09-01"))
+    disc_price = _rev()
+    charge = _rev() * (F.lit(1.0) + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        round4(F.sum("l_quantity")).alias("sum_qty"),
+        round4(F.sum("l_extendedprice")).alias("sum_base_price"),
+        round4(F.sum(disc_price)).alias("sum_disc_price"),
+        round4(F.sum(charge)).alias("sum_charge"),
+        round4(F.avg("l_quantity")).alias("avg_qty"),
+        round4(F.avg("l_extendedprice")).alias("avg_price"),
+        round4(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+TPCH_ORACLES["tpch_q1"] = f"""
+    SELECT l_returnflag, l_linestatus,
+           {R("SUM(l_quantity)")}      AS sum_qty,
+           {R("SUM(l_extendedprice)")} AS sum_base_price,
+           {R(f"SUM({_REV_SQL})")}     AS sum_disc_price,
+           {R(f"SUM({_REV_SQL} * (CAST(1.0 AS DOUBLE) + l_tax))")} AS sum_charge,
+           {R("AVG(l_quantity)")}      AS avg_qty,
+           {R("AVG(l_extendedprice)")} AS avg_price,
+           {R("AVG(l_discount)")}      AS avg_disc,
+           COUNT(*)                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 shipping priority — adapted: no ``o_shippriority`` column and no
+    LIMIT 10 (the driver's compare is order-insensitive; the full group
+    set is the stronger check).
+
+    Both date predicates push into their scans BEFORE the joins, so only
+    the qualifying slice of orders/lineitem shuffles.
+    """
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < _ts("1998-01-01"))
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > _ts("1998-01-01"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round4(F.sum(_rev())).alias("revenue"))
+    )
+
+
+TPCH_ORACLES["tpch_q3"] = f"""
+    SELECT l.l_orderkey, o.o_orderdate, {R(f"SUM({_REV_SQL})")} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+"""
+
+
+def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 order priority checking — adapted: the fixture has no
+    ``l_commitdate``/``l_receiptdate``, so "late" is a lineitem shipped
+    more than 60 days after the order date.
+
+    The EXISTS is a left-semi join: lineitem rows never multiply the
+    orders side, and only (orderkey, shipdate) columns leave the scan.
+    """
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+TPCH_ORACLES["tpch_q4"] = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 local supplier volume — unmodified.
+
+    The c_nationkey = s_nationkey condition rides on the lineitem-supplier
+    join; nation/region broadcast (constant size at any SF).
+    """
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region").where(F.col("r_name") == "ASIA"))
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(round4(F.sum(_rev())).alias("revenue"))
+    )
+
+
+TPCH_ORACLES["tpch_q5"] = f"""
+    SELECT n.n_name, {R(f"SUM({_REV_SQL})")} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c ON o.o_custkey   = c.c_custkey
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+"""
+
+
+def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 forecasting revenue change — unmodified. Pure scan-side query:
+    every predicate pushes into parquet, one partial-agg exchange of a
+    single double."""
+    l = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= F.lit(0.05))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < F.lit(24.0))
+    )
+    return l.agg(
+        round4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue")
+    )
+
+
+TPCH_ORACLES["tpch_q6"] = f"""
+    SELECT {R("SUM(l_extendedprice * l_discount)")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24.0 AS DOUBLE)
+"""
+
+
+def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 volume shipping between two nations, both directions, by ship
+    year — unmodified. The nation pair filter applies to the broadcast
+    dimension rows, so the fact tables are only filtered by join."""
+    n1 = F.broadcast(_t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(_t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") <= _ts("1998-12-31"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("s_nk"))
+        .join(n2, c.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(round4(F.sum(_rev())).alias("revenue"))
+    )
+
+
+TPCH_ORACLES["tpch_q7"] = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {R(f"SUM({_REV_SQL})")} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-12-31'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+"""
+
+
+def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 national market share — adapted: ``p_type = 'PROMO'`` (the
+    fixture's type vocabulary is single-word).
+
+    The selective part filter drives the funnel: lineitem joins the
+    filtered part FIRST, so downstream joins see only promo lines.
+    """
+    p = _t(spark, sf, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    n1 = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region").where(F.col("r_name") == "AMERICA"))
+    n2 = F.broadcast(
+        _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") <= _ts("1998-12-31"))
+    )
+    l = _t(spark, sf, "lineitem")
+    vol = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == n1.n_nationkey)
+        .join(r, n1.n_regionkey == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            "nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    ) / F.sum("volume")
+    return vol.groupBy("o_year").agg(round4(share).alias("mkt_share"))
+
+
+TPCH_ORACLES["tpch_q8"] = f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL} AS volume, n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey  = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+    )
+    SELECT o_year,
+           {R("SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DOUBLE) END) / SUM(volume)")}
+               AS mkt_share
+    FROM vol GROUP BY o_year
+"""
+
+
+def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 product-type profit — adapted: the fixture has no ``partsupp``,
+    so supply cost is modeled as ``0.6 × p_retailprice`` per unit.
+
+    Part-name filter prunes part before the fact join; profit is computed
+    per line map-side and partially aggregated before the exchange.
+    """
+    p = _t(spark, sf, "part").where(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = F.broadcast(_t(spark, sf, "nation"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf, "lineitem")
+    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(round4(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+TPCH_ORACLES["tpch_q9"] = f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {R(f"SUM({_REV_SQL} - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity)")}
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey  = p.p_partkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+"""
+
+
+def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 returned-item reporting — adapted: no ``c_address``/``c_phone``
+    columns, no LIMIT 20 (order-insensitive compare; full set checked)."""
+    n = F.broadcast(_t(spark, sf, "nation"))
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-07-01"))
+        & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    l = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("c_acctbal"), "n_name")
+        .agg(round4(F.sum(_rev())).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            round4(F.col("c_acctbal")).alias("acctbal"),
+            "n_name",
+            "revenue",
+        )
+    )
+
+
+TPCH_ORACLES["tpch_q10"] = f"""
+    SELECT c.c_custkey, c.c_name, {R("c.c_acctbal")} AS acctbal, n.n_name,
+           {R(f"SUM({_REV_SQL})")} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+"""
+
+
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 customer order-count distribution — adapted: the excluded-
+    comment predicate becomes an order-priority exclusion (no o_comment
+    column). Two-level aggregation; the outer one is tiny."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+TPCH_ORACLES["tpch_q13"] = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 promotion effect — adapted: promo test is ``p_type = 'PROMO'``
+    (single-word type vocabulary). Scalar result."""
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(round4(F.lit(100.0) * promo / F.sum(_rev())).alias("promo_revenue"))
+    )
+
+
+TPCH_ORACLES["tpch_q14"] = f"""
+    SELECT {R(f"CAST(100.0 AS DOUBLE) * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0.0 AS DOUBLE) END) / SUM({_REV_SQL})")}
+               AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 top supplier — revenue per supplier in a quarter, keep the
+    max-revenue supplier(s).
+
+    The argmax compares ROUNDED revenues (both engines round first): the
+    raw doubles differ in the last ulp across engines because their
+    partial-sum orders differ, and a tie at the true max must not break
+    differently. Window-max avoids a second scan of lineitem.
+    """
+    l = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(round4(F.sum(_rev())).alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("_mx", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    s = _t(spark, sf, "supplier")
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+TPCH_ORACLES["tpch_q15"] = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {R(f"SUM({_REV_SQL})")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 small-quantity-order revenue — adapted: the container predicate
+    becomes ``p_size <= 5`` (no p_container column).
+
+    The correlated AVG subquery is a per-part pre-aggregation joined back
+    — one extra shuffle of (partkey, avg) pairs instead of a re-scan per
+    row, which is the scalable formulation of a correlated subquery.
+    """
+    p = _t(spark, sf, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    l = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part_avg = l.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("avg_pk"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(round4(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+TPCH_ORACLES["tpch_q17"] = f"""
+    SELECT {R("SUM(l.l_extendedprice) / CAST(7.0 AS DOUBLE)")} AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
+      AND l.l_quantity < (
+        SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 large-volume customers — threshold 250 (the fixture's order
+    size distribution tops out near 458; 250 selects the same ~top-2%% the
+    official 300-of-7-lines threshold does).
+
+    The HAVING pre-aggregation is a semi-join driver: only qualifying
+    orderkeys reach the 3-way join.
+    """
+    l = _t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > F.lit(250.0))
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round4(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            round4(F.col("o_totalprice")).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+TPCH_ORACLES["tpch_q18"] = f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           {R("o.o_totalprice")} AS totalprice, {R("SUM(l.l_quantity)")} AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > CAST(250.0 AS DOUBLE)
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 discounted revenue — adapted: OR-of-three (brand, size-range,
+    quantity-range) branches; the shipmode/shipinstruct legs don't exist
+    in the fixture.
+
+    The disjunction references both sides, so it stays a residual on the
+    partkey equi-join — Catalyst still extracts the equi-key.
+    """
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1.0, 11.0)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10.0, 20.0)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20.0, 30.0)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(b1 | b2 | b3)
+        .agg(round4(F.sum(_rev())).alias("revenue"))
+    )
+
+
+TPCH_ORACLES["tpch_q19"] = f"""
+    SELECT {R(f"SUM({_REV_SQL})")} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN CAST(1.0 AS DOUBLE) AND CAST(11.0 AS DOUBLE))
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN CAST(10.0 AS DOUBLE) AND CAST(20.0 AS DOUBLE))
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN CAST(20.0 AS DOUBLE) AND CAST(30.0 AS DOUBLE))
+"""
+
+
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 global sales opportunity — adapted: country code is
+    ``c_nationkey`` (no c_phone column); candidate codes are the odd
+    nationkeys below 14.
+
+    The AVG threshold is one broadcast row; the NOT EXISTS is an
+    anti-join — both scale-safe. Threshold comparison uses the raw
+    double: both engines average the identical value set (sub-ulp
+    divergence only; acctbals are cents-valued, far from the boundary).
+    "No orders" is "no orders since 2000-06-01" — every fixture customer
+    has SOME order, which would make the official predicate vacuous.
+    """
+    c = _t(spark, sf, "customer").where(
+        F.col("c_nationkey").isin([1, 3, 5, 7, 9, 11, 13])
+    )
+    avg_bal = c.where(F.col("c_acctbal") > F.lit(0.0)).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= _ts("2000-06-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+TPCH_ORACLES["tpch_q22"] = f"""
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           {R("SUM(c.c_acctbal)")} AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_acctbal > CAST(0.0 AS DOUBLE)
+          AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY c.c_nationkey
+"""
+
+
+for _name in list(globals()):
+    if _name.startswith("tpch_q") and callable(globals()[_name]):
+        TPCH_QUERIES[_name] = globals()[_name]

@@ -2869,3 +2869,15 @@ ORACLES["dedup_survivorship"] = f"""
     WHERE r.rn = 1
 """
 QUERIES["dedup_survivorship"] = q_dedup_survivorship
+
+
+# ------------------------------------------------------------------ TPC-H
+# The classic decision-support suite (plans/tpch.py), adapted to the
+# fixture schema where columns are trimmed; see module docstring there.
+from batch_processing_pipeline_spark.plans.tpch import (  # noqa: E402
+    TPCH_ORACLES,
+    TPCH_QUERIES,
+)
+
+QUERIES.update(TPCH_QUERIES)
+ORACLES.update(TPCH_ORACLES)
