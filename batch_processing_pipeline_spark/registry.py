@@ -2881,3 +2881,331 @@ from batch_processing_pipeline_spark.plans.tpch import (  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 ORACLES.update(TPCH_ORACLES)
+
+
+def q_perplexity(spark, sf):
+    """Unigram language-model perplexity per document (bits/token): train
+    word probabilities on the corpus itself, score each document by the
+    mean negative log2 probability of its tokens — the classic
+    quality/novelty signal for pretraining-data curation.
+
+    Scale shape: one token explode feeds BOTH the vocabulary aggregate and
+    the scoring join; the corpus total is a single broadcast row. The
+    vocab join is an equi-join on the token string — at 100 TB the vocab
+    relation is Zipf-compact (≪ corpus) and AQE picks broadcast vs
+    shuffled-hash from its measured size.
+    """
+    d = _t(spark, sf, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    toks = (
+        d.select("doc_id", F.split(s, r"\s+").alias("t"))
+        .where((F.size("t") >= 1) & (F.length(F.trim(F.col("text"))) > 0))
+        .select("doc_id", F.explode("t").alias("w"))
+        .where(F.length("w") > 0)
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    scored = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round4(
+                F.avg(-F.log2(F.col("n_w").cast("double") / F.col("n_total")))
+            ).alias("ppl_bits"),
+        )
+    )
+    return scored
+
+
+ORACLES["perplexity"] = rf"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), toks AS (
+      SELECT doc_id, w FROM tk WHERE length(w) > 0
+    ), vocab AS (
+      SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w
+    ), total AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           {R("AVG(-log2(CAST(v.n_w AS DOUBLE) / tt.n_total))")} AS ppl_bits
+    FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN total tt
+    GROUP BY t.doc_id
+"""
+QUERIES["perplexity"] = q_perplexity
+
+
+def q_pmi_collocations(spark, sf):
+    """Pointwise-mutual-information collocations: adjacent word pairs that
+    co-occur far more than their unigram frequencies predict (PMI =
+    log2(p(ab) / (p(a)·p(b)))), min pair count 5 — the standard
+    phrase-mining signal.
+
+    One tokenization pass feeds unigram counts, pair counts, and the two
+    scalar totals (broadcast rows); everything else is equi-joins on the
+    word strings.
+    """
+    d = _t(spark, sf, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    tok = (
+        d.select(F.split(s, r"\s+").alias("t"))
+        .where(F.length(F.trim(F.col("text"))) > 0)
+    )
+    uni = (
+        tok.select(F.explode("t").alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_words = uni.agg(F.sum("n").cast("double").alias("nw"))
+    pairs = (
+        tok.where(F.size("t") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"), "t"
+        )
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + F.lit(1)).alias("w2"),
+        )
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    n_pairs = (
+        tok.where(F.size("t") >= 2)
+        .select((F.size("t") - F.lit(1)).cast("long").alias("k"))
+        .agg(F.sum("k").cast("double").alias("np"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    pmi = F.log2(
+        (F.col("n_ab").cast("double") / F.col("np"))
+        / (
+            (F.col("n_a").cast("double") / F.col("nw"))
+            * (F.col("n_b").cast("double") / F.col("nw"))
+        )
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_words))
+        .crossJoin(F.broadcast(n_pairs))
+        .select("w1", "w2", "n_ab", round4(pmi).alias("pmi"))
+    )
+
+
+ORACLES["pmi_collocations"] = rf"""
+    WITH tk AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), uni AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(t) AS w FROM tk
+      ) WHERE length(w) > 0 GROUP BY w
+    ), nw AS (SELECT CAST(SUM(n) AS DOUBLE) AS nw FROM uni),
+    pr AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM tk WHERE len(t) >= 2)
+    ), pairs AS (
+      SELECT w1, w2, COUNT(*) AS n_ab FROM pr
+      WHERE length(w1) > 0 AND length(w2) > 0
+      GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ), np AS (
+      SELECT CAST(SUM(len(t) - 1) AS DOUBLE) AS np FROM tk WHERE len(t) >= 2
+    )
+    SELECT p.w1, p.w2, p.n_ab,
+           {R("log2((CAST(p.n_ab AS DOUBLE) / np.np)"
+              " / ((CAST(a.n AS DOUBLE) / nw.nw) * (CAST(b.n AS DOUBLE) / nw.nw)))")}
+               AS pmi
+    FROM pairs p
+    JOIN uni a ON p.w1 = a.w
+    JOIN uni b ON p.w2 = b.w
+    CROSS JOIN nw CROSS JOIN np
+"""
+QUERIES["pmi_collocations"] = q_pmi_collocations
+
+
+def q_doc_keywords(spark, sf):
+    """Top-3 keywords per document by TF-IDF (idf = ln((D+1)/(df+1)) + 1,
+    ties to the lexicographically smaller term) — per-document keyword
+    extraction, the argmax companion to the corpus-level ``tfidf`` query.
+    """
+    d = _t(spark, sf, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    toks = (
+        d.select("doc_id", F.split(s, r"\s+").alias("t"))
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.explode("t").alias("w"))
+        .where(F.length("w") > 0)
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    idf = F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0))
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "w", (F.col("tf").cast("double") * idf).alias("score"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "w",
+                round4(F.col("score")).alias("score"))
+    )
+
+
+ORACLES["doc_keywords"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE length(w) > 0
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+      WHERE length(trim(text)) > 0
+    ), scored AS (
+      SELECT tf.doc_id, tf.w,
+             CAST(tf.tf AS DOUBLE)
+               * (ln((nd.n_docs + CAST(1.0 AS DOUBLE))
+                     / (CAST(df.df AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  + CAST(1.0 AS DOUBLE)) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN nd
+    ), ranked AS (
+      SELECT doc_id, w, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, w ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, w, {R("score")} AS score
+    FROM ranked WHERE rk <= 3
+"""
+QUERIES["doc_keywords"] = q_doc_keywords
+
+
+def q_rfm_scores(spark, sf):
+    """RFM customer segmentation: recency (days since last order, against
+    the corpus max date), frequency (order count), monetary (total spend),
+    each scored 1–3 by equi-depth terciles.
+
+    The tercile boundaries come from ONE tiny aggregate row broadcast back
+    (same no-global-sort shape as ``equidepth_buckets``); scoring is a
+    map-side sum of comparisons.
+    """
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").cast("long").alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    bounds = rfm.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"_{c}{i}")
+            for c in ("recency_days", "freq", "monetary")
+            for i, q in ((1, 1 / 3), (2, 2 / 3))
+        ]
+    )
+    def score(c):
+        return (
+            F.lit(1)
+            + F.when(F.col(c) > F.col(f"_{c}1"), 1).otherwise(0)
+            + F.when(F.col(c) > F.col(f"_{c}2"), 1).otherwise(0)
+        ).cast("int")
+    return rfm.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "freq",
+        round4(F.col("monetary")).alias("monetary"),
+        # low recency = GOOD, so the r score inverts the tercile
+        (F.lit(4) - score("recency_days")).cast("int").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+
+
+ORACLES["rfm_scores"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS freq, SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_order, max_date) AS BIGINT) AS recency_days,
+             freq, monetary
+      FROM per_cust CROSS JOIN anchor
+    ), b AS (
+      SELECT quantile_cont(recency_days, 1.0/3) AS r1, quantile_cont(recency_days, 2.0/3) AS r2,
+             quantile_cont(freq, 1.0/3)         AS f1, quantile_cont(freq, 2.0/3)         AS f2,
+             quantile_cont(monetary, 1.0/3)     AS m1, quantile_cont(monetary, 2.0/3)     AS m2
+      FROM rfm
+    )
+    SELECT o_custkey, recency_days, freq, {R("monetary")} AS monetary,
+           CAST(4 - (1 + (CASE WHEN recency_days > r1 THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END)) AS INTEGER) AS r_score,
+           CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) AS INTEGER) AS f_score,
+           CAST(1 + (CASE WHEN monetary > m1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > m2 THEN 1 ELSE 0 END) AS INTEGER) AS m_score
+    FROM rfm CROSS JOIN b
+"""
+QUERIES["rfm_scores"] = q_rfm_scores
+
+
+def q_hopping_window(spark, sf):
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes over the event stream — each event lands in exactly two
+    windows. Uses Spark's native ``window()`` (epoch-aligned); the oracle
+    reproduces the window membership arithmetically.
+
+    Scale shape: windowing is a map-side struct projection (a 2× row
+    expansion), then an ordinary partial-agg shuffle on (window, type).
+    """
+    e = _events(spark, sf)
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), round4(F.sum("value")).alias("sv"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("w_start"),
+            "event_type",
+            "n",
+            "sv",
+        )
+    )
+
+
+ORACLES["hopping_window"] = f"""
+    WITH hopped AS (
+      SELECT (CAST(floor(floor(epoch(ts)) / 1800) AS BIGINT) - k.k) * 1800
+                 AS w_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    SELECT w_start, event_type, COUNT(*) AS n, {R("SUM(value)")} AS sv
+    FROM hopped GROUP BY w_start, event_type
+"""
+QUERIES["hopping_window"] = q_hopping_window

@@ -66,6 +66,11 @@ HEADLINE = [
     "time_rollup",
     "doc_chunk",
     "skew_join",
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q9",
+    "perplexity",
+    "hopping_window",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings
     "text_fingerprint",
