@@ -3209,3 +3209,143 @@ ORACLES["hopping_window"] = f"""
     FROM hopped GROUP BY w_start, event_type
 """
 QUERIES["hopping_window"] = q_hopping_window
+
+
+def q_embed_centroid_dist(spark, sf):
+    """Distance of every vector to its LABEL's centroid — the standard
+    embedding-space outlier/mislabel signal for curation.
+
+    Scale shape (the codegen bulk formulation, same as ivf.assign_cells_bulk):
+    one posexplode to (id, label, dim, v), a (label, dim) partial-agg for
+    centroids, an equi-join back on (label, dim), and a map-side-combining
+    SUM of squared diffs per id. No interpreted array lambdas touch the
+    corpus; everything is whole-stage codegen.
+    """
+    e = _t(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    cents = dims.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        dims.join(cents, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            round4(
+                F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))))
+            ).alias("dist")
+        )
+    )
+
+
+ORACLES["embed_centroid_dist"] = f"""
+    WITH dims AS (
+      SELECT vec_id, label, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+    ), cents AS (
+      SELECT label, pos, AVG(v) AS c FROM dims GROUP BY label, pos
+    )
+    SELECT d.vec_id, d.label,
+           {R("sqrt(SUM((d.v - c.c) * (d.v - c.c)))")} AS dist
+    FROM dims d JOIN cents c ON d.label = c.label AND d.pos = c.pos
+    GROUP BY d.vec_id, d.label
+"""
+QUERIES["embed_centroid_dist"] = q_embed_centroid_dist
+
+
+def q_kmeans_assign(spark, sf):
+    """Deterministic k-means (k=4, 2 unrolled Lloyd iterations, init = the
+    k lowest vec_ids): the coarse-quantizer training step made
+    oracle-checkable — unlike ``ivf``'s pyspark.ml path (seeded but
+    engine-specific), every step here is reproducible arithmetic.
+
+    Per-point assignment folds squared L2 in FIXED dim order
+    (ivf.assign_cells) so both engines compare bit-identical distances;
+    the k×64 centroid matrix is collected to the driver between rounds —
+    the standard k-means driver loop; at corpus scale the same collect is
+    done from a training SAMPLE (ivf.train_centroids) and assignment uses
+    the codegen bulk path (ivf.assign_cells_bulk).
+    """
+    from batch_processing_pipeline_spark.operators.ivf import assign_cells
+
+    k = 4
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    init = [
+        [float(x) for x in r.embedding]
+        for r in e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def next_centroids(assigned):
+        rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.c
+        return [
+            [by_cluster[cl][p] for p in range(64)] for cl in sorted(by_cluster)
+        ]
+
+    a1 = assign_cells(e, init, out_col="_cells").select(
+        "vec_id", "embedding", F.element_at("_cells", 1).alias("cluster")
+    )
+    c1 = next_centroids(a1)
+    a2 = assign_cells(e, c1, out_col="_cells").select(
+        "vec_id", F.element_at("_cells", 1).cast("int").alias("cluster")
+    )
+    return a2
+
+
+def _kmeans_oracle() -> str:
+    # fixed-order squared-L2 fold: explicit left-to-right 64-term chain,
+    # the same IEEE addition order as ivf.assign_cells's aggregate() fold
+    d2 = " + ".join(
+        f"(CAST(a.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        f" * (CAST(a.embedding[{i}] AS DOUBLE) - c.cent[{i}])"
+        for i in range(1, 65)
+    )
+    return f"""
+    WITH init AS (
+      SELECT vec_id AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < 4
+    ), d1 AS (
+      SELECT a.vec_id, c.cluster, {d2} AS dist
+      FROM embeddings a CROSS JOIN init c
+    ), a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), dims AS (
+      SELECT a1.cluster, p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings e
+      JOIN a1 ON e.vec_id = a1.vec_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+    ), cents1 AS (
+      SELECT cluster, list(c ORDER BY pos) AS cent FROM (
+        SELECT cluster, pos, AVG(v) AS c FROM dims GROUP BY cluster, pos
+      ) GROUP BY cluster
+    ), d2_ AS (
+      SELECT a.vec_id, c.cluster, {d2} AS dist
+      FROM embeddings a CROSS JOIN (
+        SELECT ROW_NUMBER() OVER (ORDER BY cluster) - 1 AS cluster, cent
+        FROM cents1
+      ) c
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cluster ASC) AS rn
+      FROM d2_
+    ) WHERE rn = 1
+"""
+
+
+ORACLES["kmeans_assign"] = _kmeans_oracle()
+QUERIES["kmeans_assign"] = q_kmeans_assign
