@@ -3349,3 +3349,35 @@ def _kmeans_oracle() -> str:
 
 ORACLES["kmeans_assign"] = _kmeans_oracle()
 QUERIES["kmeans_assign"] = q_kmeans_assign
+
+
+def q_zorder_key(spark, sf):
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) — the
+    layout key ``operators/maintenance.write_zordered`` sorts by. Pure
+    long bit-interleaving (codegen; no UDF); the oracle re-derives every
+    bit position arithmetically, so any interleave bug breaks the match.
+    """
+    from batch_processing_pipeline_spark.operators.maintenance import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(["l_partkey", "l_suppkey"], bits=16).alias("z"),
+    )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for j, col in enumerate(("l_partkey", "l_suppkey")):
+        for i in range(16):
+            terms.append(f"(((({col} & 65535) >> {i}) & 1) << {i * 2 + j})")
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({" + ".join(terms)} AS BIGINT) AS z
+    FROM lineitem
+"""
+
+
+ORACLES["zorder_key"] = _zorder_oracle()
+QUERIES["zorder_key"] = q_zorder_key
