@@ -3381,3 +3381,94 @@ def _zorder_oracle() -> str:
 
 ORACLES["zorder_key"] = _zorder_oracle()
 QUERIES["zorder_key"] = q_zorder_key
+
+
+def q_mad_outliers(spark, sf):
+    """Robust outlier flagging via median absolute deviation: per event
+    type, score = |v - median| / (1.4826 x MAD); keep score > 3. Unlike the
+    z-score query (``outliers``), a few extreme values cannot inflate the
+    threshold and mask each other — the robust-statistics companion.
+
+    Two percentile aggregates (median, then MAD) — each is a tiny
+    per-group row broadcast back; the corpus passes stay map-side.
+    """
+    e = _events(spark, sf).select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    withmed = e.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    score = round4(
+        F.abs(F.col("value") - F.col("med"))
+        / (F.lit(1.4826) * F.col("mad"))
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > F.lit(0.0))
+        .select("event_id", "event_type", round4(F.col("value")).alias("value"),
+                score.alias("score"))
+        .where(F.col("score") > F.lit(3.0))
+    )
+
+
+ORACLES["mad_outliers"] = f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), withmed AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM withmed GROUP BY event_type
+    )
+    SELECT event_id, w.event_type, {R("value")} AS value,
+           {R("abs(value - med) / (CAST(1.4826 AS DOUBLE) * mad)")} AS score
+    FROM withmed w JOIN mad d ON w.event_type = d.event_type
+    WHERE d.mad > CAST(0.0 AS DOUBLE)
+      AND {R("abs(value - med) / (CAST(1.4826 AS DOUBLE) * mad)")}
+            > CAST(3.0 AS DOUBLE)
+"""
+QUERIES["mad_outliers"] = q_mad_outliers
+
+
+def q_edit_distance_pairs(spark, sf):
+    """Bounded-scope Levenshtein similarity pairs (40-char prefixes of the
+    first 40 documents, distance <= 20): the exact-edit-distance oracle for
+    the scale path — at corpus scale the deletion-neighborhood join
+    (``operators/fuzzy.py``) generates candidates and exact Levenshtein
+    verifies only those; this query pins the verifier's semantics
+    cross-engine (insert/delete/substitute all cost 1 in both)."""
+    d = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.trim("text")), 1, 40).alias("s"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= 20)
+    )
+
+
+ORACLES["edit_distance_pairs"] = """
+    WITH d AS (
+      SELECT doc_id, substring(lower(trim(text)), 1, 40) AS s
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 20
+"""
+QUERIES["edit_distance_pairs"] = q_edit_distance_pairs
