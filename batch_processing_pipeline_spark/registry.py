@@ -3390,7 +3390,10 @@ def q_mad_outliers(spark, sf):
     threshold and mask each other — the robust-statistics companion.
 
     Two percentile aggregates (median, then MAD) — each is a tiny
-    per-group row broadcast back; the corpus passes stay map-side.
+    per-group row broadcast back; the corpus passes stay map-side. Exact
+    percentile buffers each group's values: right at oracle scale; at
+    100 TB-per-type swap the two aggregates to ``approx_percentile``
+    (KLL sketch, bounded memory) — the plan shape is unchanged.
     """
     e = _events(spark, sf).select("event_id", "event_type", "value")
     med = e.groupBy("event_type").agg(
