@@ -3475,3 +3475,63 @@ ORACLES["edit_distance_pairs"] = """
     WHERE levenshtein(a.s, b.s) <= 20
 """
 QUERIES["edit_distance_pairs"] = q_edit_distance_pairs
+
+
+def q_bpe_merge_candidates(spark, sf):
+    """One BPE vocabulary-induction step: count adjacent symbol pairs
+    across the corpus (weighted by word frequency — BPE's training
+    statistic) and rank the top-20 merge candidates. The tokenizer-
+    training companion to ``bpe_ish_token_count``'s APPLICATION of a
+    merge table.
+
+    Scale shape: word counts aggregate first (Zipf-compact relation), so
+    the pair explode runs over distinct words x their lengths, not over
+    every corpus token occurrence.
+    """
+    d = _t(spark, sf, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    words = (
+        d.select(F.explode(F.split(s, r"\s+")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        words.select(
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1))
+            ).alias("i"),
+            "w",
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    wr = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 20)
+        .select(F.col("rk").cast("int").alias("rk"), "pair", "cnt")
+    )
+
+
+ORACLES["bpe_merge_candidates"] = r"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n
+      FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM words)
+    ), counts AS (
+      SELECT pair, SUM(n) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, pair, cnt FROM (
+      SELECT pair, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+      FROM counts
+    ) WHERE rk <= 20
+"""
+QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
