@@ -3535,3 +3535,71 @@ ORACLES["bpe_merge_candidates"] = r"""
     ) WHERE rk <= 20
 """
 QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
+
+
+def q_pandas_grouped_agg(spark, sf):
+    """Arrow-batched grouped-aggregate pandas UDF: per-event-type geometric
+    mean of (1 + |value|). Demonstrates the GROUPED_AGG Arrow path — the
+    escape hatch for aggregations Spark lacks natively — on a bounded
+    per-group payload; the oracle recomputes it as exp(avg(ln(x))).
+
+    Scale note: a grouped-agg pandas UDF ships each group's column to ONE
+    python worker (no partial aggregation) — correct tool for modest
+    group cardinality x bounded group size; for billion-row groups,
+    reformulate as exp(AVG(LN(x))) which partial-aggregates (that twin IS
+    this oracle).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log1p(v.abs()).mean()))
+
+    e = _events(spark, sf).select("event_type", "value")
+    return e.groupBy("event_type").agg(
+        round4(geo_mean("value")).alias("geo_mean")
+    )
+
+
+ORACLES["pandas_grouped_agg"] = f"""
+    SELECT event_type,
+           {R("exp(AVG(ln(CAST(1.0 AS DOUBLE) + abs(value))))")} AS geo_mean
+    FROM events GROUP BY event_type
+"""
+QUERIES["pandas_grouped_agg"] = q_pandas_grouped_agg
+
+
+def q_quality_lr_scores(spark, sf):
+    """ML quality-classifier stage (functions/quality_model.py): train the
+    seeded logistic regression to separate clean fixture text from a
+    constructed corrupted twin (punctuation junk + stopword stripping — the
+    same ground-truth scheme test_quality_model uses), then score the clean
+    corpus. Declared rows-only: L-BFGS coefficient floats are
+    engine-specific, so no SQL oracle exists; determinism and separability
+    are pinned in tests instead."""
+    from batch_processing_pipeline_spark.functions.quality_model import (
+        score_quality,
+        train_quality_lr,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    corrupted = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace("text", r"\b(the|a|of|and|in|to)\b", ""),
+            F.lit(" !!! ### $$$ %%% &&& *** !!!"),
+        ).alias("text"),
+    )
+    train = (
+        d.withColumn("label", F.lit(0.0))
+        .unionByName(corrupted.withColumn("label", F.lit(1.0)))
+    )
+    model = train_quality_lr(train, "label")
+    return score_quality(model, d, keep_cols=("doc_id",)).select(
+        "doc_id", (F.col("quality_prob") > 0.5).cast("int").alias("flag_noisy")
+    )
+
+
+ORACLES["quality_lr_scores"] = None
+QUERIES["quality_lr_scores"] = q_quality_lr_scores
