@@ -1,0 +1,89 @@
+"""Empty- and degenerate-input behavior of the main operators.
+
+A 100 TB pipeline hits empty slices constantly (an hour with no logs, a
+partition with no survivors, a filter that eliminates a batch); operators
+must return EMPTY WITH THE RIGHT SCHEMA, not throw — downstream unions
+and writes depend on it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+)
+from batch_processing_pipeline_spark.operators.prefix import (
+    expand_prefixes,
+    normalize_queries,
+)
+from batch_processing_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+)
+from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+def test_dedup_ops_on_empty_input(spark):
+    e = _empty_docs(spark)
+    assert exact_dedup(e, text_col="text").count() == 0
+    assert minhash_lsh_dedup(e).count() == 0
+    assert ngram_jaccard_pairs(e, shingle_n=3, threshold=0.5).count() == 0
+
+
+def test_prefix_pipeline_on_empty_input(spark):
+    raw = spark.createDataFrame([], T.StructType([T.StructField("value", T.StringType())]))
+    norm = normalize_queries(raw)
+    assert norm.count() == 0
+    fanned = expand_prefixes(norm.select(F.col("query")), max_len=8)
+    assert fanned.count() == 0
+    assert "prefix" in fanned.columns
+
+
+def test_topk_on_empty_input(spark):
+    df = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("v", T.LongType()),
+            ]
+        ),
+    )
+    out = top_k_per_group(df, group_cols=["g"], order_by=[F.desc("v")], k=3)
+    assert out.count() == 0
+
+
+def test_sampling_on_empty_input(spark):
+    e = _empty_docs(spark)
+    assert deterministic_sample(e, key_col="doc_id", fraction=0.5).count() == 0
+
+
+def test_dedup_single_row_and_whitespace_only(spark):
+    one = spark.createDataFrame([(1, "hello world")], DOC_SCHEMA)
+    assert minhash_lsh_dedup(one).count() == 0  # no pair with itself
+    blank = spark.createDataFrame([(1, "   "), (2, "")], DOC_SCHEMA)
+    # whitespace-only docs are shorter than a shingle: filtered, not crashed
+    assert minhash_lsh_dedup(blank).count() == 0
+    assert ngram_jaccard_pairs(blank, shingle_n=3, threshold=0.5).count() == 0
+
+
+def test_expand_prefixes_respects_short_strings(spark):
+    df = spark.createDataFrame([("a",), ("ab",), ("abc",)], "query string")
+    out = expand_prefixes(df, max_len=8).collect()
+    # length-1 never fans out (min prefix len 2); "ab"→1, "abc"→2
+    got = sorted(r.prefix for r in out)
+    assert got == ["ab", "ab", "abc"]
