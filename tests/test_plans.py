@@ -104,3 +104,29 @@ def test_doc_chunk_is_shuffle_free(spark, sf_dir):
     """Chunking is a map-side explode — no exchange in the plan."""
     plan = _plan(spark, sf_dir, "doc_chunk")
     assert "Exchange" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Planner control surface: per-join strategy hints. At 100 TB the
+    ability to pin a join strategy (broadcast a dim AQE mis-sizes, force
+    shuffled-hash where sort would spill) is an operational lever — verify
+    Spark honors all three on this build."""
+    from batch_processing_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    cases = [
+        ("BROADCAST(c)", "BroadcastHashJoin"),
+        ("MERGE(o)", "SortMergeJoin"),
+        ("SHUFFLE_HASH(o)", "ShuffledHashJoin"),
+    ]
+    for hint, op in cases:
+        plan = (
+            spark.sql(
+                f"SELECT /*+ {hint} */ c.c_mktsegment, o.o_totalprice "
+                "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert op in plan, (hint, op)
