@@ -91,3 +91,77 @@ def run_bucketed_batch(
         )
     save_state_bucketed(merged, out_table, buckets=buckets)
     return spark.table(out_table)
+
+
+def merge_aggregates(
+    state: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    sums: tuple[str, ...] = (),
+    mins: tuple[str, ...] = (),
+    maxs: tuple[str, ...] = (),
+    latest: tuple[str, ...] = (),
+    ts_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Generalized mergeable-aggregate state merge: ``state' = state ⟗ delta``.
+
+    Each aggregate kind is a commutative/associative merge, so the result
+    is independent of how history was batched — merging any partitioning
+    of the input equals one global aggregate (asserted cross-engine by the
+    ``incremental_agg`` oracle query):
+
+    * ``sums`` — ``coalesce(s,0) + coalesce(d,0)`` (counts are sums of 1s)
+    * ``mins`` / ``maxs`` — ``least`` / ``greatest`` (both null-skipping)
+    * ``latest`` — last-writer-wins on ``(ts_col, id_col)``; the state
+      carries the winning timestamp/id forward so later merges stay
+      correct. ``id_col`` breaks timestamp ties deterministically.
+
+    AVG-style aggregates must be carried as (sum, count) pairs and divided
+    at read time — a stored quotient is NOT mergeable; that decomposition
+    is the caller's (deliberate) job.
+
+    Both inputs must already be aggregated to one row per key (the shape
+    a batch pre-aggregation or previous merge emits). With state bucketed
+    on ``keys`` (save_state_bucketed), only the delta shuffles.
+    """
+    if latest and (ts_col is None or id_col is None):
+        raise ValueError("latest columns need ts_col and id_col")
+    if state is None:
+        return delta
+    meta = [c for c in ([ts_col, id_col] if latest else []) if c]
+    s = state.select(
+        *keys,
+        *[F.col(c).alias(f"_s_{c}") for c in (*sums, *mins, *maxs, *latest, *meta)],
+    )
+    d = delta.select(
+        *keys,
+        *[F.col(c).alias(f"_d_{c}") for c in (*sums, *mins, *maxs, *latest, *meta)],
+    )
+    j = s.join(d, keys, "full_outer")
+    out = [*keys]
+    for c in sums:
+        out.append(
+            (
+                F.coalesce(F.col(f"_s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    for c in mins:
+        out.append(F.least(F.col(f"_s_{c}"), F.col(f"_d_{c}")).alias(c))
+    for c in maxs:
+        out.append(F.greatest(F.col(f"_s_{c}"), F.col(f"_d_{c}")).alias(c))
+    if latest:
+        # delta wins iff it exists and (its key is newer or state is absent)
+        d_wins = F.col(f"_d_{ts_col}").isNotNull() & (
+            F.col(f"_s_{ts_col}").isNull()
+            | (
+                F.struct(F.col(f"_d_{ts_col}"), F.col(f"_d_{id_col}"))
+                > F.struct(F.col(f"_s_{ts_col}"), F.col(f"_s_{id_col}"))
+            )
+        )
+        for c in (*latest, *meta):
+            out.append(
+                F.when(d_wins, F.col(f"_d_{c}")).otherwise(F.col(f"_s_{c}")).alias(c)
+            )
+    return j.select(*out)

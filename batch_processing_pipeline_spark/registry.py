@@ -3603,3 +3603,76 @@ def q_quality_lr_scores(spark, sf):
 
 ORACLES["quality_lr_scores"] = None
 QUERIES["quality_lr_scores"] = q_quality_lr_scores
+
+
+def q_incremental_agg(spark, sf):
+    """Incremental-merge correctness, oracle-proven: split events into two
+    'daily batches' (epoch-day parity), pre-aggregate each, merge with the
+    generalized mergeable-aggregate state merge
+    (operators/state_store.merge_aggregates: sum/min/max/last-writer-wins),
+    and emit the merged state. The oracle computes the SAME aggregates in
+    one pass over all events — any non-commutative/non-associative merge
+    bug (the reference's H1 double-count class) breaks the match.
+    """
+    from batch_processing_pipeline_spark.operators.state_store import (
+        merge_aggregates,
+    )
+
+    e = _events(spark, sf).select(
+        "event_id", "event_type", "ts", "value",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("_day"),
+    )
+
+    def batch_agg(df):
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        last = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("event_type", F.col("value").alias("last_value"), "ts", "event_id")
+        )
+        agg = df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        return agg.join(last, "event_type")
+
+    b1 = batch_agg(e.where(F.col("_day") % 2 == 0))
+    b2 = batch_agg(e.where(F.col("_day") % 2 == 1))
+    merged = merge_aggregates(
+        b1,
+        b2,
+        keys=["event_type"],
+        sums=("n", "sv"),
+        mins=("mn",),
+        maxs=("mx",),
+        latest=("last_value",),
+        ts_col="ts",
+        id_col="event_id",
+    )
+    return merged.select(
+        "event_type", "n", round4(F.col("sv")).alias("sv"),
+        round4(F.col("mn")).alias("mn"), round4(F.col("mx")).alias("mx"),
+        round4(F.col("last_value")).alias("last_value"),
+    )
+
+
+ORACLES["incremental_agg"] = f"""
+    WITH last AS (
+      SELECT event_type, value AS last_value FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT e.event_type, COUNT(*) AS n, {R("SUM(e.value)")} AS sv,
+           {R("MIN(e.value)")} AS mn, {R("MAX(e.value)")} AS mx,
+           {R("ANY_VALUE(l.last_value)")} AS last_value
+    FROM events e JOIN last l ON e.event_type = l.event_type
+    GROUP BY e.event_type
+"""
+QUERIES["incremental_agg"] = q_incremental_agg

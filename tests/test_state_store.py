@@ -72,3 +72,44 @@ def test_in_place_overwrite_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="stage-then-swap"):
         run_bucketed_batch(spark, delta, "acc_state", "acc_state")
+
+
+def test_merge_aggregates_kinds_and_first_batch(spark):
+    from batch_processing_pipeline_spark.operators.state_store import (
+        merge_aggregates,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", 2, 5.0, 1.0, 4.0, 10.0, 100, 1)],
+        "k string, n long, sv double, mn double, mx double, lv double, ts long, id long",
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("a", 3, 7.0, 0.5, 3.0, 20.0, 100, 2),  # same ts: id breaks tie
+            ("b", 1, 1.0, 9.0, 9.0, 30.0, 50, 3),   # key only in delta
+        ],
+        "k string, n long, sv double, mn double, mx double, lv double, ts long, id long",
+    )
+    first = merge_aggregates(None, b1, keys=["k"])
+    assert first.collect() == b1.collect()
+    merged = {
+        r.k: r
+        for r in merge_aggregates(
+            b1, b2, keys=["k"], sums=("n", "sv"), mins=("mn",), maxs=("mx",),
+            latest=("lv",), ts_col="ts", id_col="id",
+        ).collect()
+    }
+    a = merged["a"]
+    assert (a.n, a.sv, a.mn, a.mx) == (5, 12.0, 0.5, 4.0)
+    assert a.lv == 20.0  # equal ts -> higher id wins
+    b = merged["b"]
+    assert (b.n, b.sv, b.mn, b.mx, b.lv) == (1, 1.0, 9.0, 9.0, 30.0)
+    # merge is order-independent (commutativity)
+    swapped = {
+        r.k: r
+        for r in merge_aggregates(
+            b2, b1, keys=["k"], sums=("n", "sv"), mins=("mn",), maxs=("mx",),
+            latest=("lv",), ts_col="ts", id_col="id",
+        ).collect()
+    }
+    assert swapped["a"].lv == 20.0 and swapped["a"].n == 5
