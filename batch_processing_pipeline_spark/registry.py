@@ -3676,3 +3676,55 @@ ORACLES["incremental_agg"] = f"""
     GROUP BY e.event_type
 """
 QUERIES["incremental_agg"] = q_incremental_agg
+
+
+def q_grouped_ols(spark, sf):
+    """Per-group OLS trend slope via ``applyInPandas`` (GROUPED_MAP): fit
+    value ~ days for each event type in a vectorized pandas kernel — the
+    Arrow per-group escape hatch for model-fitting logic SQL can't
+    express. The oracle recomputes the slope with ``regr_slope``, so the
+    kernel's math is pinned to the closed form.
+
+    Scale note: GROUPED_MAP ships each group through one python worker;
+    event types are few and bounded here. For billion-row groups use the
+    sufficient-statistics form (sum x, sum y, sum xy, sum x2 — a plain
+    partial-aggregating groupBy) and finish the algebra on the tiny
+    result; this query's oracle IS that algebra.
+    """
+    import numpy as np
+
+    e = _events(spark, sf).select(
+        "event_type",
+        (F.unix_timestamp("ts").cast("double") / F.lit(86400.0)).alias("x"),
+        "value",
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype=float)
+        y = pdf["value"].to_numpy(dtype=float)
+        xc = x - x.mean()
+        yc = y - y.mean()
+        denom = float((xc * xc).sum())
+        slope = float((xc * yc).sum() / denom) if denom > 0.0 else 0.0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope": [slope],
+                "n": [len(pdf)],
+            }
+        )
+
+    fitted = e.groupBy("event_type").applyInPandas(
+        ols, "event_type string, slope double, n long"
+    )
+    return fitted.select("event_type", round4(F.col("slope")).alias("slope"), "n")
+
+
+ORACLES["grouped_ols"] = f"""
+    SELECT event_type,
+           {R("regr_slope(value, CAST(floor(epoch(ts)) AS DOUBLE) / CAST(86400.0 AS DOUBLE))")}
+               AS slope,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+"""
+QUERIES["grouped_ols"] = q_grouped_ols
