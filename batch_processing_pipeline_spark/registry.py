@@ -3728,3 +3728,127 @@ ORACLES["grouped_ols"] = f"""
     FROM events GROUP BY event_type
 """
 QUERIES["grouped_ols"] = q_grouped_ols
+
+
+def q_udtf_ngrams(spark, sf):
+    """Python UDTF surface (Spark 4 table functions): a lateral-joined
+    word-trigram generator, aggregated to the top-25 trigrams. The
+    DataFrame-native twin of this explode lives in ``top_bigrams``; this
+    query pins the NEW API path (registered UDTF + LATERAL in SQL text)
+    to the same arithmetic.
+
+    Scale note: a Python UDTF is a row-at-a-time python boundary — fine
+    as an API demo and for low-volume lateral expansion; corpus-scale
+    n-gram passes use the codegen explode (word_ngram_counts).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string")
+    class Trigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.strip().lower().split() if t]
+            for i in range(len(toks) - 2):
+                yield (" ".join(toks[i : i + 3]),)
+
+    spark.udtf.register("trigrams", Trigrams)
+    _t(spark, sf, "documents").createOrReplaceTempView("_docs_udtf")
+    counted = spark.sql(
+        """
+        SELECT t.ngram, COUNT(*) AS n
+        FROM _docs_udtf d, LATERAL trigrams(d.text) t
+        GROUP BY t.ngram
+        """
+    )
+    wr = Window.partitionBy().orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 25)
+        .select(F.col("rk").cast("int").alias("rk"), "ngram", "n")
+    )
+
+
+ORACLES["udtf_ngrams"] = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> length(x) > 0) AS t
+      FROM documents
+    ), tri AS (
+      SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ), counted AS (
+      SELECT ngram, COUNT(*) AS n FROM tri GROUP BY ngram
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, ngram, n FROM (
+      SELECT ngram, n, ROW_NUMBER() OVER (ORDER BY n DESC, ngram ASC) AS rk
+      FROM counted
+    ) WHERE rk <= 25
+"""
+QUERIES["udtf_ngrams"] = q_udtf_ngrams
+
+
+def q_cogrouped_asof(spark, sf):
+    """Cogrouped ``applyInPandas`` surface: per-user as-of merge — for
+    every purchase event, the most recent strictly-earlier click by the
+    same user — with both sides shipped to one pandas kernel per key
+    (``groupBy().cogroup()``). The DataFrame-native as-of join
+    (operators/asof) is the scale path; the oracle is a correlated
+    subquery, so the kernel's tie/boundary semantics are pinned.
+    """
+    e = _events(spark, sf).select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"), "value",
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    # Both sides derive from the same plan; identical attribute names make
+    # Spark's cogroup attribute-dedup collapse the right side's payload
+    # columns (the pandas kernel then sees only the key). Rename the right
+    # side's columns to keep them distinct.
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts_s").alias("c_ts_s")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "ts_s", "click_ts"]
+            ).astype({"user_id": "int64", "event_id": "int64",
+                      "ts_s": "int64", "click_ts": "float64"})
+        l = left.sort_values(["ts_s", "event_id"]).reset_index(drop=True)
+        rts = sorted(right["c_ts_s"].tolist()) if len(right) else []
+        out_ts = []
+        import bisect
+        for t in l["ts_s"]:
+            i = bisect.bisect_left(rts, t)  # strictly earlier
+            out_ts.append(float(rts[i - 1]) if i > 0 else None)
+        return pd.DataFrame(
+            {
+                "user_id": l["user_id"],
+                "event_id": l["event_id"],
+                "ts_s": l["ts_s"],
+                "click_ts": out_ts,
+            }
+        )
+
+    out = purchases.groupBy("user_id").cogroup(clicks.groupBy("c_user_id")).applyInPandas(
+        asof, "user_id long, event_id long, ts_s long, click_ts double"
+    )
+    return out.select(
+        "user_id", "event_id", "ts_s",
+        F.col("click_ts").cast("long").alias("click_ts"),
+    )
+
+
+ORACLES["cogrouped_asof"] = """
+    SELECT e.user_id, e.event_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+           CAST((
+             SELECT MAX(floor(epoch(c.ts))) FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND floor(epoch(c.ts)) < floor(epoch(e.ts))
+           ) AS BIGINT) AS click_ts
+    FROM events e WHERE e.event_type = 'purchase'
+"""
+QUERIES["cogrouped_asof"] = q_cogrouped_asof
