@@ -690,6 +690,359 @@ TPCH_ORACLES["tpch_q22"] = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Derived partsupp — unlocks the five queries the fixture's missing table
+# blocked (q2, q11, q16, q20, q21).
+#
+# The fixture ships no ``partsupp`` parquet, so the relation is DERIVED
+# deterministically from ``part`` × 4 supplier slots with pure integer
+# arithmetic (+ * %) that evaluates bit-identically in Spark and DuckDB;
+# the oracle SQL rebuilds the exact same relation as a CTE. Shapes follow
+# the official TPC-H generator (4 suppliers per part, availqty 1..9999,
+# supplycost 1.00..201.00).
+#
+# Scale shape: the derivation is two broadcast cross joins (a 4-row index
+# relation and a 1-row supplier count) over the part scan — map-side only,
+# zero shuffle, and Catalyst treats the result like any other relation
+# (prunable columns, pushable predicates).
+# --------------------------------------------------------------------------
+
+
+def derived_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ``partsupp`` derived from part × 4 supplier slots.
+
+    ``ps_suppkey = (p_partkey*7 + i*131) % count(supplier)`` gives each
+    part 4 distinct suppliers for any supplier count not dividing 131·i
+    (true for the fixture's power-of-ten counts at every SF).
+    """
+    p = _t(spark, sf, "part").select("p_partkey")
+    s_cnt = _t(spark, sf, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    idx = spark.range(4).select(F.col("id").alias("i"))
+    base = p.crossJoin(F.broadcast(idx)).crossJoin(F.broadcast(s_cnt))
+    suppkey = (F.col("p_partkey") * F.lit(7) + F.col("i") * F.lit(131)) % F.col("s_cnt")
+    availqty = ((F.col("p_partkey") * F.lit(11) + suppkey * F.lit(13)) % F.lit(9998) + F.lit(1)).cast("int")
+    cost = F.lit(1.0) + (
+        (F.col("p_partkey") * F.lit(31) + suppkey * F.lit(17) + F.lit(7)) % F.lit(20000)
+    ).cast("double") / F.lit(100.0)
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        suppkey.alias("ps_suppkey"),
+        availqty.alias("ps_availqty"),
+        cost.alias("ps_supplycost"),
+    )
+
+
+# The same relation as a SQL CTE (DuckDB oracle side). Pure +/*/% integer
+# arithmetic — no engine-specific functions, no float rounding hazards
+# (cost = 1.0 + int/100.0 is the identical IEEE expression both sides).
+_PS_SQL = """partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i.i * 131) % s.s_cnt AS ps_suppkey,
+             CAST((p_partkey * 11 + ((p_partkey * 7 + i.i * 131) % s.s_cnt) * 13) % 9998 + 1 AS INTEGER) AS ps_availqty,
+             CAST(1.0 AS DOUBLE)
+               + CAST((p_partkey * 31 + ((p_partkey * 7 + i.i * 131) % s.s_cnt) * 17 + 7) % 20000 AS DOUBLE)
+                 / CAST(100.0 AS DOUBLE) AS ps_supplycost
+      FROM part
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+      CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) AS s
+    )"""
+
+
+def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 minimum-cost supplier — adapted: partsupp is the derived
+    relation; predicate is ``p_size <= 10 AND p_type = 'ECONOMY'`` in
+    EUROPE (fixture types are single-word; no p_mfgr/s_address columns);
+    no LIMIT 100 (order-insensitive compare, full set is stronger).
+
+    The correlated MIN subquery becomes a per-part pre-aggregation joined
+    back on equality — one extra shuffle of (partkey, min) pairs instead
+    of a rescan per row, the scalable formulation (same shape as q17).
+    nation/region broadcast; equality on ps_supplycost is safe because
+    both engines derive bit-identical per-row doubles (no accumulation).
+    """
+    ps = derived_partsupp(spark, sf)
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region").where(F.col("r_name") == "EUROPE"))
+    s = _t(spark, sf, "supplier")
+    eu_supp = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    sp = ps.join(eu_supp, ps.ps_suppkey == F.col("s_suppkey")).join(
+        p, ps.ps_partkey == F.col("p_partkey")
+    )
+    min_cost = sp.groupBy(F.col("ps_partkey").alias("mc_pk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        sp.join(
+            min_cost,
+            (sp.ps_partkey == F.col("mc_pk"))
+            & (sp.ps_supplycost == F.col("min_cost")),
+        )
+        .select(
+            round4(F.col("s_acctbal")).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            round4(F.col("ps_supplycost")).alias("supplycost"),
+        )
+    )
+
+
+TPCH_ORACLES["tpch_q2"] = f"""
+    WITH {_PS_SQL}
+    SELECT {R("s.s_acctbal")} AS acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           {R("ps.ps_supplycost")} AS supplycost
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN part p     ON ps.ps_partkey = p.p_partkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 10 AND p.p_type = 'ECONOMY'
+      AND ps.ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+      )
+"""
+
+
+def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 important stock identification — adapted: derived partsupp;
+    nation 'NATION_7'; threshold fraction 0.001 (the official 0.0001
+    scales with 1/SF — 0.001 keeps the result set non-degenerate at
+    fixture SFs).
+
+    The total-value threshold is a 1-row aggregate broadcast back via
+    cross join — no driver collect, no rescan. Threshold comparison uses
+    rounded values on BOTH sides of both engines so partial-sum order
+    cannot flip a boundary row.
+    """
+    ps = derived_partsupp(spark, sf)
+    n = F.broadcast(_t(spark, sf, "nation").where(F.col("n_name") == "NATION_7"))
+    s = _t(spark, sf, "supplier")
+    nat_ps = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(round4(F.sum("v")).alias("value"))
+    total = nat_ps.agg(round4(F.sum("v") * F.lit(0.001)).alias("thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("thresh"))
+        .select("ps_partkey", "value")
+    )
+
+
+TPCH_ORACLES["tpch_q11"] = f"""
+    WITH {_PS_SQL},
+    nat_ps AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, {R("SUM(v)")} AS value
+    FROM nat_ps
+    GROUP BY ps_partkey
+    HAVING {R("SUM(v)")} > (SELECT {R("SUM(v) * CAST(0.001 AS DOUBLE)")} FROM nat_ps)
+"""
+
+
+def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 parts/supplier relationship — adapted: derived partsupp;
+    excluded brand/type are 'Brand#2'/'PROMO'; the "customer complaints"
+    supplier exclusion becomes ``s_acctbal < 0`` (no s_comment column).
+
+    The supplier exclusion is a broadcast anti join (the negative-balance
+    relation is tiny at any SF); count(distinct) shuffles only the
+    (brand, type, size, suppkey) quad after map-side dedup.
+    """
+    ps = derived_partsupp(spark, sf)
+    p = _t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 7, 10, 14, 19, 23, 36])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(p, ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_ORACLES["tpch_q16"] = f"""
+    WITH {_PS_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+def tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 potential part promotion — adapted: derived partsupp; part
+    filter ``p_name LIKE '%bolt%'``; ship-year 1997; nation 'NATION_3';
+    the shipped-quantity correlation is per PART (the official per-
+    (part, supplier) correlation is vacuous here because the derived
+    partsupp's synthetic supplier slots rarely coincide with lineitem's
+    independently generated l_suppkey values).
+
+    Classic nested-EXISTS chain flattened to scale: the per-part
+    shipped-quantity aggregate joins partsupp once (no correlated rescan),
+    the qualifying partsupp keys reduce to a distinct suppkey set, and
+    suppliers keep via a left-semi join. Only aggregates and key sets
+    shuffle — lineitem is scanned exactly once.
+    """
+    p = _t(spark, sf, "part").where(F.col("p_name").like("%bolt%")).select("p_partkey")
+    ps = derived_partsupp(spark, sf).join(
+        F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    l = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    shipped = l.groupBy(F.col("l_partkey").alias("sq_pk")).agg(
+        (F.lit(0.5) * F.sum("l_quantity")).alias("half_qty")
+    )
+    qualifying = (
+        ps.join(shipped, F.col("ps_partkey") == F.col("sq_pk"))
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = F.broadcast(_t(spark, sf, "nation").where(F.col("n_name") == "NATION_3"))
+    s = _t(spark, sf, "supplier")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+TPCH_ORACLES["tpch_q20"] = f"""
+    WITH {_PS_SQL}
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+          )
+          AND ps.ps_availqty > (
+            SELECT CAST(0.5 AS DOUBLE) * SUM(l.l_quantity)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          )
+      )
+"""
+
+
+def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting — adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" is shipped more than 60 days
+    after the order date (same adaptation as q4); nation 'NATION_1'.
+
+    The hardest join shape in the suite: for finished orders, a supplier
+    is counted when its own line is late (inner join on the late slice),
+    ANOTHER supplier has a line on the same order (left-semi on
+    orderkey with suppkey inequality riding the join), and NO OTHER
+    supplier is late on that order (left-anti, same shape). Both the
+    semi and anti probe sides are (orderkey, suppkey) pairs — narrow
+    relations, shuffled on orderkey, never multiplying the probe rows.
+    """
+    n = F.broadcast(_t(spark, sf, "nation").where(F.col("n_name") == "NATION_1"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+    # this supplier's late lines on finished orders
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # some other supplier has a line on the same order
+    l2 = l.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    )
+    l1 = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_ok"))
+        & (F.col("l_suppkey") != F.col("l2_sk")),
+        "left_semi",
+    )
+    # ... and no other supplier is ALSO late on that order
+    l3 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > late_cut)
+        .select(F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk"))
+    )
+    l1 = l1.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_ok"))
+        & (F.col("l_suppkey") != F.col("l3_sk")),
+        "left_anti",
+    )
+    return (
+        l1.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+TPCH_ORACLES["tpch_q21"] = """
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_1'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_suppkey, s.s_name
+"""
+
+
 for _name in list(globals()):
     if _name.startswith("tpch_q") and callable(globals()[_name]):
         TPCH_QUERIES[_name] = globals()[_name]

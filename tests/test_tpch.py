@@ -21,7 +21,7 @@ def _plan(spark, sf_dir, name):
 
 def test_all_tpch_queries_registered():
     assert set(TPCH_QUERIES) <= set(QUERIES)
-    assert len(TPCH_QUERIES) == 16
+    assert len(TPCH_QUERIES) == 21
 
 
 def test_q1_filter_pushed_and_partial_agg(spark, sf_dir):
@@ -62,6 +62,59 @@ def test_q19_extracts_equi_key_from_disjunction(spark, sf_dir):
     # the OR-of-branches must not force a cartesian product
     plan = _plan(spark, sf_dir, "tpch_q19")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_partsupp_derivation_needs_no_data_shuffle(spark, sf_dir):
+    # partsupp is derived map-side: the only exchanges allowed are the
+    # SinglePartition one under the 1-row supplier count — never a
+    # hash-partitioned shuffle of the part rows themselves.
+    from batch_processing_pipeline_spark.plans.tpch import derived_partsupp
+
+    plan = (
+        derived_partsupp(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning" not in plan
+
+
+def test_partsupp_four_distinct_suppliers_per_part(spark, sf_dir):
+    from batch_processing_pipeline_spark.plans.tpch import derived_partsupp
+
+    from pyspark.sql import functions as F
+
+    bad = (
+        derived_partsupp(spark, sf_dir)
+        .groupBy("ps_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ps_suppkey").alias("nd"),
+        )
+        .where((F.col("n") != 4) | (F.col("nd") != 4))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_q2_broadcasts_constant_dims(spark, sf_dir):
+    assert _plan(spark, sf_dir, "tpch_q2").count("BroadcastHashJoin") >= 2
+
+
+def test_q11_threshold_is_broadcast_single_row(spark, sf_dir):
+    # the total-value threshold joins back as a broadcast nested loop of
+    # one row — no driver collect, no rescan of the aggregate input
+    assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "tpch_q11")
+
+
+def test_q16_supplier_exclusion_is_anti_join(spark, sf_dir):
+    assert "LeftAnti" in _plan(spark, sf_dir, "tpch_q16")
+
+
+def test_q20_keeps_suppliers_via_semi_join(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "tpch_q20")
+
+
+def test_q21_has_both_semi_and_anti_probe(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
 def test_no_python_row_processing(spark, sf_dir):
