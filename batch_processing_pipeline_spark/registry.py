@@ -3852,3 +3852,144 @@ ORACLES["cogrouped_asof"] = """
     FROM events e WHERE e.event_type = 'purchase'
 """
 QUERIES["cogrouped_asof"] = q_cogrouped_asof
+
+
+# =====================================================================
+# Approximate-percentile twins (the 100 TB swap, exercised)
+# =====================================================================
+# Each exact-percentile query above (percentiles, equidepth_buckets,
+# rfm_scores, mad_outliers) buffers per-group values in the aggregate —
+# fine per-entity, wrong for per-event 100 TB data. These twins run the
+# SAME plan shape with ``approx_percentile`` (a mergeable quantile
+# sketch: bounded memory per partition, partial-agg before the
+# exchange). Sketches are engine-specific, so the driver records a
+# rows-only check; tests/test_sketches.py pins the error bound against
+# the exact path at accuracy=10000 (observed rank error ≤ 1/accuracy).
+
+
+def q_approx_percentiles(spark, sf):
+    """``percentiles`` with the KLL-style approx sketch — bounded memory
+    per (group, partition) instead of buffering every value."""
+    l = _t(spark, sf, "lineitem")
+    pct = F.approx_percentile("l_quantity", F.lit([0.25, 0.5, 0.9]), F.lit(10000))
+    return l.groupBy("l_returnflag").agg(
+        round4(F.element_at(pct, 1)).alias("p25"),
+        round4(F.element_at(pct, 2)).alias("p50"),
+        round4(F.element_at(pct, 3)).alias("p90"),
+    )
+
+
+ORACLES["approx_percentiles"] = None
+QUERIES["approx_percentiles"] = q_approx_percentiles
+
+
+def q_approx_equidepth_buckets(spark, sf):
+    """``equidepth_buckets`` with sketched decile boundaries — the bucket
+    assignment stays an exact map-side comparison sum; only the boundary
+    aggregate swaps to the mergeable sketch."""
+    li = _t(spark, sf, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = li.agg(
+        *[
+            F.approx_percentile("l_quantity", F.lit(q), F.lit(10000)).alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucketed = li.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + sum(
+                (
+                    F.when(F.col("l_quantity") > F.col(f"_b{i}"), 1).otherwise(0)
+                    for i in range(9)
+                ),
+                start=F.lit(0),
+            )
+        ).cast("int").alias("bucket"),
+        "l_quantity",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round4(F.min("l_quantity")).alias("min_q"),
+        round4(F.max("l_quantity")).alias("max_q"),
+    )
+
+
+ORACLES["approx_equidepth_buckets"] = None
+QUERIES["approx_equidepth_buckets"] = q_approx_equidepth_buckets
+
+
+def q_approx_rfm_scores(spark, sf):
+    """``rfm_scores`` with sketched tercile boundaries — per-customer
+    relations stay exact; only the 6-value boundary row is approximate."""
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").cast("long").alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    bounds = rfm.agg(
+        *[
+            F.approx_percentile(c, F.lit(q), F.lit(10000)).alias(f"_{c}{i}")
+            for c in ("recency_days", "freq", "monetary")
+            for i, q in ((1, 1 / 3), (2, 2 / 3))
+        ]
+    )
+
+    def score(c):
+        return (
+            F.lit(1)
+            + F.when(F.col(c) > F.col(f"_{c}1"), 1).otherwise(0)
+            + F.when(F.col(c) > F.col(f"_{c}2"), 1).otherwise(0)
+        ).cast("int")
+
+    return rfm.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "freq",
+        round4(F.col("monetary")).alias("monetary"),
+        (F.lit(4) - score("recency_days")).cast("int").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+
+
+ORACLES["approx_rfm_scores"] = None
+QUERIES["approx_rfm_scores"] = q_approx_rfm_scores
+
+
+def q_approx_mad_outliers(spark, sf):
+    """``mad_outliers`` with sketched median/MAD — the two per-group
+    percentile aggregates swap to the sketch; the score math and the
+    broadcast-back shape are identical to the exact path."""
+    e = _events(spark, sf).select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("med")
+    )
+    withmed = e.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.approx_percentile(
+            F.abs(F.col("value") - F.col("med")), F.lit(0.5), F.lit(10000)
+        ).alias("mad")
+    )
+    score = round4(
+        F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > F.lit(0.0))
+        .select("event_id", "event_type", round4(F.col("value")).alias("value"),
+                score.alias("score"))
+        .where(F.col("score") > F.lit(3.0))
+    )
+
+
+ORACLES["approx_mad_outliers"] = None
+QUERIES["approx_mad_outliers"] = q_approx_mad_outliers

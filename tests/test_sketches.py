@@ -1,4 +1,10 @@
-"""Approximate aggregates: HLL++ error bound vs exact."""
+"""Approximate aggregates: HLL++ / quantile-sketch error bounds vs exact.
+
+The approx_* twins are the 100 TB formulation of the exact-percentile
+queries (bounded-memory mergeable sketches instead of per-group value
+buffers); these tests pin each twin to its exact counterpart so the swap
+can never silently drift.
+"""
 
 from __future__ import annotations
 
@@ -21,3 +27,59 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05  # rsd=0.02 → 5% is generous
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    exact = {r.l_returnflag: r for r in QUERIES["percentiles"](spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["approx_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    # accuracy=10000 → rank error ≤ 1e-4; quantity spans ~1..50, so even a
+    # conservative value-space tolerance is tiny
+    for k, e in exact.items():
+        a = approx[k]
+        for c in ("p25", "p50", "p90"):
+            assert abs(getattr(a, c) - getattr(e, c)) <= 0.5, (k, c)
+
+
+def test_approx_equidepth_buckets_near_uniform(spark, sf_dir):
+    rows = QUERIES["approx_equidepth_buckets"](spark, sf_dir).collect()
+    assert sorted(r.bucket for r in rows) == list(range(1, 11))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        # equi-depth: every decile holds ~10% (quantity is discrete-ish,
+        # so allow the same slack the exact query's distribution shows)
+        assert 0.03 < r.n / total < 0.25, (r.bucket, r.n / total)
+
+
+def test_approx_rfm_scores_match_exact_almost_everywhere(spark, sf_dir):
+    exact = QUERIES["rfm_scores"](spark, sf_dir)
+    approx = QUERIES["approx_rfm_scores"](spark, sf_dir)
+    assert exact.schema == approx.schema
+    n = exact.count()
+    assert approx.count() == n
+    # sketched tercile boundaries may reassign only customers sitting ON a
+    # boundary; everyone else scores identically
+    diff = exact.alias("e").join(approx.alias("a"), "o_custkey").where(
+        (F.col("e.r_score") != F.col("a.r_score"))
+        | (F.col("e.f_score") != F.col("a.f_score"))
+        | (F.col("e.m_score") != F.col("a.m_score"))
+    ).count()
+    assert diff / n < 0.02, f"{diff}/{n} customers scored differently"
+
+
+def test_approx_mad_outliers_agree_with_exact(spark, sf_dir):
+    exact = {
+        (r.event_id, r.event_type)
+        for r in QUERIES["mad_outliers"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.event_id, r.event_type)
+        for r in QUERIES["approx_mad_outliers"](spark, sf_dir).collect()
+    }
+    # flag sets may differ only at the score≈3.0 boundary
+    sym = len(exact ^ approx)
+    assert sym <= max(2, int(0.02 * max(len(exact), 1))), (
+        len(exact), len(approx), sym,
+    )
