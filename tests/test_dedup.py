@@ -111,3 +111,35 @@ def test_simhash_bulk_matches_column_form(spark, sf_dir):
     }
     bulk_form = {r.doc_id: r.simhash for r in simhash64_bulk(d).collect()}
     assert col_form == bulk_form
+
+
+def test_minhash_singleton_pruning_is_output_invariant(spark):
+    """prune_singletons only removes band buckets that cannot produce a
+    pair — the verified pair set must be identical either way."""
+    kw = dict(shingle_n=5, num_perm=32, bands=16, threshold=0.6, estimate_slack=0.4)
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_dedup(_docs(spark), prune_singletons=False, **kw).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_dedup(_docs(spark), prune_singletons=True, **kw).collect()
+    }
+    assert base == pruned
+    assert base  # non-vacuous
+
+
+def test_minhash_position_sampling_keeps_recall(spark):
+    """pos_step=2 (sampled shingling) must still recover every pair the
+    full-position signature path recovers on the fixture."""
+    kw = dict(shingle_n=5, num_perm=32, bands=16, threshold=0.6, estimate_slack=0.4)
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(_docs(spark), pos_step=1, **kw).collect()
+    }
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(_docs(spark), pos_step=2, **kw).collect()
+    }
+    assert full == sampled
+    assert full
