@@ -93,6 +93,102 @@ def run_bucketed_batch(
     return spark.table(out_table)
 
 
+def state_bucket(col_name: str, buckets: int):
+    """Deterministic state-bucket id for a key column (hash-mod)."""
+    return F.pmod(F.xxhash64(F.col(col_name)), F.lit(buckets))
+
+
+def read_bucketed_state(
+    spark: SparkSession, state_dir: str, buckets_filter: list[int] | None = None
+) -> DataFrame:
+    """Read the bucket-partitioned state written by ``merge_touched_buckets``.
+
+    ``buckets_filter`` prunes to the named bucket partitions (directory-level
+    pruning — untouched buckets are never opened)."""
+    df = spark.read.parquet(state_dir)
+    if buckets_filter is not None:
+        df = df.where(F.col("bucket").isin(buckets_filter))
+    return df.drop("_merged_batch")
+
+
+def merge_touched_buckets(
+    spark: SparkSession,
+    delta: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    buckets: int = 16,
+    key_cols: tuple[str, str] = ("prefix", "query"),
+    bucket_col: str | None = None,
+    freq_col: str = "frequency",
+) -> list[int]:
+    """Incremental merge that rewrites ONLY the state buckets a batch touched.
+
+    The streaming twin of ``run_bucketed_batch``: state lives as parquet
+    partitioned by ``bucket = pmod(xxhash64(<bucket_col>), buckets)`` (the
+    directory layout IS the bucketing — no session catalog needed inside
+    ``foreachBatch``). Per batch:
+
+    1. bucket the delta; collect the touched bucket ids (≤ ``buckets``
+       values — a bounded driver list, like the suggestion publisher's);
+    2. read ONLY those partitions of the state (directory pruning);
+    3. replay guard: a bucket whose stored ``_merged_batch`` ≥ batch_id
+       already contains this batch (foreachBatch is at-least-once) — its
+       delta rows are dropped so nothing double-counts (hazard H1);
+    4. full-outer-join merge on ``key_cols``, stamp ``_merged_batch``, and
+       write back with dynamic partition overwrite — untouched bucket
+       directories are never rewritten, so per-batch write cost is
+       O(touched state), not O(cumulative state).
+
+    ``bucket_col`` defaults to ``key_cols[0]`` (the prefix), which keeps
+    every row of one prefix in one bucket — the property that lets the
+    suggestion publisher re-rank a prefix from a single pruned partition.
+
+    Returns the touched bucket ids (post replay-guard; the publish scope).
+    """
+    import os
+
+    bucket_on = bucket_col or key_cols[0]
+    keys = list(key_cols)
+    b = state_bucket(bucket_on, buckets)
+    d = delta.select(
+        *keys, F.col(freq_col).cast("long").alias(freq_col)
+    ).withColumn("bucket", b)
+    touched = sorted(r.bucket for r in d.select("bucket").distinct().collect())
+    if not touched:
+        return []
+    exists = os.path.exists(state_dir)
+    if exists:
+        state = spark.read.parquet(state_dir).where(F.col("bucket").isin(touched))
+        done = {
+            r.bucket: r.mb
+            for r in state.groupBy("bucket")
+            .agg(F.max("_merged_batch").alias("mb"))
+            .collect()
+        }
+        skip = [bk for bk, mb in done.items() if mb >= batch_id]
+        if skip:
+            d = d.where(~F.col("bucket").isin(skip))
+            touched = [bk for bk in touched if bk not in skip]
+            if not touched:
+                return []
+            state = state.where(~F.col("bucket").isin(skip))
+        merged = merge_frequencies_join(
+            state.select(*keys, freq_col), d.select(*keys, freq_col),
+            key_cols=key_cols, freq_col=freq_col,
+        )
+    else:
+        merged = d.select(*keys, freq_col)
+    (
+        merged.withColumn("bucket", b)
+        .withColumn("_merged_batch", F.lit(batch_id))
+        .write.partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(state_dir)
+    )
+    return touched
+
+
 def merge_aggregates(
     state: DataFrame | None,
     delta: DataFrame,

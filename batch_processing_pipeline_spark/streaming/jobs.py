@@ -95,6 +95,7 @@ def run_autocomplete_stream(
     k: int = 10,
     available_now: bool = True,
     suggestion_buckets: int | None = None,
+    state_buckets: int | None = None,
 ):
     """Streaming incremental autocomplete via ``foreachBatch``.
 
@@ -124,6 +125,19 @@ def run_autocomplete_stream(
     bounded (file count, listing) while small batches still skip most of
     the table. ``None`` keeps the simple full-rewrite (bench/test default
     for tiny states).
+
+    ``state_buckets=N`` additionally buckets the cumulative STATE itself
+    (``operators.state_store.merge_touched_buckets``): each micro-batch
+    reads and rewrites only the state buckets its prefixes hash into, so
+    per-batch state I/O is O(touched state) instead of a full rewrite of
+    cumulative state — the one per-batch cost that otherwise grows
+    linearly with lifetime state under the reference's 5-min-cron regime.
+    State rows are bucketed by PREFIX, so a prefix's full completion list
+    lives in one bucket and suggestions re-rank from pruned partitions
+    only; suggestions are then published bucketed by the same hash
+    (``suggestion_buckets`` is ignored in this mode). Replay safety moves
+    from the symlink batch-id to a per-bucket ``_merged_batch`` stamp —
+    an at-least-once redelivery merges only buckets that missed it.
     """
     import os
 
@@ -204,7 +218,44 @@ def run_autocomplete_stream(
 
             shutil.rmtree(old_target, ignore_errors=True)
 
-    writer = raw_stream.writeStream.foreachBatch(process_batch).option(
+    def process_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        from batch_processing_pipeline_spark.operators.prefix import (
+            normalize_queries,
+            prefix_frequencies,
+        )
+        from batch_processing_pipeline_spark.operators.state_store import (
+            merge_touched_buckets,
+            read_bucketed_state,
+            state_bucket,
+        )
+        from batch_processing_pipeline_spark.plans.autocomplete import suggestions
+
+        delta = prefix_frequencies(normalize_queries(batch_df))
+        touched = merge_touched_buckets(
+            spark, delta, state_dir, batch_id, buckets=state_buckets
+        )
+        if not touched:
+            # replayed batch (every bucket already merged it) — or an empty
+            # batch. Re-derive the publish scope from the delta so a crash
+            # between state write and publish is repaired idempotently.
+            b = state_bucket("prefix", state_buckets)
+            touched = sorted(
+                r.b for r in delta.select(b.alias("b")).distinct().collect()
+            )
+            if not touched:
+                return
+        scope = read_bucketed_state(spark, state_dir, touched)
+        (
+            suggestions(scope, k=k)
+            .withColumn("bucket", state_bucket("prefix", state_buckets))
+            .write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(suggestions_dir)
+        )
+
+    fn = process_batch if state_buckets is None else process_batch_bucketed
+    writer = raw_stream.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -187,3 +187,94 @@ def test_autocomplete_stream_replay_does_not_double_count(spark, tmp_path):
     # and suggestions were still (re)published
     sugg = {r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()}
     assert sugg["te"] == ["test"]
+
+
+def test_autocomplete_stream_bucketed_state(spark, tmp_path):
+    """state_buckets=N: the cumulative state is partitioned by prefix-hash
+    bucket and a micro-batch rewrites ONLY the buckets it touches — the
+    per-batch write cost is bounded by touched state, not lifetime state.
+    Replay (at-least-once) must not double-count (per-bucket batch stamp)."""
+    import shutil
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "2025-01-01-00.txt").write_text("test\ntest\nkheder\n")
+    state_dir = str(tmp_path / "state")
+    sugg_dir = str(tmp_path / "sugg")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_autocomplete_stream(
+        stream_query_log(spark, str(logs)), state_dir, sugg_dir, ckpt, k=5,
+        state_buckets=8,
+    )
+    _await(q)
+    from batch_processing_pipeline_spark.operators.state_store import (
+        read_bucketed_state,
+    )
+
+    freq = {
+        (r.prefix, r.query): r.frequency
+        for r in read_bucketed_state(spark, state_dir).collect()
+    }
+    assert freq[("te", "test")] == 2
+
+    def bucket_mtimes(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                files = [
+                    os.path.getmtime(os.path.join(root, d, f))
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                ]
+                out[d] = max(files) if files else 0.0
+        return out
+
+    before = bucket_mtimes(state_dir)
+    (logs / "2025-01-01-01.txt").write_text("zebra\n")
+    q2 = run_autocomplete_stream(
+        stream_query_log(spark, str(logs)), state_dir, sugg_dir, ckpt, k=5,
+        state_buckets=8,
+    )
+    _await(q2)
+    after = bucket_mtimes(state_dir)
+    state2 = read_bucketed_state(spark, state_dir)
+    freq2 = {(r.prefix, r.query): r.frequency for r in state2.collect()}
+    # old counts carried forward untouched; new prefixes merged in
+    assert freq2[("te", "test")] == 2
+    assert freq2[("ze", "zebra")] == 1
+    zebra_buckets = {
+        f"bucket={r.b}"
+        for r in spark.createDataFrame(
+            [("ze",), ("zeb",), ("zebr",), ("zebra",)], "prefix string"
+        )
+        .select(F.pmod(F.xxhash64("prefix"), F.lit(8)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    untouched = set(before) - zebra_buckets
+    assert untouched, "test needs at least one untouched state bucket"
+    for d in untouched:
+        assert after[d] == before[d], f"untouched state {d} was rewritten"
+    # suggestions stay complete: old prefix still served, new one appears
+    sugg = {
+        r.prefix: list(r.completions) for r in spark.read.parquet(sugg_dir).collect()
+    }
+    assert sugg["te"] == ["test"] and sugg["ze"] == ["zebra"]
+
+    # at-least-once replay: drop the checkpoint so the source re-feeds
+    # everything as one batch; per-bucket _merged_batch stamps must stop
+    # any bucket from double-counting... but a FRESH checkpoint restarts
+    # batch ids at 0 while buckets are stamped with later ids — exactly
+    # the replay regime the guard covers (batch_id <= stored).
+    shutil.rmtree(ckpt)
+    q3 = run_autocomplete_stream(
+        stream_query_log(spark, str(logs)), state_dir, sugg_dir, str(tmp_path / "ckpt2"), k=5,
+        state_buckets=8,
+    )
+    _await(q3)
+    freq3 = {
+        (r.prefix, r.query): r.frequency
+        for r in read_bucketed_state(spark, state_dir).collect()
+    }
+    assert freq3 == freq2, "replayed batches must not double-count"
