@@ -86,3 +86,57 @@ def test_redis_sink_publishes_all_rows(spark, tmp_path):
     publish_suggestions(df, factory, flush_every=2)
     lines = sorted(open(out).read().splitlines())
     assert lines == ["aa\t[1]", "bb\t[2]", "cc\t[3]"]
+
+
+def test_mongodb_sink_upserts_nested_documents(spark, tmp_path):
+    """The trending-era Mongo contract: one {prefix, completions:[{query,
+    frequency}]} document per prefix, upserted keyed on prefix
+    (approach 3 cli instructions.txt:9,43; steps.docx 'Step 1')."""
+    import json
+
+    from batch_processing_pipeline_spark.sinks.mongodb import (
+        mongo_documents,
+        publish_documents,
+    )
+
+    out = str(tmp_path / "mongo.log")
+    sugg = spark.createDataFrame(
+        [
+            ("te", [("test", 2), ("ten", 1)]),
+            ("ze", [("zebra", 1)]),
+        ],
+        "prefix string, completions array<struct<query string, frequency long>>",
+    ).repartition(2)
+    docs = mongo_documents(sugg)
+
+    def factory(path=out):
+        class FakeCollection:
+            def replace_one(self, flt, doc, upsert=False):
+                assert upsert is True
+                assert set(flt) == {"prefix"}
+                with open(path, "a") as f:
+                    payload = {
+                        "prefix": doc["prefix"],
+                        "completions": [list(c) for c in doc["completions"]],
+                    }
+                    f.write(json.dumps(payload, sort_keys=True) + "\n")
+
+        return FakeCollection()
+
+    publish_documents(docs, factory)
+    got = sorted(json.loads(line)["prefix"] for line in open(out))
+    assert got == ["te", "ze"]
+    by_prefix = {json.loads(l)["prefix"]: json.loads(l) for l in open(out)}
+    assert by_prefix["te"]["completions"] == [["test", 2], ["ten", 1]]
+
+
+def test_mongodb_documents_wrap_flat_serving_arrays(spark):
+    """The flat serving shape (array<string>) wraps into one-field structs
+    so both suggestion shapes produce valid documents."""
+    from batch_processing_pipeline_spark.sinks.mongodb import mongo_documents
+
+    flat = spark.createDataFrame(
+        [("te", ["test", "ten"])], "prefix string, completions array<string>"
+    )
+    row = mongo_documents(flat).collect()[0]
+    assert [c.query for c in row.completions] == ["test", "ten"]
