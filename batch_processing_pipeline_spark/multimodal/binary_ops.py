@@ -172,7 +172,11 @@ _FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 def sample_frames(
-    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", fake: bool = False
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    fake: bool = False,
+    decoder: object | None = None,
 ) -> DataFrame:
     """Sample ``n_frames`` evenly spaced frames per media payload.
 
@@ -184,10 +188,27 @@ def sample_frames(
     emitted as full-canvas pixel buffers (``frame j = i·nf // n_frames``,
     repeating frames when the animation is shorter than the sample); WAV
     payloads yield evenly spaced windows of whole PCM sample blocks, so
-    frame boundaries never split a sample. Other containers raise
-    NotImplementedError (ffmpeg/av slots into this same kernel).
+    frame boundaries never split a sample.
     ``fake=True`` slices the raw bytes — codec-free stand-in for arbitrary
     payloads.
+
+    ``decoder`` extends the kernel to containers the stdlib codecs don't
+    cover (mp4/webm/...): a picklable callable ``bytes -> list[bytes]``
+    returning the payload's decoded frames; it is tried for any payload
+    the built-in codecs don't recognize, and evenly spaced frames are
+    sampled from its output exactly like the GIF path. Production passes
+    an av/ffmpeg-backed callable, e.g.::
+
+        def av_decoder(data: bytes) -> list[bytes]:
+            import av, io
+            with av.open(io.BytesIO(data)) as c:
+                return [f.to_ndarray().tobytes()
+                        for f in c.decode(video=0)]
+
+        sample_frames(df, decoder=av_decoder)
+
+    Payloads no decoder covers raise NotImplementedError with the exact
+    wiring instructions — loudly, not as silently empty output.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,11 +232,22 @@ def sample_frames(
                         pcm[i * step * block : (i + 1) * step * block] or b"\x00"
                         for i in range(n_frames)
                     ]
+                elif decoder is not None:
+                    decoded = decoder(data)
+                    if not decoded:
+                        raise ValueError(
+                            f"custom decoder returned no frames for doc {doc_id}"
+                        )
+                    nf = len(decoded)
+                    cuts = [
+                        bytes(decoded[i * nf // n_frames]) for i in range(n_frames)
+                    ]
                 else:
                     raise NotImplementedError(
-                        "real frame sampling implemented for GIF animations "
-                        "and WAV PCM; other containers require av/ffmpeg "
-                        "(wire them into this kernel)"
+                        "built-in frame sampling covers GIF animations and "
+                        "WAV PCM; for mp4/webm/other containers pass "
+                        "decoder=<callable bytes -> list[bytes]> backed by "
+                        "av/ffmpeg (see docstring)"
                     )
                 for i, cut in enumerate(cuts):
                     ids.append(doc_id)
@@ -257,7 +289,13 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 _FEATURE_SCHEMA = "doc_id long, feature array<float>"
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id", dim: int = 8, fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    dim: int = 8,
+    fake: bool = True,
+    decoder: object | None = None,
+) -> DataFrame:
     """Feature-extract payloads → fixed-dim float vector via mapInPandas.
 
     ``fake=True`` (default): ``dim`` byte-histogram buckets over the RAW
@@ -265,6 +303,10 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", dim: int = 8, fake: 
     histograms DECODED content (PNG pixel buffer / WAV PCM stream via the
     stdlib codecs), so the features reflect media content, not container
     bytes; a learned extractor slots into the same signature.
+
+    ``decoder`` (picklable ``bytes -> bytes``) decodes containers the
+    stdlib codecs don't recognize (mp4/webm/... via av/ffmpeg), same
+    contract as ``sample_frames``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -279,9 +321,13 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", dim: int = 8, fake: 
                         _w, _h, _ch, data = codecs.decode_png(data)
                     elif codecs.is_wav(data):
                         _r, _c, _b, data = codecs.decode_wav(data)
+                    elif decoder is not None:
+                        data = bytes(decoder(data))
                     else:
                         raise NotImplementedError(
-                            "real feature extraction implemented for PNG/WAV"
+                            "built-in real feature extraction covers PNG/WAV; "
+                            "for other containers pass decoder=<callable "
+                            "bytes -> bytes> backed by av/ffmpeg"
                         )
                 arr = np.frombuffer(data, dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")

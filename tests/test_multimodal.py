@@ -411,3 +411,77 @@ def test_sample_frames_decodes_gif_for_real(spark):
         (r.frame_idx, bytes(r.frame)) for r in sample_frames(df, n_frames=6).collect()
     )
     assert [b for _, b in got] == [frames[i] for i in (0, 0, 1, 1, 2, 2)]
+
+
+def test_sample_frames_custom_decoder_hook(spark):
+    """A picklable decoder callable extends frame sampling to containers
+    the stdlib codecs don't know — the av/ffmpeg slot, exercised
+    end-to-end through mapInPandas with a dependency-free fake codec."""
+    from batch_processing_pipeline_spark.multimodal.binary_ops import sample_frames
+
+    # fake "video container": magic + \x1f-separated frames
+    frames = [b"frame-a", b"frame-bb", b"frame-ccc"]
+    payload = b"FAKEVID\x00" + b"\x1f".join(frames)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, content binary")
+
+    def fake_video_decoder(data: bytes) -> list[bytes]:
+        assert data.startswith(b"FAKEVID\x00")
+        return data[8:].split(b"\x1f")
+
+    got = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in sample_frames(df, n_frames=3, decoder=fake_video_decoder).collect()
+    )
+    assert [b for _, b in got] == frames
+
+
+def test_sample_frames_unknown_container_still_loud(spark):
+    """Without a decoder, an unrecognized container must raise — silent
+    empty output would read as 'decoded fine, zero frames'."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from batch_processing_pipeline_spark.multimodal.binary_ops import sample_frames
+
+    df = spark.createDataFrame([(1, b"\x00\x00mp4junk")], "doc_id long, content binary")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        sample_frames(df, n_frames=2).collect()
+
+
+def test_sample_frames_with_av_real_video(spark):
+    """Real-container path: runs only where PyAV is installed (not in this
+    sandbox); proves the documented decoder wiring verbatim."""
+    import pytest
+
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from batch_processing_pipeline_spark.multimodal.binary_ops import sample_frames
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        stream = c.add_stream("h264", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 64, 64, "yuv420p"
+        for i in range(8):
+            img = np.full((64, 64, 3), i * 30, dtype=np.uint8)
+            for packet in stream.encode(av.VideoFrame.from_ndarray(img, format="rgb24")):
+                c.mux(packet)
+        for packet in stream.encode():
+            c.mux(packet)
+
+    def av_decoder(data: bytes) -> list[bytes]:
+        import io as _io
+
+        import av as _av
+
+        with _av.open(_io.BytesIO(data)) as container:
+            return [
+                f.to_ndarray(format="rgb24").tobytes()
+                for f in container.decode(video=0)
+            ]
+
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, content binary")
+    rows = sample_frames(df, n_frames=4, decoder=av_decoder).collect()
+    assert len(rows) == 4 and all(len(r.frame) == 64 * 64 * 3 for r in rows)
