@@ -67,13 +67,19 @@ HEADLINE = [
     "doc_chunk",
     "skew_join",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q5",
     "tpch_q9",
+    "tpch_q21",
     "perplexity",
     "hopping_window",
     # heaviest (and cache-persisting) queries last so their GC debt can't
-    # bleed into the cheap queries' timings
+    # bleed into the cheap queries' timings — including the iterative
+    # pointer-doubling paths (checkpoint-per-round loops), benched so a
+    # regression in the components loop gets caught here, not at 100 TB
     "text_fingerprint",
+    "dedup_clusters",
+    "dedup_survivorship",
     "dedup_minhash",
 ]
 
