@@ -4,7 +4,10 @@ Runs every registry query through Spark AND its oracle SQL through DuckDB on
 the same parquet tables, then compares row count, sorted-column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes one record per query (status, rows, secs) —
+the committed ``ORACLE_r{N}.json`` evidence artifacts are this output.
 """
 
 from __future__ import annotations
@@ -45,8 +48,14 @@ def canonical_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from batch_processing_pipeline_spark import get_spark
     from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
@@ -61,6 +70,7 @@ def main() -> int:
         )
 
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -72,10 +82,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            records[name] = {"status": "fail", "err": f"spark: {exc}"}
             continue
         sql = ORACLES.get(name)
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            secs = round(time.time() - t0, 1)
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {secs}s)")
+            records[name] = {
+                "status": "rows_only", "spark_rows": len(srows), "secs": secs,
+            }
             continue
         try:
             cur = con.execute(sql)
@@ -84,6 +99,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            records[name] = {"status": "fail", "err": f"duckdb: {exc}"}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -95,12 +111,35 @@ def main() -> int:
             ho = canonical_hash(orows, ocols)
             if hs != ho:
                 problems.append("value-hash mismatch")
+        secs = round(time.time() - t0, 1)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
+            records[name] = {"status": "fail", "err": "; ".join(problems)}
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {len(srows)} rows match ({secs}s)")
+            records[name] = {
+                "status": "hash_match",
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "secs": secs,
+            }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(records),
+                    "n_failures": len(failures),
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
