@@ -754,11 +754,12 @@ def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     EUROPE (fixture types are single-word; no p_mfgr/s_address columns);
     no LIMIT 100 (order-insensitive compare, full set is stronger).
 
-    The correlated MIN subquery becomes a per-part pre-aggregation joined
-    back on equality — one extra shuffle of (partkey, min) pairs instead
-    of a rescan per row, the scalable formulation (same shape as q17).
-    nation/region broadcast; equality on ps_supplycost is safe because
-    both engines derive bit-identical per-row doubles (no accumulation).
+    The correlated MIN subquery becomes a window-min over the part key on
+    the SAME relation (one shuffle, one pass — same shape as q15's
+    argmax): unlike a pre-aggregate joined back, the filtered join tree is
+    never computed twice. nation/region broadcast; equality on
+    ps_supplycost is safe because both engines derive bit-identical
+    per-row doubles (no accumulation).
     """
     ps = derived_partsupp(spark, sf)
     n = F.broadcast(_t(spark, sf, "nation"))
@@ -775,15 +776,10 @@ def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     sp = ps.join(eu_supp, ps.ps_suppkey == F.col("s_suppkey")).join(
         p, ps.ps_partkey == F.col("p_partkey")
     )
-    min_cost = sp.groupBy(F.col("ps_partkey").alias("mc_pk")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        sp.join(
-            min_cost,
-            (sp.ps_partkey == F.col("mc_pk"))
-            & (sp.ps_supplycost == F.col("min_cost")),
-        )
+        sp.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("_min_cost"))
         .select(
             round4(F.col("s_acctbal")).alias("acctbal"),
             "s_name",

@@ -3993,3 +3993,194 @@ def q_approx_mad_outliers(spark, sf):
 
 ORACLES["approx_mad_outliers"] = None
 QUERIES["approx_mad_outliers"] = q_approx_mad_outliers
+
+
+# =====================================================================
+# Round-3 surface additions
+# =====================================================================
+
+
+def q_decontaminate_embedding(spark, sf):
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the n-gram ``decontaminate`` op: flag corpus vectors whose cosine
+    similarity to ANY eval-set vector reaches 0.30 (eval set = vec_id <
+    25, the held-out benchmark; corpus = the rest). Paraphrased
+    contamination that shares no 24-char-gram still lands here.
+
+    Scale shape: the eval set is small by nature — its dim-exploded
+    relation BROADCASTS, so the corpus never shuffles for the join; the
+    (corpus_id, eval_id) dot products form map-side-combining partial
+    aggregates, and corpus norms are one more partial agg. Everything is
+    whole-stage codegen (posexplode + equi-join + SUM), no interpreted
+    array lambdas on the corpus side — same bulk formulation as
+    ``embed_centroid_dist``. Cosines are rounded (round4) BEFORE the
+    threshold on both engines so partial-sum order cannot flip a
+    boundary pair.
+    """
+    e = _t(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    eval_dims = dims.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("eval_id"), "pos", F.col("v").alias("ev")
+    )
+    corpus_dims = dims.where(F.col("vec_id") >= 25)
+    norms = dims.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    eval_norms = norms.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("eval_id"), F.col("nrm").alias("e_nrm")
+    )
+    corpus_norms = norms.where(F.col("vec_id") >= 25)
+    dots = (
+        corpus_dims.join(F.broadcast(eval_dims), "pos")
+        .groupBy("vec_id", "eval_id")
+        .agg(F.sum(F.col("v") * F.col("ev")).alias("dot"))
+    )
+    cos = (
+        dots.join(corpus_norms, "vec_id")
+        .join(F.broadcast(eval_norms), "eval_id")
+        .select(
+            "vec_id",
+            "eval_id",
+            round4(F.col("dot") / (F.col("nrm") * F.col("e_nrm"))).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.30)
+    )
+    return cos.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_evals_matched"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
+ORACLES["decontaminate_embedding"] = f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT c.vec_id,
+             {R("list_dot_product(c.e, b.e) / (c.nrm * b.nrm)")} AS sim
+      FROM n c CROSS JOIN n b
+      WHERE c.vec_id >= 25 AND b.vec_id < 25
+    )
+    SELECT vec_id, COUNT(*) AS n_evals_matched, MAX(sim) AS max_sim
+    FROM pairs WHERE sim >= CAST(0.30 AS DOUBLE)
+    GROUP BY vec_id
+"""
+QUERIES["decontaminate_embedding"] = q_decontaminate_embedding
+
+
+def q_referential_integrity(spark, sf):
+    """Foreign-key integrity audit across the star schema — the data-
+    quality gate a 100 TB ingest runs before anything joins: per
+    relationship, total child rows, distinct child keys, and orphan rows
+    (child keys with no parent).
+
+    Scale shape: each check projects the child to its key column FIRST,
+    so the anti-join shuffles bare keys, never fact rows; parents reduce
+    to distinct-key relations. The seven audit rows union into one tiny
+    result.
+    """
+    def audit(name, child, ckey, parent, pkey):
+        keys = child.select(F.col(ckey).alias("k"))
+        parents = parent.select(F.col(pkey).alias("k")).distinct()
+        orphans = keys.join(parents, "k", "left_anti")
+        return (
+            keys.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.countDistinct("k").alias("child_keys"),
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphan_rows")))
+            .select(F.lit(name).alias("fk"), "child_rows", "child_keys", "orphan_rows")
+        )
+
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    checks = [
+        audit("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        audit("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem->part", l, "l_partkey", p, "p_partkey"),
+        audit("lineitem->supplier", l, "l_suppkey", s, "s_suppkey"),
+        audit("nation->region", n, "n_regionkey", r, "r_regionkey"),
+        audit("orders->customer", o, "o_custkey", c, "c_custkey"),
+        audit("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLES["referential_integrity"] = """
+    WITH rel AS (
+      SELECT 'customer->nation' AS fk, c_nationkey AS k FROM customer
+      UNION ALL SELECT 'lineitem->orders', l_orderkey FROM lineitem
+      UNION ALL SELECT 'lineitem->part', l_partkey FROM lineitem
+      UNION ALL SELECT 'lineitem->supplier', l_suppkey FROM lineitem
+      UNION ALL SELECT 'nation->region', n_regionkey FROM nation
+      UNION ALL SELECT 'orders->customer', o_custkey FROM orders
+      UNION ALL SELECT 'supplier->nation', s_nationkey FROM supplier
+    ), parents AS (
+      SELECT 'customer->nation' AS fk, n_nationkey AS k FROM nation
+      UNION ALL SELECT 'lineitem->orders', o_orderkey FROM orders
+      UNION ALL SELECT 'lineitem->part', p_partkey FROM part
+      UNION ALL SELECT 'lineitem->supplier', s_suppkey FROM supplier
+      UNION ALL SELECT 'nation->region', r_regionkey FROM region
+      UNION ALL SELECT 'orders->customer', c_custkey FROM customer
+      UNION ALL SELECT 'supplier->nation', n_nationkey FROM nation
+    )
+    SELECT r.fk,
+           COUNT(*) AS child_rows,
+           COUNT(DISTINCT r.k) AS child_keys,
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+             SELECT 1 FROM parents p WHERE p.fk = r.fk AND p.k = r.k
+           )) AS orphan_rows
+    FROM rel r
+    GROUP BY r.fk
+"""
+QUERIES["referential_integrity"] = q_referential_integrity
+
+
+def q_latest_per_key(spark, sf):
+    """CDC snapshot compaction: collapse an event stream to the LATEST row
+    per key — the standard change-log → current-state materialization.
+
+    Scale shape: ``max_by`` over a single sortable version key — a plain
+    hash aggregate with map-side partial ``max_by`` combine, NO window
+    sort and no per-key row buffering (the ``row_number() = 1``
+    formulation sorts every partition; this one keeps a single candidate
+    per key per partition). The version key packs (epoch seconds,
+    event_id) into one BIGINT so both engines order identically and ties
+    break deterministically.
+    """
+    e = _events(spark, sf)
+    ver = (
+        F.floor(F.unix_timestamp("ts")) * F.lit(10_000_000) + F.col("event_id")
+    ).cast("long")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(ver).alias("last_ver"),
+        F.max_by("event_type", ver).alias("last_event_type"),
+        round4(F.max_by(F.col("value"), ver)).alias("last_value"),
+    )
+
+
+ORACLES["latest_per_key"] = f"""
+    SELECT user_id,
+           COUNT(*) AS n_versions,
+           MAX(CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id) AS last_ver,
+           arg_max(event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id)
+               AS last_event_type,
+           {R("arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id)")}
+               AS last_value
+    FROM events
+    GROUP BY user_id
+"""
+QUERIES["latest_per_key"] = q_latest_per_key

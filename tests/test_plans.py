@@ -130,3 +130,55 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
             .toString()
         )
         assert op in plan, (hint, op)
+
+
+def test_latest_per_key_is_pure_aggregate_no_window_sort(spark, sf_dir):
+    """The CDC compaction must plan as a hash aggregate (map-side max_by
+    combine), never a window sort over every partition."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["latest_per_key"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # max_by is a typed aggregate → SortAggregate, but still with a
+    # map-side partial combine before the exchange (one candidate per
+    # key per partition crosses the wire)
+    assert "partial_max_by" in plan
+
+
+def test_decontaminate_embedding_broadcasts_eval_side(spark, sf_dir):
+    """The corpus must never shuffle for the eval join: the eval-set
+    relations ride broadcast exchanges."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["decontaminate_embedding"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_referential_integrity_clean_fixture_and_detects_orphans(spark, sf_dir):
+    """The fixture is FK-clean (all orphan counts 0) AND the audit
+    actually fires on a corrupted child row."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    rows = {r.fk: r for r in QUERIES["referential_integrity"](spark, sf_dir).collect()}
+    assert len(rows) == 7
+    assert all(r.orphan_rows == 0 for r in rows.values())
+    # corrupt: an orders row pointing at a customer that does not exist
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = o.limit(1).withColumn("o_custkey", F.lit(-999_999))
+    keys = o.unionByName(bad).select(F.col("o_custkey").alias("k"))
+    parents = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    assert keys.join(parents, "k", "left_anti").count() == 1
