@@ -87,3 +87,31 @@ def test_expand_prefixes_respects_short_strings(spark):
     # length-1 never fans out (min prefix len 2); "ab"→1, "abc"→2
     got = sorted(r.prefix for r in out)
     assert got == ["ab", "ab", "abc"]
+
+
+def test_observed_quality_metrics_ride_the_write(spark, tmp_path):
+    """df.observe computes ingest-gate metrics on the SAME job as the
+    action — no second scan — and the gate fires on contract violations."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.observe import (
+        assert_quality,
+        observed_quality,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    observed, obs = observed_quality(df, null_cols=("v",), range_col="id")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = assert_quality(obs, min_rows=1, max_null_fraction=0.2)
+    assert got["rows"] == 100
+    assert got["nulls_v"] == 10
+    assert got["min_id"] == 0 and got["max_id"] == 99
+
+    observed2, obs2 = observed_quality(df, null_cols=("v",))
+    observed2.count()
+    with pytest.raises(ValueError, match="nulls_v"):
+        assert_quality(obs2, max_null_fraction=0.05)

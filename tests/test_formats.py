@@ -46,3 +46,58 @@ def test_partitioned_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 3
     assert set(back.select("bucket").distinct().toPandas()["bucket"]) == {0, 1}
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "orc")
+    df = spark.range(100).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == 100
+    assert {r.id: r.v for r in back.collect()}[7] == 14.0
+
+
+def test_python_datasource_querylog_reads_hourly_files(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): one partition per hourly
+    file, hour-range pruning at planning time."""
+    from batch_processing_pipeline_spark.sources.pyds import (
+        QueryLogDataSource,
+        QueryLogReader,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "2025-01-01-00.txt").write_text("alpha\nbeta\n")
+    (logs / "2025-01-01-01.txt").write_text("gamma\n")
+    (logs / "2025-01-01-02.txt").write_text("delta\n")
+    (logs / "notes.md").write_text("ignored\n")
+
+    spark.dataSource.register(QueryLogDataSource)
+    df = spark.read.format("querylog").option("path", str(logs)).load()
+    rows = {(r.value, r.hour) for r in df.collect()}
+    assert rows == {
+        ("alpha", "2025-01-01-00"),
+        ("beta", "2025-01-01-00"),
+        ("gamma", "2025-01-01-01"),
+        ("delta", "2025-01-01-02"),
+    }
+
+    # planning-time pruning: the window options shrink the PARTITION list,
+    # not just the rows
+    reader = QueryLogReader(
+        {
+            "path": str(logs),
+            "start_hour": "2025-01-01-01",
+            "end_hour": "2025-01-01-01",
+        }
+    )
+    parts = reader.partitions()
+    assert [p.hour for p in parts] == ["2025-01-01-01"]
+    windowed = (
+        spark.read.format("querylog")
+        .option("path", str(logs))
+        .option("start_hour", "2025-01-01-01")
+        .option("end_hour", "2025-01-01-02")
+        .load()
+    )
+    assert {r.value for r in windowed.collect()} == {"gamma", "delta"}
