@@ -7,6 +7,14 @@ produces the output — the metrics ride the action, costing one aggregate
 buffer per task, not a second pass. This module packages the standard
 ingest-gate metrics (row count, per-column null counts, key range) so
 every batch write can assert its contract cheaply.
+
+Known Spark interaction: a session that has hosted observations can later
+fail RDD-closure jobs (e.g. Spark ML training) with
+``NotSerializableException: ObservationManager`` — the manager is session
+state and can be dragged into task closures. On a long-lived shared
+session, attach observations in a sibling session
+(``spark.newSession()``, same SparkContext, separate session state); the
+observed write behaves identically there.
 """
 
 from __future__ import annotations

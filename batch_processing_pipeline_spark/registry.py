@@ -4184,3 +4184,115 @@ ORACLES["latest_per_key"] = f"""
     GROUP BY user_id
 """
 QUERIES["latest_per_key"] = q_latest_per_key
+
+
+def q_variant_funcs(spark, sf):
+    """VariantType semi-structured surface (Spark 4): ``parse_json`` into
+    an open-schema variant, typed ``variant_get`` extraction by path.
+    Variant is the scale answer to schema-drifting JSON: one binary-
+    encoded column, per-path typed reads, no full from_json schema
+    declaration. The document is concat-built on both sides (same
+    isolation discipline as ``json_funcs``); the oracle extracts the same
+    paths with DuckDB's JSON operators.
+    """
+    o = _t(spark, sf, "orders")
+    js = F.concat(
+        F.lit('{"status": "'),
+        F.col("o_orderstatus"),
+        F.lit('", "n": '),
+        (F.col("o_orderkey") % 97).cast("string"),
+        F.lit(', "nested": {"pri": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}}'),
+    )
+    v = F.parse_json(js)
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.status", "string").alias("status"),
+        F.variant_get(v, "$.n", "long").alias("n"),
+        F.variant_get(v, "$.nested.pri", "string").alias("pri"),
+    )
+
+
+ORACLES["variant_funcs"] = """
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"status": "' || o_orderstatus || '", "n": '
+             || CAST(o_orderkey % 97 AS VARCHAR)
+             || ', "nested": {"pri": "' || o_orderpriority || '"}}' AS js
+      FROM orders
+    )
+    SELECT o_orderkey,
+           json_extract_string(js, '$.status') AS status,
+           CAST(json_extract(js, '$.n') AS BIGINT) AS n,
+           json_extract_string(js, '$.nested.pri') AS pri
+    FROM j
+"""
+QUERIES["variant_funcs"] = q_variant_funcs
+
+
+def q_sql_pipe(spark, sf):
+    """SQL pipe syntax (Spark 4 ``|>`` operators) through the ``spark.sql``
+    entry point — the linear form of filter → aggregate → filter. The
+    oracle is the identical plain-SQL query, so the pipe parse is pinned
+    to classic semantics.
+    """
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        FROM orders_v
+        |> WHERE o_totalprice > 1000.0
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(FLOOR(o_totalprice)) AS total_fl
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE n >= 5
+        """
+    )
+
+
+ORACLES["sql_pipe"] = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS total_fl
+    FROM orders
+    WHERE o_totalprice > CAST(1000.0 AS DOUBLE)
+    GROUP BY o_orderstatus, o_orderpriority
+    HAVING COUNT(*) >= 5
+"""
+QUERIES["sql_pipe"] = q_sql_pipe
+
+
+def q_lateral_join(spark, sf):
+    """Correlated LATERAL subquery (per-customer aggregate over their own
+    orders) — the SQL-standard form of "for each row, run this dependent
+    subquery". Catalyst decorrelates it into an aggregate + equi-join, so
+    the plan scales like the pre-aggregation it is; the oracle runs the
+    identical LATERAL in DuckDB.
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    c.createOrReplaceTempView("customer_v")
+    o.createOrReplaceTempView("orders_v2")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.n_orders, l.best_fl
+        FROM customer_v c,
+        LATERAL (
+          SELECT COUNT(*) AS n_orders,
+                 MAX(FLOOR(o.o_totalprice)) AS best_fl
+          FROM orders_v2 o WHERE o.o_custkey = c.c_custkey
+        ) l
+        WHERE l.n_orders > 0
+        """
+    )
+
+
+ORACLES["lateral_join"] = """
+    SELECT c.c_custkey, l.n_orders, CAST(l.best_fl AS DOUBLE) AS best_fl
+    FROM customer c,
+    LATERAL (
+      SELECT COUNT(*) AS n_orders, MAX(FLOOR(o.o_totalprice)) AS best_fl
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) l
+    WHERE l.n_orders > 0
+"""
+QUERIES["lateral_join"] = q_lateral_join

@@ -100,6 +100,11 @@ def test_observed_quality_metrics_ride_the_write(spark, tmp_path):
         observed_quality,
     )
 
+    # Registered observations live in session state, and a session that
+    # has hosted one can later leak its (non-serializable)
+    # ObservationManager into RDD-closure jobs (Spark ML) — so observe in
+    # a sibling session, as the module docstring prescribes.
+    spark = spark.newSession()
     df = spark.range(100).select(
         F.col("id"),
         F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
