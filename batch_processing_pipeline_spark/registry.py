@@ -4296,3 +4296,111 @@ ORACLES["lateral_join"] = """
     WHERE l.n_orders > 0
 """
 QUERIES["lateral_join"] = q_lateral_join
+
+
+def q_try_funcs(spark, sf):
+    """Error-safe arithmetic/cast surface (``try_divide``, ``try_cast``,
+    ``try_add``): NULL on failure instead of a job-killing ANSI error —
+    at 100 TB one malformed row must not abort an hours-long job, and
+    filters on the NULL results quarantine the bad rows for audit.
+    DuckDB's TRY_CAST / NULLIF-guarded division are the oracle twins.
+    """
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        round4(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7)).alias(
+            "per_bucket"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("pri_n"),
+        F.lit("not-a-number").try_cast("long").alias("bad_cast"),
+        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775807)).alias("overflow"),
+    )
+
+
+ORACLES["try_funcs"] = f"""
+    SELECT o_orderkey,
+           {R("o_totalprice / NULLIF(o_orderkey % 7, 0)")} AS per_bucket,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri_n,
+           TRY_CAST('not-a-number' AS BIGINT) AS bad_cast,
+           CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END AS overflow
+    FROM orders
+"""
+QUERIES["try_funcs"] = q_try_funcs
+
+
+def q_param_sql(spark, sf):
+    """Parameterized SQL through the ``spark.sql(query, args=...)`` entry
+    point — named markers bind typed literals server-side (no string
+    splicing, no injection), the templating surface a query service needs.
+    The oracle inlines the same constants.
+    """
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM(FLOOR(o_totalprice)) AS total_fl
+        FROM orders_p
+        WHERE o_totalprice BETWEEN :lo AND :hi AND o_orderpriority <> :skip
+        GROUP BY o_orderstatus
+        """,
+        args={"lo": 500.0, "hi": 2000.0, "skip": "1-URGENT"},
+    )
+
+
+ORACLES["param_sql"] = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS total_fl
+    FROM orders
+    WHERE o_totalprice BETWEEN CAST(500.0 AS DOUBLE) AND CAST(2000.0 AS DOUBLE)
+      AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+"""
+QUERIES["param_sql"] = q_param_sql
+
+
+def q_arrow_map(spark, sf):
+    """``mapInArrow`` — the lowest-overhead Python escape hatch: batches
+    arrive as Arrow RecordBatches (zero-copy columnar, no pandas
+    conversion), vectorized numpy math, Arrow back out. The deterministic
+    kernel (charge = price x (1-disc) x (1+tax), floored) is oracle-
+    recomputable, so the Arrow path's semantics are hash-pinned.
+
+    Scale note: prefer built-in column expressions when they can express
+    the kernel (this one could be — the query exists to pin the Arrow
+    batch contract); when Python IS required, mapInArrow beats
+    row-at-a-time UDFs by orders of magnitude and mapInPandas by the
+    pandas materialization cost.
+    """
+    import pyarrow as pa
+
+    l = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+            charge = (price * (1.0 - disc) * (1.0 + tax)) // 1.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    pa.array(charge, type=pa.float64()),
+                ],
+                names=["l_orderkey", "l_linenumber", "charge_fl"],
+            )
+
+    return l.mapInArrow(
+        kernel, "l_orderkey long, l_linenumber int, charge_fl double"
+    )
+
+
+ORACLES["arrow_map"] = """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                 * (CAST(1.0 AS DOUBLE) + l_tax)) AS charge_fl
+    FROM lineitem
+"""
+QUERIES["arrow_map"] = q_arrow_map
