@@ -4404,3 +4404,67 @@ ORACLES["arrow_map"] = """
     FROM lineitem
 """
 QUERIES["arrow_map"] = q_arrow_map
+
+
+def q_bitwise_funcs(spark, sf):
+    """Bitwise expression + aggregate surface: per-status bitmaps composed
+    with ``bit_or``/``bit_and``/``bit_xor`` over shifted flags — the
+    roll-your-own-bitmap primitive (feature flags, day-of-week presence,
+    shard masks) that replaces a 64-row-per-key relation with one long.
+    Map-side partial combine applies (bit ops are commutative/associative
+    merges, the same property the state-store merges exploit).
+    """
+    o = _t(spark, sf, "orders")
+    # pyspark's shiftleft() only takes a literal count — the column-count
+    # form goes through the SQL function
+    flag = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 7 AS INT))")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_or(flag).alias("seen_mask"),
+        F.bit_and(flag + F.lit(1)).alias("and_mask"),
+        F.bit_xor(flag).alias("xor_mask"),
+        F.sum(F.bit_count(flag)).alias("total_bits"),
+    )
+
+
+ORACLES["bitwise_funcs"] = """
+    SELECT o_orderstatus,
+           bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER)) AS seen_mask,
+           bit_and((CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER)) + 1) AS and_mask,
+           bit_xor(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER)) AS xor_mask,
+           SUM(bit_count(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER))) AS total_bits
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+QUERIES["bitwise_funcs"] = q_bitwise_funcs
+
+
+def q_hll_union(spark, sf):
+    """Mergeable HLL sketches (Datasketches ``hll_sketch_agg`` /
+    ``hll_union_agg``): build per-day-parity sketches of each event
+    type's users, then UNION THE SKETCHES — the incremental
+    count-distinct: daily batches keep a tiny sketch column in state and
+    merging them equals sketching the whole history (no re-scan, the
+    property plain approx_count_distinct doesn't expose). Sketch binaries
+    are engine-specific → rows-only in the harness; pytest pins
+    merged-estimate == whole-corpus estimate and the error bound vs exact.
+    """
+    e = _events(spark, sf).select(
+        "event_type", "user_id",
+        (F.floor(F.unix_timestamp("ts") / F.lit(86400)) % 2).alias("_half"),
+    )
+    halves = e.groupBy("event_type", "_half").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = halves.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "est_users", "exact_users"
+    )
+
+
+ORACLES["hll_union"] = None
+QUERIES["hll_union"] = q_hll_union

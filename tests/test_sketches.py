@@ -83,3 +83,22 @@ def test_approx_mad_outliers_agree_with_exact(spark, sf_dir):
     assert sym <= max(2, int(0.02 * max(len(exact), 1))), (
         len(exact), len(approx), sym,
     )
+
+
+def test_hll_union_of_batch_sketches_equals_whole_corpus(spark, sf_dir):
+    """Merging per-batch HLL sketches must equal sketching the whole
+    corpus (the incremental count-distinct state property), and the
+    estimate must sit within HLL's error bound of exact."""
+    from batch_processing_pipeline_spark.registry import QUERIES, _events
+
+    rows = {r.event_type: r for r in QUERIES["hll_union"](spark, sf_dir).collect()}
+    e = _events(spark, sf_dir)
+    whole = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for etype, r in rows.items():
+        assert r.est_users == whole[etype], "merge must equal whole-corpus sketch"
+        assert abs(r.est_users - r.exact_users) / r.exact_users < 0.05
