@@ -4468,3 +4468,32 @@ def q_hll_union(spark, sf):
 
 ORACLES["hll_union"] = None
 QUERIES["hll_union"] = q_hll_union
+
+
+def q_bpe_encode(spark, sf):
+    """Full BPE tokenizer round: train 20 merges on the corpus' Zipf-
+    compact vocabulary (driver-side, as production tokenizer trainers
+    do), broadcast the rank table, and APPLY it distributed via an
+    Arrow-batched pandas UDF with an executor-local distinct-word cache
+    (functions/bpe.py) — the training-data tokenization pass at 100 TB.
+    Deterministic (tie-broken training) but not SQL-expressible →
+    rows-only in the harness; golden merges, round-trip, and cache
+    semantics pinned in tests/test_text_analysis.py.
+    """
+    from batch_processing_pipeline_spark.functions.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = learn_bpe_merges(d, "text", n_merges=20)
+    enc = bpe_encode(d.select("doc_id", "text"), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.element_at("bpe_tokens", 1).alias("first_tok"),
+    )
+
+
+ORACLES["bpe_encode"] = None
+QUERIES["bpe_encode"] = q_bpe_encode

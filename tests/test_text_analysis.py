@@ -66,3 +66,54 @@ def test_template_placeholders_ner_style(spark):
         ).alias("t")
     ).collect()[0].t
     assert out == "how to install APPLICATION in OS"
+
+
+def test_bpe_learn_and_encode_golden(spark):
+    """Classic BPE on a tiny corpus: merges come out in frequency order
+    with lexicographic ties, and encoding applies them greedily."""
+    from batch_processing_pipeline_spark.functions.bpe import (
+        bpe_encode,
+        encode_word,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("aaab aaab aaab ab",)], "text string"
+    )
+    merges = learn_bpe_merges(df, "text", n_merges=2)
+    # 'aa' appears 2x per 'aaab' x3 = 6; 'ab' appears 4 -> 'aa' first;
+    # then words are [aa,a,b]x3 + [a,b]: pairs (aa,a)=3, (a,b)=4 -> 'ab'
+    assert merges == [("a", "a"), ("a", "b")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("aaab", ranks) == ["aa", "ab"]
+    assert encode_word("ab", ranks) == ["ab"]
+    assert encode_word("xyz", ranks) == ["x", "y", "z"]
+
+    enc = bpe_encode(df, merges)
+    toks = enc.collect()[0].bpe_tokens
+    assert toks == ["aa", "ab"] * 3 + ["ab"]
+
+
+def test_bpe_encode_round_trips_and_is_deterministic(spark, sf_dir):
+    """Concatenating a word's BPE tokens reconstructs the word, and two
+    runs produce identical tokenizations (cache + tie-breaks stable)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    merges = learn_bpe_merges(d, "text", n_merges=20)
+    assert len(merges) == 20
+    enc = bpe_encode(d.select("doc_id", "text"), merges)
+    bad = enc.select(
+        "doc_id",
+        F.concat_ws("", "bpe_tokens").alias("glued"),
+        F.concat_ws("", F.split(F.lower(F.trim("text")), r"\s+")).alias("orig"),
+    ).where(F.col("glued") != F.col("orig"))
+    assert bad.count() == 0
+    a = {r.doc_id: r.bpe_tokens for r in enc.collect()}
+    b = {r.doc_id: r.bpe_tokens for r in bpe_encode(d.select("doc_id", "text"), merges).collect()}
+    assert a == b
