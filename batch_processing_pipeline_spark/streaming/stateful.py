@@ -78,3 +78,66 @@ def running_key_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the successor arbitrary-state API
+# ---------------------------------------------------------------------------
+# Spark 4's StatefulProcessor replaces the single state tuple with typed
+# state handles (ValueState/ListState/MapState) + event/processing-time
+# timers, and decouples state schema from the update function. The same
+# running-stats operator on the new API, so callers can migrate off
+# applyInPandasWithState without changing semantics (equivalence asserted
+# in tests/test_stateful_streaming.py; the test importorskips on
+# google.protobuf — the state server's transport — and the operator needs
+# the RocksDB state store provider:
+#   spark.sql.streaming.stateStore.providerClass =
+#     org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider).
+
+
+def running_key_stats_tws(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """``running_key_stats`` on ``transformWithStateInPandas``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, total double, peak double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, peak = self._state.get()
+            else:
+                n, total, peak = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    peak = max(peak, float(pdf["value"].max()))
+            self._state.update((n, total, peak))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [total], "peak": [peak]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
