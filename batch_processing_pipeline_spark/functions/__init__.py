@@ -18,8 +18,16 @@ from batch_processing_pipeline_spark.functions.text_analysis import (
     word_ngram_counts,
 )
 from batch_processing_pipeline_spark.functions.pii import scrub_pii, pii_counts
+from batch_processing_pipeline_spark.functions.bpe import (
+    bpe_encode,
+    encode_word,
+    learn_bpe_merges,
+)
 
 __all__ = [
+    "bpe_encode",
+    "encode_word",
+    "learn_bpe_merges",
     "scrub_pii",
     "pii_counts",
     "word_ngram_counts",

@@ -14,6 +14,14 @@ from batch_processing_pipeline_spark.operators.prefix import (
 from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 from batch_processing_pipeline_spark.operators.merge import merge_frequencies
 from batch_processing_pipeline_spark.operators.sessionize import sessionize
+from batch_processing_pipeline_spark.operators.observe import (
+    assert_quality,
+    observed_quality,
+)
+from batch_processing_pipeline_spark.operators.state_store import (
+    merge_touched_buckets,
+    read_bucketed_state,
+)
 from batch_processing_pipeline_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
@@ -23,6 +31,10 @@ from batch_processing_pipeline_spark.operators.sampling import (
 )
 
 __all__ = [
+    "assert_quality",
+    "observed_quality",
+    "merge_touched_buckets",
+    "read_bucketed_state",
     "normalize_queries",
     "expand_prefixes",
     "prefix_frequencies",
