@@ -4497,3 +4497,101 @@ def q_bpe_encode(spark, sf):
 
 ORACLES["bpe_encode"] = None
 QUERIES["bpe_encode"] = q_bpe_encode
+
+
+def q_codec_funcs(spark, sf):
+    """Content-addressing / encoding surface: md5, sha2-256, hex, base64.
+    The digest functions are what exact-dedup fingerprints and
+    cache/content-addressed storage keys are built from — pinned here
+    cross-engine so the internal uses (operators/dedup.py) stay on
+    portable semantics.
+    """
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("md5_hex"),
+        F.sha2(t, 256).alias("sha256_hex"),
+        F.hex(t).alias("utf8_hex"),
+        # Spark's base64 emits MIME-chunked output (a newline every 76
+        # chars) on long inputs; strip to the canonical unchunked form
+        F.regexp_replace(F.base64(t.cast("binary")), "[\\r\\n]", "").alias("b64"),
+    )
+
+
+ORACLES["codec_funcs"] = """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           hex(CAST(text AS BLOB)) AS utf8_hex,
+           to_base64(CAST(text AS BLOB)) AS b64
+    FROM documents WHERE doc_id < 100
+"""
+QUERIES["codec_funcs"] = q_codec_funcs
+
+
+def q_array_lambdas(spark, sf):
+    """Higher-order array functions (filter/exists/forall/aggregate) —
+    the lambda surface over array columns. Scale note: these run
+    interpreted (outside whole-stage codegen); corpus-hot paths in this
+    repo use the explode+aggregate bulk forms instead (operators/dedup.py
+    docstrings), and this query pins the SEMANTICS of the convenient
+    form for bounded relations.
+    """
+    emb = _t(spark, sf, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > F.lit(0.2)).alias("any_big"),
+        F.forall(e, lambda x: F.abs(x) <= F.lit(1.0)).alias("all_unit"),
+        round4(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+        ).alias("l1_norm"),
+    )
+
+
+ORACLES["array_lambdas"] = f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
+           len(list_filter(e, x -> x > CAST(0.2 AS DOUBLE))) > 0 AS any_big,
+           len(list_filter(e, x -> NOT (abs(x) <= CAST(1.0 AS DOUBLE)))) = 0 AS all_unit,
+           {R("list_sum(list_transform(e, x -> abs(x)))")} AS l1_norm
+    FROM t
+"""
+QUERIES["array_lambdas"] = q_array_lambdas
+
+
+def q_locf_fill(spark, sf):
+    """Last-observation-carried-forward gap fill: per user, carry the
+    most recent non-null click value forward over time — the standard
+    time-series imputation, expressed as ``last_value(... IGNORE NULLS)``
+    over an unbounded-preceding frame. One window pass, no self-join.
+    """
+    e = _events(spark, sf)
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(click_val, ignorenulls=True).over(w).alias("locf_raw"),
+    ).select(
+        "user_id", "event_id", round4(F.col("locf_raw")).alias("last_click_v")
+    )
+
+
+ORACLES["locf_fill"] = f"""
+    SELECT user_id, event_id,
+           {R("last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+               AS last_click_v
+    FROM events
+"""
+QUERIES["locf_fill"] = q_locf_fill
