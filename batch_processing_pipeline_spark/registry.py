@@ -4595,3 +4595,108 @@ ORACLES["locf_fill"] = f"""
     FROM events
 """
 QUERIES["locf_fill"] = q_locf_fill
+
+
+def q_moving_median(spark, sf):
+    """Rolling median over a trailing 9-row window per event type — the
+    robust smoother (spike-resistant, unlike moving average) for noisy
+    telemetry. Exact windowed percentile buffers only the frame (9
+    values), so unlike a global percentile this is scale-safe as-is.
+    """
+    e = _events(spark, sf)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    med = F.expr(
+        "percentile(value, 0.5) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+        "ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)"
+    )
+    avg = F.avg("value").over(w)
+    out = e.select(
+        "event_type",
+        "event_id",
+        round4(F.col("value")).alias("v"),
+        round4(med).alias("med9"),
+        round4(avg).alias("avg9"),
+    )
+    return out
+
+
+ORACLES["moving_median"] = f"""
+    SELECT event_type, event_id, {R("value")} AS v,
+           {R("quantile_cont(value, 0.5) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)")} AS med9,
+           {R("AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)")} AS avg9
+    FROM events
+"""
+QUERIES["moving_median"] = q_moving_median
+
+
+def q_user_paths(spark, sf):
+    """Session path mining: the top-25 3-step event-type sequences across
+    user sessions (30-min gap) — the product-analytics "common journeys"
+    query. Sessions come from the same gap logic DQ24 pins; the path
+    trigrams are a window over (session, time) — no per-session array
+    materialization, so a million-event session costs the same per row
+    as a short one.
+    """
+    e = _events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_s).over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(ws),
+        F.lead("event_type", 2).over(ws),
+    )
+    trigrams = sess.select(
+        path.alias("path"),
+        F.lead("event_type", 2).over(ws).alias("_has3"),
+    ).where(F.col("_has3").isNotNull())
+    wr = Window.partitionBy().orderBy(F.desc("n"), F.asc("path"))
+    return (
+        trigrams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 25)
+        .select(F.col("rk").cast("int").alias("rk"), "path", "n")
+    )
+
+
+ORACLES["user_paths"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM g
+    ), t AS (
+      SELECT event_type || '>' ||
+             LEAD(event_type, 1) OVER w || '>' ||
+             LEAD(event_type, 2) OVER w AS path,
+             LEAD(event_type, 2) OVER w AS has3
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS INTEGER) AS rk,
+           path, COUNT(*) AS n
+    FROM t WHERE has3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 25
+"""
+QUERIES["user_paths"] = q_user_paths
