@@ -4700,3 +4700,78 @@ ORACLES["user_paths"] = """
     LIMIT 25
 """
 QUERIES["user_paths"] = q_user_paths
+
+
+def q_pagerank(spark, sf):
+    """PageRank centrality (operators/pagerank.py) over the customer↔
+    supplier transaction graph (symmetric edges from who-bought-from-whom
+    via lineitem ⋈ orders) — the link-centrality quality prior web-corpus
+    curation applies to domains, exercised on the fixture's entity graph.
+    5 damped power-iteration rounds; the oracle unrolls the identical
+    iteration as chained CTEs, so every round's join+aggregate semantics
+    are hash-pinned (ranks rounded to absorb sub-ulp fold differences).
+    """
+    from batch_processing_pipeline_spark.operators.pagerank import pagerank
+
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("c"),
+            F.col("l_suppkey").alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=5)
+    return ranks.select("node", round4(F.col("rank") * 1000.0).alias("rank_k"))
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    head = """
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey + 1000000 AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ), deg AS (
+      SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT nodes.node,
+             (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
+             + CAST({damping} AS DOUBLE) * COALESCE(contrib.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / d.out_deg) AS in_sum
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) contrib ON contrib.dst = nodes.node
+    )""")
+    from batch_processing_pipeline_spark.functions.rounding import sql_round4
+
+    tail = f"""
+    SELECT node, {sql_round4(f"rank * CAST(1000.0 AS DOUBLE)")} AS rank_k
+    FROM r{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+ORACLES["pagerank"] = _pagerank_oracle()
+QUERIES["pagerank"] = q_pagerank

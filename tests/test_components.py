@@ -45,3 +45,19 @@ def test_chain_graph_converges_in_log_rounds(spark):
     comps = {r.component for r in labels.collect()}
     assert comps == {0}
     assert labels.count() == 1000
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    """On a star (all leaves point at the hub, hub points back), the hub
+    must out-rank every leaf, leaves tie, and total mass stays bounded."""
+    from batch_processing_pipeline_spark.operators.pagerank import pagerank
+
+    leaves = list(range(1, 6))
+    edges = [(leaf, 0) for leaf in leaves] + [(0, leaf) for leaf in leaves]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(df, iterations=10).collect()}
+    hub = ranks[0]
+    assert all(hub > ranks[leaf] for leaf in leaves)
+    leaf_vals = {round(ranks[leaf], 12) for leaf in leaves}
+    assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+    assert 0.99 < sum(ranks.values()) <= 1.000001  # no dangling nodes -> mass conserved
