@@ -4775,3 +4775,133 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
 
 ORACLES["pagerank"] = _pagerank_oracle()
 QUERIES["pagerank"] = q_pagerank
+
+
+def q_curation_rules(spark, sf):
+    """Gopher/C4-style heuristic rule panel per document: named boolean
+    rules + the conjunctive keep flag, the interpretable complement to
+    the learned quality model (quality_lr_scores). All rules are plain
+    column expressions (one tokenize pass feeds three of them), so the
+    panel runs at scan speed and pushes nothing to Python.
+    """
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double") / n_words.cast("double")
+    has_stop = F.arrays_overlap(toks, F.array(F.lit("the"), F.lit("a"), F.lit("of")))
+    rules = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        round4(mean_wl).alias("mean_word_len"),
+        (n_words >= 20).alias("r_min_words"),
+        (n_words <= 10000).alias("r_max_words"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("r_word_len"),
+        has_stop.alias("r_stopword"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("r_min_words") & F.col("r_max_words") & F.col("r_word_len")
+        & F.col("r_stopword"),
+    )
+
+
+ORACLES["curation_rules"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             len(list_intersect(toks, ['the', 'a', 'of'])) > 0 AS has_stop
+      FROM t
+    )
+    SELECT doc_id, n_words, {R("mwl")} AS mean_word_len,
+           n_words >= 20 AS r_min_words,
+           n_words <= 10000 AS r_max_words,
+           (mwl >= CAST(3.0 AS DOUBLE) AND mwl <= CAST(10.0 AS DOUBLE)) AS r_word_len,
+           has_stop AS r_stopword,
+           (n_words >= 20 AND n_words <= 10000
+            AND mwl >= CAST(3.0 AS DOUBLE) AND mwl <= CAST(10.0 AS DOUBLE)
+            AND has_stop) AS keep
+    FROM m
+"""
+QUERIES["curation_rules"] = q_curation_rules
+
+
+def q_boilerplate_ngrams(spark, sf):
+    """Corpus-frequency boilerplate detection: the fraction of each
+    document's word-5-grams that occur in ≥ 3 distinct documents —
+    the RefinedWeb-style boilerplate signal (navigation chrome, license
+    headers), complementary to cross-set ``decontaminate`` and
+    within-doc ``text_repetition``.
+
+    Scale shape: 5-grams travel as xxhash64 digests (8 B), never as
+    strings; the per-gram document frequency is one partial-agg pass and
+    the common-gram relation (small by construction: high-df grams are
+    few; the threshold tracks corpus size — web corpora use ≥20, the
+    fixture's 500-doc corpus uses ≥3) broadcasts back into a map-side membership join.
+    """
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = (
+        d.select("doc_id", F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(5)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(5)))),
+            )
+        ).alias("g"))
+    )
+    df_counts = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    common = df_counts.where(F.col("df") >= 3).select("g")
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    boiler = (
+        grams.join(F.broadcast(common), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            round4(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+ORACLES["boilerplate_ngrams"] = f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(toks[i + 1 : i + 5], ' ') AS gram
+      FROM t, UNNEST(range(0, len(toks) - 4)) AS u(i)
+    ), dfreq AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
+    ), boiler AS (
+      SELECT g.doc_id, COUNT(*) AS n_boiler
+      FROM g JOIN dfreq USING (gram)
+      WHERE dfreq.df >= 3
+      GROUP BY g.doc_id
+    )
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+           {R("CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)")}
+               AS boiler_frac
+    FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+"""
+QUERIES["boilerplate_ngrams"] = q_boilerplate_ngrams
