@@ -1042,3 +1042,60 @@ TPCH_ORACLES["tpch_q21"] = """
 for _name in list(globals()):
     if _name.startswith("tpch_q") and callable(globals()[_name]):
         TPCH_QUERIES[_name] = globals()[_name]
+
+
+def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shipping modes and order priority — adapted: the fixture has no
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so (a) shipmode is
+    DERIVED deterministically per line (``modes[(l_orderkey*3 +
+    l_linenumber) % 7]`` — same portable-arithmetic precedent as the
+    derived partsupp) and (b) "late" is shipped more than 60 days after
+    the order date (same adaptation as q4/q21).
+
+    One lineitem scan with the mode filter applied before the join; the
+    priority split is a conditional aggregation (no second pass).
+    """
+    modes = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+    mode_arr = F.array(*[F.lit(m) for m in modes])
+    shipmode = F.element_at(
+        mode_arr,
+        ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7 + 1).cast("int"),
+    )
+    l = (
+        _t(spark, sf, "lineitem")
+        .withColumn("l_shipmode", shipmode)
+        .where(F.col("l_shipmode").isin(["MAIL", "SHIP"]))
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(late)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_ORACLES["tpch_q12"] = """
+    WITH l AS (
+      SELECT l_orderkey,
+             (['AIR', 'FOB', 'MAIL', 'RAIL', 'REG AIR', 'SHIP', 'TRUCK'])
+               [CAST((l_orderkey * 3 + l_linenumber) % 7 + 1 AS INTEGER)] AS l_shipmode,
+             l_shipdate
+      FROM lineitem
+    )
+    SELECT l.l_shipmode,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_shipmode
+"""
+TPCH_QUERIES["tpch_q12"] = tpch_q12

@@ -21,7 +21,7 @@ def _plan(spark, sf_dir, name):
 
 def test_all_tpch_queries_registered():
     assert set(TPCH_QUERIES) <= set(QUERIES)
-    assert len(TPCH_QUERIES) == 21
+    assert len(TPCH_QUERIES) == 22
 
 
 def test_q1_filter_pushed_and_partial_agg(spark, sf_dir):
