@@ -4905,3 +4905,50 @@ ORACLES["boilerplate_ngrams"] = f"""
     FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
 """
 QUERIES["boilerplate_ngrams"] = q_boilerplate_ngrams
+
+
+def q_seasonal_outliers(spark, sf):
+    """Seasonality-aware anomaly flags: each event scores against the
+    mean/std of ITS OWN (event_type, hour-of-day) cell, so a value normal
+    at peak hours but anomalous at 3am flags correctly — the refinement
+    global z-scores (``outliers``) structurally miss.
+
+    Scale shape: the per-cell baseline is a tiny aggregate (types × 24
+    rows) broadcast back; scoring is map-side. Population std (stddev_pop)
+    on both engines; rounded-z threshold keeps the float contract
+    portable.
+    """
+    e = _events(spark, sf).select(
+        "event_id", "event_type", "value", F.hour("ts").alias("hod")
+    )
+    base = e.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = round4((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        e.join(F.broadcast(base), ["event_type", "hod"])
+        .where((F.col("sd") > 0) & (F.col("n") >= 30))
+        .select("event_id", "event_type", "hod", z.alias("z"))
+        .where(F.abs(F.col("z")) > F.lit(3.0))
+    )
+
+
+ORACLES["seasonal_outliers"] = f"""
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod
+      FROM events
+    ), base AS (
+      SELECT event_type, hod, AVG(value) AS mu, stddev_pop(value) AS sd,
+             COUNT(*) AS n
+      FROM e GROUP BY event_type, hod
+    )
+    SELECT e.event_id, e.event_type, e.hod,
+           {R("(e.value - b.mu) / b.sd")} AS z
+    FROM e JOIN base b ON e.event_type = b.event_type AND e.hod = b.hod
+    WHERE b.sd > 0 AND b.n >= 30
+      AND abs({R("(e.value - b.mu) / b.sd")}) > CAST(3.0 AS DOUBLE)
+"""
+QUERIES["seasonal_outliers"] = q_seasonal_outliers
