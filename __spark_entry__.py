@@ -11,10 +11,11 @@ window from the FRONT of ``queries()`` (50 rows in rounds 1–2). Every
 registry query is green under the local replica of that harness
 (``tools/check_oracle.py``; committed evidence in ``ORACLE_r03.json``),
 but only windowed queries get an independent driver-file row — so the
-dict is ordered deliberately: queries that have never had a driver row
-(see ``_WINDOW_R3`` and ``_NEVER_CHECKED_REST``) come first, and the 51
-queries already driver-verified in rounds 1–2 (``CORRECTNESS_r0{1,2}.json``)
-rotate to the back. They stay pinned by check_oracle + pytest.
+dict is ordered deliberately: the curated ``_WINDOW_R3`` fills the
+window, the remaining never-driver-checked queries follow (in registry
+order — round 4's window material), and the 51 queries already
+driver-verified in rounds 1–2 (``CORRECTNESS_r0{1,2}.json``) rotate to
+the back. They stay pinned by check_oracle + pytest.
 """
 
 from __future__ import annotations
@@ -30,11 +31,11 @@ from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
 # by the derived partsupp), the LLM-curation flagships, the hard join
 # shapes, and the four new approx-sketch twins.
 _WINDOW_R3 = [
-    # TPC-H (21)
+    # TPC-H — the full 22-query suite
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # curation / decontamination flagships
     "decontaminate", "contamination_report", "perplexity",
     "pmi_collocations", "doc_keywords", "bpe_merge_candidates",
@@ -46,9 +47,10 @@ _WINDOW_R3 = [
     "zorder_key", "mad_outliers", "edit_distance_pairs",
     "pandas_grouped_agg", "quality_lr_scores", "incremental_agg",
     "grouped_ols", "udtf_ngrams",
-    # approx-sketch twins (rows-only by design, like quality_lr_scores)
-    "approx_percentiles", "approx_equidepth_buckets", "approx_rfm_scores",
-    "approx_mad_outliers",
+    # approx-sketch twins (rows-only by design, like quality_lr_scores;
+    # approx_equidepth_buckets yields its slot to tpch_q12 — it stays
+    # pinned by check_oracle + its error-bound test either way)
+    "approx_percentiles", "approx_rfm_scores", "approx_mad_outliers",
 ]
 
 # Driver-verified in rounds 1–2 (union of CORRECTNESS_r01/r02 keys) —

@@ -84,7 +84,7 @@ def minhash_signatures(
     shingle_n: int,
     num_perm: int,
     seed: int = 42,
-    pos_step: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """(id, sig: array<bigint>) via the codegen-friendly bulk formulation.
 
@@ -106,12 +106,19 @@ def minhash_signatures(
       (``xxhash64(min_h, i)``) so sparse documents still produce full
       signatures that only collide when their content matches.
 
-    ``pos_step > 1`` samples every ``pos_step``-th shingle START POSITION
-    (standard sampled-shingling): the hash pass — the dominant cost of
-    the whole dedup — shrinks ×pos_step. Sampling is position-aligned, so
-    two near-identical documents sample near-identical shingle sets and
-    the collision behavior is preserved; exactness is unaffected because
-    verification always recomputes Jaccard over the FULL shingle sets.
+    ``sample_mod > 1`` keeps only shingles whose CONTENT hashes into the
+    ``0 mod sample_mod`` residue class (mod-p / winnowing-style sampled
+    shingling) — NOT a position stride: content-keyed sampling is
+    shift-invariant, so a one-character insertion that offsets every
+    shingle position still samples the same shingle VALUES from both
+    documents and near-dup recall survives (a position stride would
+    sample near-disjoint sets for odd offsets). The sampling decision
+    hashes the 8-byte shingle hash through an independent channel
+    (``xxhash64(h, seed+1)``) so the surviving ``h`` values stay unbiased
+    for the one-permutation bin assignment below. The downstream
+    aggregation/shuffle work shrinks ×sample_mod; exactness is unaffected
+    because verification always recomputes Jaccard over the FULL shingle
+    sets.
     """
     t = F.lower(F.trim(F.col(text_col)))
     exploded = (
@@ -121,11 +128,7 @@ def minhash_signatures(
             F.col(id_col),
             "_t",
             F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.length("_t") - F.lit(shingle_n - 1),
-                    F.lit(pos_step),
-                )
+                F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
             ).alias("_i"),
         )
         .select(
@@ -135,6 +138,10 @@ def minhash_signatures(
             ).alias("h"),
         )
     )
+    if sample_mod > 1:
+        exploded = exploded.where(
+            F.pmod(F.xxhash64(F.col("h"), F.lit(seed + 1)), F.lit(sample_mod)) == 0
+        )
     bin_col = F.pmod(F.col("h"), F.lit(num_perm))
     mins = exploded.groupBy(id_col).agg(
         F.min("h").alias("_hmin"),
@@ -183,7 +190,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     estimate_slack: float = 0.2,
-    pos_step: int = 2,
+    sample_mod: int = 2,
     prune_singletons: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
@@ -202,10 +209,10 @@ def minhash_lsh_dedup(
     3. exact verification — survivors join the shingle arrays for exact
        Jaccard; output is hash-independent.
 
-    ``pos_step=2`` samples every other shingle position in the SIGNATURE
-    pass only (halving the dominant hash cost); verification stays exact
-    over all positions, so precision is unchanged and recall holds
-    because sampling is position-aligned across near-identical texts.
+    ``sample_mod=2`` samples ~half the shingles in the SIGNATURE pass by
+    shingle CONTENT (mod-p sampling — shift-invariant, so recall holds
+    even for offset-shifting edits; see minhash_signatures); verification
+    stays exact over all positions, so precision is unchanged.
 
     ``prune_singletons=True`` drops one-member band buckets before the
     self-join (a bucket of one cannot produce a pair). Output-invariant.
@@ -238,7 +245,7 @@ def minhash_lsh_dedup(
     # race and each computes the full signature pass before the cache is
     # populated (~2× the dominant cost).
     sigs = minhash_signatures(
-        docs, id_col, text_col, shingle_n, num_perm, pos_step=pos_step
+        docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
     ).persist()
     sigs.count()
     # The signature travels WITH the band keys through the self-join

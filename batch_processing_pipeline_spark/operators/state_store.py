@@ -98,6 +98,27 @@ def state_bucket(col_name: str, buckets: int):
     return F.pmod(F.xxhash64(F.col(col_name)), F.lit(buckets))
 
 
+def _existing_bucket_dirs(
+    spark: SparkSession, state_dir: str
+) -> set[str] | None:
+    """Names of ``bucket=*`` children under ``state_dir`` via the Hadoop
+    FileSystem API — correct on ANY supported filesystem (HDFS, s3a,
+    file://), where a driver-local ``os.path`` probe would silently
+    report object-store state as absent and a later overwrite would
+    clobber it. One listStatus RPC total. ``None`` = state_dir absent."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return None
+    return {
+        st.getPath().getName()
+        for st in fs.listStatus(base)
+        if st.isDirectory() and st.getPath().getName().startswith("bucket=")
+    }
+
+
 def _read_bucket_dirs(
     spark: SparkSession, state_dir: str, buckets_filter: list[int] | None
 ) -> DataFrame | None:
@@ -111,17 +132,18 @@ def _read_bucket_dirs(
     ``bucket=`` subdirectories as explicit paths (with ``basePath`` so the
     partition column survives) keeps the listing O(touched). Missing
     directories (buckets seeing their first rows) are skipped; returns
-    ``None`` when nothing exists yet."""
-    import os
-
+    ``None`` when nothing exists yet. Existence checks go through the
+    Hadoop FileSystem API, so the store works on HDFS/object stores, not
+    just the driver's local disk."""
+    existing = _existing_bucket_dirs(spark, state_dir)
+    if existing is None:
+        return None
     if buckets_filter is None:
-        if not os.path.exists(state_dir):
-            return None
         return spark.read.option("basePath", state_dir).parquet(state_dir)
     paths = [
-        os.path.join(state_dir, f"bucket={b}")
+        f"{state_dir.rstrip('/')}/bucket={b}"
         for b in buckets_filter
-        if os.path.isdir(os.path.join(state_dir, f"bucket={b}"))
+        if f"bucket={b}" in existing
     ]
     if not paths:
         return None

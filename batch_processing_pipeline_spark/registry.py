@@ -4848,8 +4848,13 @@ def q_boilerplate_ngrams(spark, sf):
     """
     d = _t(spark, sf, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # guard sub-5-token documents BEFORE building the position sequence:
+    # sequence(0, size-5) with size<5 descends into negative positions and
+    # slice() rejects start 0 at runtime. Short docs simply have no
+    # 5-grams (they are absent here AND in the oracle's empty range()).
     grams = (
-        d.select("doc_id", F.explode(
+        d.where(F.size(toks) >= 5)
+        .select("doc_id", F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - F.lit(5)),
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(5)))),

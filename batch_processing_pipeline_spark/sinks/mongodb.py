@@ -95,8 +95,15 @@ def publish_documents(
     def send_partition(rows: Iterator) -> None:
         prefix_col_, doc_cols_, factory = holder
         client = factory()
-        for row in rows:
-            doc = {c: row[c] for c in doc_cols_}
-            client.replace_one({prefix_col_: row[prefix_col_]}, doc, upsert=True)
+        try:
+            for row in rows:
+                doc = {c: row[c] for c in doc_cols_}
+                client.replace_one({prefix_col_: row[prefix_col_]}, doc, upsert=True)
+        finally:
+            # one client per partition per batch: release its connection
+            # pool eagerly instead of waiting for executor-side GC
+            close = getattr(client, "close", None)
+            if callable(close):
+                close()
 
     df.select(*doc_cols).foreachPartition(send_partition)

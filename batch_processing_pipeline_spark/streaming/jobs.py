@@ -231,20 +231,22 @@ def run_autocomplete_stream(
         from batch_processing_pipeline_spark.plans.autocomplete import suggestions
 
         delta = prefix_frequencies(normalize_queries(batch_df))
-        touched = merge_touched_buckets(
+        merge_touched_buckets(
             spark, delta, state_dir, batch_id, buckets=state_buckets
         )
-        if not touched:
-            # replayed batch (every bucket already merged it) — or an empty
-            # batch. Re-derive the publish scope from the delta so a crash
-            # between state write and publish is repaired idempotently.
-            b = state_bucket("prefix", state_buckets)
-            touched = sorted(
-                r.b for r in delta.select(b.alias("b")).distinct().collect()
-            )
-            if not touched:
-                return
-        scope = read_bucketed_state(spark, state_dir, touched)
+        # Publish scope = the DELTA's full bucket set, NOT the merge's
+        # post-replay-guard return: after a crash between a partial state
+        # commit and the publish, a redelivery skips the already-stamped
+        # buckets in the merge — but their suggestions were never written,
+        # so excluding them would leave those partitions stale forever.
+        # Publishing from current state is idempotent either way.
+        b = state_bucket("prefix", state_buckets)
+        publish = sorted(
+            r.b for r in delta.select(b.alias("b")).distinct().collect()
+        )
+        if not publish:
+            return
+        scope = read_bucketed_state(spark, state_dir, publish)
         (
             suggestions(scope, k=k)
             .withColumn("bucket", state_bucket("prefix", state_buckets))

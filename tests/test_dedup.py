@@ -129,17 +129,38 @@ def test_minhash_singleton_pruning_is_output_invariant(spark):
     assert base  # non-vacuous
 
 
-def test_minhash_position_sampling_keeps_recall(spark):
-    """pos_step=2 (sampled shingling) must still recover every pair the
-    full-position signature path recovers on the fixture."""
+def test_minhash_content_sampling_keeps_recall(spark):
+    """sample_mod=2 (mod-p sampled shingling) must still recover every
+    pair the full signature path recovers on the fixture."""
     kw = dict(shingle_n=5, num_perm=32, bands=16, threshold=0.6, estimate_slack=0.4)
     full = {
         (r.id_a, r.id_b)
-        for r in minhash_lsh_dedup(_docs(spark), pos_step=1, **kw).collect()
+        for r in minhash_lsh_dedup(_docs(spark), sample_mod=1, **kw).collect()
     }
     sampled = {
         (r.id_a, r.id_b)
-        for r in minhash_lsh_dedup(_docs(spark), pos_step=2, **kw).collect()
+        for r in minhash_lsh_dedup(_docs(spark), sample_mod=2, **kw).collect()
     }
     assert full == sampled
     assert full
+
+
+def test_minhash_sampling_is_shift_invariant(spark):
+    """The sampling decision is keyed on shingle CONTENT, so an edit that
+    offsets every shingle position (one char inserted at the front) must
+    not break recall — the failure mode a position-stride sampler has."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "by the warm fire and dreams of chasing mice through the garden"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, "x" + base)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            docs, shingle_n=5, num_perm=32, bands=16, threshold=0.6,
+            estimate_slack=0.4, sample_mod=2,
+        ).collect()
+    }
+    assert (0, 1) in pairs

@@ -120,3 +120,22 @@ def test_observed_quality_metrics_ride_the_write(spark, tmp_path):
     observed2.count()
     with pytest.raises(ValueError, match="nulls_v"):
         assert_quality(obs2, max_null_fraction=0.05)
+
+
+def test_boilerplate_ngrams_handles_sub_5_token_documents(spark, tmp_path):
+    """Documents with fewer than 5 tokens must be silently gram-less (as
+    in the oracle), not a runtime slice() error from negative positions."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "one two three four"),
+            (3, "a b c d e f g h i j k l m n o p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in QUERIES["boilerplate_ngrams"](spark, str(tmp_path)).collect()}
+    assert set(rows) == {3}  # short docs have no 5-grams at all
+    assert rows[3].n_grams == 16 and rows[3].n_boiler == 0
