@@ -14,6 +14,11 @@ needed) or a JDBC state/serving pair when ``--jdbc-url`` is given:
     # 24-hour window instead of a single hourly file (the documented
     # intent the reference never implemented — H7):
     ... --window-hours 24 --end 2025-06-10-23
+
+    # streaming mode: replaces the reference's 5-min cron — an
+    # availableNow foreachBatch run that merges every unprocessed hourly
+    # file exactly once (checkpointed), optionally with bucketed state:
+    ... --stream --checkpoint-dir /ckpt [--state-buckets 256]
 """
 
 from __future__ import annotations
@@ -40,11 +45,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--suggestions-dir", required=True, help="serving table output")
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--master", default=None, help="only for local runs; cluster via spark-submit")
+    p.add_argument(
+        "--stream", action="store_true",
+        help="availableNow streaming run over --logs (cron parity)",
+    )
+    p.add_argument("--checkpoint-dir", help="stream checkpoint location (with --stream)")
+    p.add_argument(
+        "--state-buckets", type=int, default=None,
+        help="bucket cumulative state; batches rewrite only touched buckets",
+    )
+    p.add_argument(
+        "--suggestion-buckets", type=int, default=None,
+        help="bucket the serving table for delta publishing",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.stream:
+        if not args.checkpoint_dir:
+            raise SystemExit("--stream requires --checkpoint-dir")
+        from batch_processing_pipeline_spark.streaming.jobs import (
+            run_autocomplete_stream,
+            stream_query_log,
+        )
+
+        spark = get_spark("incremental-autocomplete-stream", master=args.master)
+        q = run_autocomplete_stream(
+            stream_query_log(spark, args.logs),
+            args.state_dir,
+            args.suggestions_dir,
+            args.checkpoint_dir,
+            k=args.top_k,
+            suggestion_buckets=args.suggestion_buckets,
+            state_buckets=args.state_buckets,
+        )
+        q.awaitTermination()
+        return 0
     if not args.logfile and not args.window_hours:
         raise SystemExit("one of --logfile / --window-hours is required")
     spark = get_spark("incremental-autocomplete", master=args.master)

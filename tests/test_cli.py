@@ -71,3 +71,51 @@ def test_cli_window_batch_incremental(spark, tmp_path):
     }
     assert freq2[("al", "alpha")] == 3
     assert freq2[("be", "beta")] == 2
+
+
+def test_cli_stream_mode_runs_available_now(spark, tmp_path, monkeypatch):
+    """--stream drives the availableNow streaming job end-to-end: files
+    merge exactly once across invocations via the checkpoint."""
+    import os
+
+    from batch_processing_pipeline_spark import cli
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "2025-01-01-00.txt").write_text("test\ntest\nkheder\n")
+    state = str(tmp_path / "state")
+    sugg = str(tmp_path / "sugg")
+    ckpt = str(tmp_path / "ckpt")
+
+    # reuse the session fixture instead of letting the CLI build one
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    rc = cli.main([
+        "--logs", str(logs), "--state-dir", state, "--suggestions-dir", sugg,
+        "--stream", "--checkpoint-dir", ckpt, "--top-k", "5",
+    ])
+    assert rc == 0
+    cur = spark.read.parquet(os.path.join(state, "current"))
+    freq = {(r.prefix, r.query): r.frequency for r in cur.collect()}
+    assert freq[("te", "test")] == 2
+
+    (logs / "2025-01-01-01.txt").write_text("test\n")
+    rc = cli.main([
+        "--logs", str(logs), "--state-dir", state, "--suggestions-dir", sugg,
+        "--stream", "--checkpoint-dir", ckpt, "--top-k", "5",
+    ])
+    assert rc == 0
+    cur = spark.read.parquet(os.path.join(state, "current"))
+    freq = {(r.prefix, r.query): r.frequency for r in cur.collect()}
+    assert freq[("te", "test")] == 3  # merged exactly once (H1)
+
+
+def test_cli_stream_requires_checkpoint(tmp_path):
+    import pytest
+
+    from batch_processing_pipeline_spark import cli
+
+    with pytest.raises(SystemExit, match="checkpoint"):
+        cli.main([
+            "--logs", str(tmp_path), "--state-dir", "s", "--suggestions-dir", "g",
+            "--stream",
+        ])
