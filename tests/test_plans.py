@@ -182,3 +182,35 @@ def test_referential_integrity_clean_fixture_and_detects_orphans(spark, sf_dir):
         F.col("c_custkey").alias("k")
     ).distinct()
     assert keys.join(parents, "k", "left_anti").count() == 1
+
+
+def test_no_registry_query_uses_row_at_a_time_python(spark):
+    """Global anti-pattern gate: building every registry query's physical
+    plan, none may contain BatchEvalPython (row-at-a-time Python UDF) —
+    the hot-path killer — except the one deliberate demonstration query.
+    Vectorized escapes (ArrowEvalPython / MapInPandas / FlatMapGroupsIn*)
+    stay allowed; this pins the 'UDFs are the slow path' discipline
+    across the whole 160+-query surface at once."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    # udf_surface documents the row-UDF surface deliberately; udtf_ngrams
+    # is the Python-UDTF demonstration (plans as BatchEvalPythonUDTF)
+    allow = {"udf_surface", "udtf_ngrams"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in allow:
+            continue
+        try:
+            plan = (
+                fn(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception:
+            # a handful of queries materialize state at build time on the
+            # tiny fixture; plan-building failures are covered elsewhere
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
