@@ -4957,3 +4957,60 @@ ORACLES["seasonal_outliers"] = f"""
       AND abs({R("(e.value - b.mu) / b.sd")}) > CAST(3.0 AS DOUBLE)
 """
 QUERIES["seasonal_outliers"] = q_seasonal_outliers
+
+
+def q_weighted_median(spark, sf):
+    """Weighted median: the quantity-weighted median unit price per
+    return flag — the weighted-quantile primitive (percentile() has no
+    weight argument) that temperature sampling and budget-balanced
+    domain mixing are built on.
+
+    One window pass: cumulative weight in deterministic (price, row-key)
+    order, then the first row whose cumulative weight crosses half the
+    total. The fold order is identical in both engines, so the doubles
+    (and the crossing row) match exactly.
+    """
+    l = _t(spark, sf, "lineitem")
+    order = [F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+             F.col("l_linenumber").asc()]
+    w = Window.partitionBy("l_returnflag").orderBy(*order)
+    cumw = F.sum("l_quantity").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("l_quantity").over(Window.partitionBy("l_returnflag"))
+    rows = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        cumw.alias("cw"),
+        total.alias("tw"),
+    )
+    return rows.groupBy("l_returnflag").agg(
+        round4(
+            F.min(
+                F.when(
+                    F.col("cw") >= F.col("tw") * F.lit(0.5),
+                    F.col("l_extendedprice"),
+                )
+            )
+        ).alias("wmedian_price"),
+        round4(F.max("tw")).alias("total_weight"),
+    )
+
+
+ORACLES["weighted_median"] = f"""
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           {R("MIN(CASE WHEN cw >= tw * CAST(0.5 AS DOUBLE) THEN l_extendedprice END)")}
+               AS wmedian_price,
+           {R("MAX(tw)")} AS total_weight
+    FROM t
+    GROUP BY l_returnflag
+"""
+QUERIES["weighted_median"] = q_weighted_median
