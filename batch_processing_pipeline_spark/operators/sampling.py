@@ -194,3 +194,56 @@ def cap_per_group(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: sample domains to
+    ``p_d ∝ count_d^alpha`` — the multinomial-temperature recipe
+    (mT5-style, alpha≈0.3–0.7) that upweights tail domains/languages
+    without hand-written target proportions (``domain_mix``'s input).
+
+    Same fully-distributed shape as ``domain_mix``: domain counts are one
+    tiny aggregate; the derived targets and per-domain keep thresholds
+    broadcast back; the keep decision is a map-side hash predicate.
+    ``alpha=0.5`` evaluates through ``sqrt`` — correctly rounded in IEEE
+    754, so thresholds are bit-identical cross-engine (general ``pow`` is
+    not correctly rounded; other alphas may flip a boundary row vs an
+    external recomputation).
+    """
+    cnt = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c"))
+    if alpha == 0.5:
+        powc = F.sqrt(F.col("_c").cast("double"))
+    else:
+        powc = F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))
+    weighted = cnt.select(domain_col, "_c", powc.alias("_w"))
+    norm = weighted.agg(F.sum("_w").alias("_sw"))
+    joined = weighted.crossJoin(F.broadcast(norm)).select(
+        domain_col, "_c", (F.col("_w") / F.col("_sw")).alias("_p")
+    )
+    scale = joined.agg(F.min(F.col("_c") / F.col("_p")).alias("_nstar"))
+    thresholds = (
+        joined.crossJoin(F.broadcast(scale))
+        .select(
+            F.col(domain_col),
+            F.format_string(
+                "%08x",
+                F.least(
+                    F.floor(
+                        F.col("_p") * F.col("_nstar") / F.col("_c") * F.lit(2.0**32)
+                    ).cast("long"),
+                    F.lit(_MAX32),
+                ),
+            ).alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .where(hash_unit(F.col(key_col), seed) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -5014,3 +5014,34 @@ ORACLES["weighted_median"] = f"""
     GROUP BY l_returnflag
 """
 QUERIES["weighted_median"] = q_weighted_median
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature-based language rebalancing (p_lang ∝ count^0.5, the
+    multinomial-temperature data recipe): the majority language
+    downsamples toward the tail languages' rate with no hand-written
+    targets (operators/sampling.py temperature_mix). α=0.5 rides sqrt —
+    correctly rounded in IEEE 754 — so the kept SET matches the oracle
+    row-for-row, not just approximately.
+    """
+    from batch_processing_pipeline_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return temperature_mix(d, alpha=0.5, domain_col="lang")
+
+
+ORACLES["temperature_mix"] = """
+    WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    w AS (SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS pw FROM cnt),
+    n AS (SELECT SUM(pw) AS sw FROM w),
+    j AS (SELECT w.lang, w.c, w.pw / n.sw AS p FROM w CROSS JOIN n),
+    s AS (SELECT MIN(c / p) AS nstar FROM j),
+    fr AS (SELECT j.lang,
+                  printf('%08x', LEAST(CAST(FLOOR(j.p * s.nstar / j.c * 4294967296.0) AS BIGINT),
+                                       4294967295)) AS thr
+           FROM j CROSS JOIN s)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr ON d.lang = fr.lang
+    WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < fr.thr
+"""
+QUERIES["temperature_mix"] = q_temperature_mix

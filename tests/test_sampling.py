@@ -132,3 +132,25 @@ def test_hex_threshold_clamps_out_of_range(f):
         assert t == 0
     if f >= 1.0:
         assert t == (1 << 32) - 1
+
+
+def test_temperature_mix_rebalances_toward_tail(spark, sf_dir):
+    """alpha=0.5 keeps tail languages at (near-)full rate while the head
+    language downsamples — and the mix is reproducible."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.sampling import temperature_mix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    before = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = temperature_mix(d, alpha=0.5, domain_col="lang")
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    head = max(before, key=before.get)
+    tail = min(before, key=before.get)
+    head_rate = after[head] / before[head]
+    tail_rate = after[tail] / before[tail]
+    assert tail_rate > head_rate  # the whole point of temperature sampling
+    assert tail_rate > 0.9  # the smallest domain anchors N* -> kept ~whole
+    # deterministic: second run keeps the identical set
+    again = {r.doc_id for r in temperature_mix(d, alpha=0.5, domain_col="lang").collect()}
+    assert again == {r.doc_id for r in kept.collect()}
