@@ -5045,3 +5045,75 @@ ORACLES["temperature_mix"] = """
     WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < fr.thr
 """
 QUERIES["temperature_mix"] = q_temperature_mix
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word — the standard metric for how well a tokenizer serves each
+    language (high fertility = more compute per word; drives vocab and
+    mixture decisions). One scan, two token counters, per-lang ratio.
+    """
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return (
+        d.select("lang", whitespace_token_count(t).alias("ws"),
+                 bpe_ish_token_count(t).alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            round4(F.sum("bpe").cast("double") / F.sum("ws").cast("double")).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
+ORACLES["tokenizer_fertility"] = f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+      FROM documents
+    )
+    SELECT lang, SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens,
+           {R("CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)")} AS fertility
+    FROM t GROUP BY lang
+"""
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+
+
+def q_compression_ratio(spark, sf):
+    """Compression-ratio quality signal (Gopher-style): zlib-compressed
+    bytes / raw bytes per document. Repetitive or templated text
+    compresses far below natural prose, so a low ratio flags boilerplate
+    the n-gram heuristics miss. zlib level is pinned (6) so the ratio is
+    deterministic; Arrow-batched pandas UDF (DEFLATE is not expressible
+    in either SQL engine → rows-only; determinism + monotonicity pinned
+    in pytest).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def run(s):
+            if s is None or not s:
+                return 1.0
+            raw = s.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(run)
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", comp_ratio(F.col("text")).alias("comp_ratio"))
+
+
+ORACLES["compression_ratio"] = None
+QUERIES["compression_ratio"] = q_compression_ratio

@@ -117,3 +117,30 @@ def test_bpe_encode_round_trips_and_is_deterministic(spark, sf_dir):
     a = {r.doc_id: r.bpe_tokens for r in enc.collect()}
     b = {r.doc_id: r.bpe_tokens for r in bpe_encode(d.select("doc_id", "text"), merges).collect()}
     assert a == b
+
+
+def test_compression_ratio_flags_repetitive_text(spark, tmp_path):
+    """Repetitive text must compress far below varied text, and the
+    signal must be deterministic across runs."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "wanders through seventeen distinct meadows full of unusual "
+                "flowers while contemplating existential questions quietly"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.comp_ratio
+        for r in QUERIES["compression_ratio"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] < 0.1 < got[2]
+    again = {
+        r.doc_id: r.comp_ratio
+        for r in QUERIES["compression_ratio"](spark, str(tmp_path)).collect()
+    }
+    assert got == again
