@@ -66,6 +66,36 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         if not args.checkpoint_dir:
             raise SystemExit("--stream requires --checkpoint-dir")
+        # fail loud on flags the stream mode would silently ignore — an
+        # operator migrating a cron invocation must not believe a
+        # --logfile/--window-hours selection is being honored
+        for flag, val in (
+            ("--logfile", args.logfile),
+            ("--window-hours", args.window_hours),
+            ("--prev-state", args.prev_state),
+        ):
+            if val is not None:
+                raise SystemExit(
+                    f"{flag} applies to batch mode only; --stream processes "
+                    "every unprocessed file under --logs (checkpointed)"
+                )
+        import os
+
+        if (
+            os.path.isdir(args.state_dir)
+            and not os.path.islink(os.path.join(args.state_dir, "current"))
+            and not any(
+                n.startswith("bucket=") for n in os.listdir(args.state_dir)
+            )
+            and any(n.endswith(".parquet") for n in os.listdir(args.state_dir))
+        ):
+            raise SystemExit(
+                f"{args.state_dir} holds BATCH-mode state (plain parquet); "
+                "streaming state uses a 'current' pointer over versioned "
+                "batch dirs. Use a fresh --state-dir (or keep running batch "
+                "mode against this one) — mixing the layouts would silently "
+                "restart counts from zero."
+            )
         from batch_processing_pipeline_spark.streaming.jobs import (
             run_autocomplete_stream,
             stream_query_log,
@@ -83,6 +113,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         return 0
+    for flag, val in (
+        ("--checkpoint-dir", args.checkpoint_dir),
+        ("--state-buckets", args.state_buckets),
+        ("--suggestion-buckets", args.suggestion_buckets),
+    ):
+        if val is not None:
+            raise SystemExit(f"{flag} requires --stream")
     if not args.logfile and not args.window_hours:
         raise SystemExit("one of --logfile / --window-hours is required")
     spark = get_spark("incremental-autocomplete", master=args.master)

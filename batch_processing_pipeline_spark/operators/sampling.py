@@ -208,39 +208,43 @@ def temperature_mix(
     (mT5-style, alpha≈0.3–0.7) that upweights tail domains/languages
     without hand-written target proportions (``domain_mix``'s input).
 
-    Same fully-distributed shape as ``domain_mix``: domain counts are one
-    tiny aggregate; the derived targets and per-domain keep thresholds
-    broadcast back; the keep decision is a map-side hash predicate.
-    ``alpha=0.5`` evaluates through ``sqrt`` — correctly rounded in IEEE
-    754, so thresholds are bit-identical cross-engine (general ``pow`` is
-    not correctly rounded; other alphas may flip a boundary row vs an
-    external recomputation).
+    One corpus aggregation collects the tiny per-domain count relation to
+    the driver (bounded by domain cardinality — languages/sources, the
+    same precedent as k-means' k×dim centroid collect); the derived
+    targets and thresholds are computed in Python with a PINNED
+    domain-sorted summation order, so every float in the threshold
+    formula is reproducible (no engine-dependent aggregate fold order),
+    and ship back as a broadcast literal relation. The keep decision is
+    the same map-side hash predicate ``domain_mix`` uses. ``alpha=0.5``
+    evaluates through ``sqrt`` — correctly rounded in IEEE 754 — making
+    the whole threshold bit-reproducible; general ``pow`` is not
+    correctly rounded, so other alphas may differ in the last ulp from
+    an external recomputation.
     """
-    cnt = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c"))
-    if alpha == 0.5:
-        powc = F.sqrt(F.col("_c").cast("double"))
-    else:
-        powc = F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))
-    weighted = cnt.select(domain_col, "_c", powc.alias("_w"))
-    norm = weighted.agg(F.sum("_w").alias("_sw"))
-    joined = weighted.crossJoin(F.broadcast(norm)).select(
-        domain_col, "_c", (F.col("_w") / F.col("_sw")).alias("_p")
+    import math
+
+    spark = df.sparkSession
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c")).collect()
     )
-    scale = joined.agg(F.min(F.col("_c") / F.col("_p")).alias("_nstar"))
-    thresholds = (
-        joined.crossJoin(F.broadcast(scale))
-        .select(
-            F.col(domain_col),
-            F.format_string(
-                "%08x",
-                F.least(
-                    F.floor(
-                        F.col("_p") * F.col("_nstar") / F.col("_c") * F.lit(2.0**32)
-                    ).cast("long"),
-                    F.lit(_MAX32),
-                ),
-            ).alias("_thr"),
-        )
+    if not counts:
+        return df.where(F.lit(False))
+    weights = [
+        (d, c, math.sqrt(float(c)) if alpha == 0.5 else float(c) ** alpha)
+        for d, c in counts
+    ]
+    sw = 0.0
+    for _, _, w in weights:  # pinned (domain-sorted) fold order
+        sw += w
+    probs = [(d, c, w / sw) for d, c, w in weights]
+    nstar = min(c / p for _, c, p in probs)
+    thresholds = spark.createDataFrame(
+        [
+            (d, format(min(int(math.floor(p * nstar / c * 2.0**32)), _MAX32), "08x"))
+            for d, c, p in probs
+        ],
+        [domain_col, "_thr"],
     )
     return (
         df.join(F.broadcast(thresholds), domain_col)

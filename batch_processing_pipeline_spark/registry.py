@@ -5033,8 +5033,16 @@ def q_temperature_mix(spark, sf):
 ORACLES["temperature_mix"] = """
     WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
     w AS (SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS pw FROM cnt),
-    n AS (SELECT SUM(pw) AS sw FROM w),
-    j AS (SELECT w.lang, w.c, w.pw / n.sw AS p FROM w CROSS JOIN n),
+    -- sw = the LAST value of a lang-ordered running sum: sequential
+    -- additions in sorted-domain order, the same pinned fold the engine
+    -- computes driver-side (an unordered SUM() could differ by an ulp
+    -- and flip a floor() boundary)
+    o AS (SELECT lang, c, pw,
+                 SUM(pw) OVER (ORDER BY lang
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM w),
+    n AS (SELECT cum AS sw FROM o ORDER BY lang DESC LIMIT 1),
+    j AS (SELECT o.lang, o.c, o.pw / n.sw AS p FROM o CROSS JOIN n),
     s AS (SELECT MIN(c / p) AS nstar FROM j),
     fr AS (SELECT j.lang,
                   printf('%08x', LEAST(CAST(FLOOR(j.p * s.nstar / j.c * 4294967296.0) AS BIGINT),
@@ -5060,9 +5068,13 @@ def q_tokenizer_fertility(spark, sf):
 
     d = _t(spark, sf, "documents")
     t = F.col("text")
+    # blank-text guard on BOTH sides: the engines disagree on tokenizing
+    # '' ('' splits to [] here but [''] in DuckDB), so blank docs are
+    # excluded from the ratio rather than papered over
     return (
-        d.select("lang", whitespace_token_count(t).alias("ws"),
-                 bpe_ish_token_count(t).alias("bpe"))
+        d.where(F.length(F.trim(t)) > 0)
+        .select("lang", whitespace_token_count(t).alias("ws"),
+                bpe_ish_token_count(t).alias("bpe"))
         .groupBy("lang")
         .agg(
             F.sum("ws").alias("ws_tokens"),
@@ -5080,6 +5092,7 @@ ORACLES["tokenizer_fertility"] = f"""
              CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS ws,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
       FROM documents
+      WHERE length(trim(text)) > 0
     )
     SELECT lang, SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens,
            {R("CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)")} AS fertility

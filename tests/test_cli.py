@@ -119,3 +119,30 @@ def test_cli_stream_requires_checkpoint(tmp_path):
             "--logs", str(tmp_path), "--state-dir", "s", "--suggestions-dir", "g",
             "--stream",
         ])
+
+
+def test_cli_mode_flag_cross_validation(tmp_path):
+    import pytest
+
+    from batch_processing_pipeline_spark import cli
+
+    base = ["--logs", str(tmp_path), "--state-dir", "s", "--suggestions-dir", "g"]
+    with pytest.raises(SystemExit, match="batch mode only"):
+        cli.main([*base, "--stream", "--checkpoint-dir", "c", "--logfile", "x"])
+    with pytest.raises(SystemExit, match="requires --stream"):
+        cli.main([*base, "--logfile", "x", "--state-buckets", "8"])
+
+
+def test_cli_stream_refuses_batch_state_layout(tmp_path):
+    import pytest
+
+    from batch_processing_pipeline_spark import cli
+
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "part-0000.snappy.parquet").write_bytes(b"PAR1")
+    with pytest.raises(SystemExit, match="BATCH-mode state"):
+        cli.main([
+            "--logs", str(tmp_path), "--state-dir", str(state),
+            "--suggestions-dir", "g", "--stream", "--checkpoint-dir", "c",
+        ])

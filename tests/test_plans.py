@@ -184,7 +184,7 @@ def test_referential_integrity_clean_fixture_and_detects_orphans(spark, sf_dir):
     assert keys.join(parents, "k", "left_anti").count() == 1
 
 
-def test_no_registry_query_uses_row_at_a_time_python(spark):
+def test_no_registry_query_uses_row_at_a_time_python(spark, sf_dir):
     """Global anti-pattern gate: building every registry query's physical
     plan, none may contain BatchEvalPython (row-at-a-time Python UDF) —
     the hot-path killer — except the one deliberate demonstration query.
@@ -196,13 +196,13 @@ def test_no_registry_query_uses_row_at_a_time_python(spark):
     # udf_surface documents the row-UDF surface deliberately; udtf_ngrams
     # is the Python-UDTF demonstration (plans as BatchEvalPythonUDTF)
     allow = {"udf_surface", "udtf_ngrams"}
-    offenders = []
+    offenders, built = [], 0
     for name, fn in QUERIES.items():
         if name in allow:
             continue
         try:
             plan = (
-                fn(spark, "/root/testdata/sf0.001")
+                fn(spark, sf_dir)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
@@ -211,6 +211,11 @@ def test_no_registry_query_uses_row_at_a_time_python(spark):
             # a handful of queries materialize state at build time on the
             # tiny fixture; plan-building failures are covered elsewhere
             continue
+        built += 1
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+    # anti-vacuity: the gate must actually have inspected the surface —
+    # a missing fixture dir would otherwise swallow every plan build and
+    # green-light zero coverage
+    assert built >= 150, f"only {built} plans built"
