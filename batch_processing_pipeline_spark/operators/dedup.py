@@ -515,3 +515,39 @@ def simhash64_bulk(
         .join(agg, id_col, "left")
         .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed shingle containment ``|sh(A) ∩ sh(B)| / |sh(A)| ≥ t``.
+
+    Catches SUBSET duplication — a short document quoted/embedded inside
+    a longer one — which symmetric Jaccard underweights (the union is
+    dominated by the container). Output (id_a=contained, id_b=container,
+    containment); exact all-pairs, bounded scopes only (at scale, run
+    the same statistic over MinHash-banded candidates: containment's
+    LSH estimator is matching-minhash fraction normalized by |A|).
+    """
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cont = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.col("a.sh")).cast("double")
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            round4(cont).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

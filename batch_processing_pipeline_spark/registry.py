@@ -5130,3 +5130,34 @@ def q_compression_ratio(spark, sf):
 
 ORACLES["compression_ratio"] = None
 QUERIES["compression_ratio"] = q_compression_ratio
+
+
+def q_containment_pairs(spark, sf):
+    """Directed shingle-containment pairs (operators/dedup.py
+    containment_pairs): the subset-duplication detector — a short
+    document living inside a longer one scores ~1.0 containment while
+    its symmetric Jaccard stays low. Bounded scope (the oracle ground
+    truth; scale path = the same statistic over MinHash candidates).
+    """
+    from batch_processing_pipeline_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    return containment_pairs(d, shingle_n=3, threshold=0.62)
+
+
+ORACLES["containment_pairs"] = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(lower(trim(text))) - 1),
+                                          i -> substring(lower(trim(text)), i, 3))) AS sh
+      FROM documents
+      WHERE doc_id < 60 AND length(lower(trim(text))) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {R("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE)")}
+               AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE {R("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE)")}
+            >= CAST(0.62 AS DOUBLE)
+"""
+QUERIES["containment_pairs"] = q_containment_pairs
