@@ -5161,3 +5161,63 @@ ORACLES["containment_pairs"] = f"""
             >= CAST(0.62 AS DOUBLE)
 """
 QUERIES["containment_pairs"] = q_containment_pairs
+
+
+def q_benford_audit(spark, sf):
+    """Benford first-digit audit of order totals: observed leading-digit
+    distribution vs the Benford expectation with a chi-square statistic —
+    the classic synthetic-/manipulated-data smell test an ingest gate
+    runs on financial-ish columns.
+
+    The leading digit extracts through string form (substr of the
+    floored value) — exact in both engines, where ``floor(log10(x))``
+    can flip at decade boundaries from libm ulp differences. Benford
+    expectations ship as shared literals, so the chi-square contribution
+    folds identically.
+    """
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") >= 1.0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    benford = spark.createDataFrame(
+        [(d, __import__("math").log10(1 + 1 / d)) for d in range(1, 10)],
+        "d int, p double",
+    )
+    return (
+        counts.join(F.broadcast(benford), "d")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            round4(F.col("n") / F.col("tot")).alias("obs_p"),
+            round4(F.col("p")).alias("benford_p"),
+            round4(
+                F.pow(F.col("n") - F.col("p") * F.col("tot"), F.lit(2.0))
+                / (F.col("p") * F.col("tot"))
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# Benford expectations inlined as the exact literals Python's repr emits,
+# so both engines parse identical doubles.
+_BENFORD = ", ".join(
+    f"({d}, {__import__('math').log10(1 + 1 / d)!r})" for d in range(1, 10)
+)
+ORACLES["benford_audit"] = f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice >= CAST(1.0 AS DOUBLE)
+      GROUP BY 1
+    ), t AS (SELECT SUM(n) AS tot FROM c),
+    b(d, p) AS (VALUES {_BENFORD})
+    SELECT c.d, c.n,
+           {R("CAST(c.n AS DOUBLE) / t.tot")} AS obs_p,
+           {R("b.p")} AS benford_p,
+           {R("POWER(c.n - b.p * t.tot, CAST(2.0 AS DOUBLE)) / (b.p * t.tot)")} AS chi2_term
+    FROM c JOIN b ON c.d = b.d CROSS JOIN t
+"""
+QUERIES["benford_audit"] = q_benford_audit
