@@ -5221,3 +5221,81 @@ ORACLES["benford_audit"] = f"""
     FROM c JOIN b ON c.d = b.d CROSS JOIN t
 """
 QUERIES["benford_audit"] = q_benford_audit
+
+
+def q_tfidf_cosine_pairs(spark, sf):
+    """Sparse lexical similarity: TF-IDF cosine ≥ 0.5 between document
+    pairs — the third similarity modality alongside dense-embedding
+    cosine (sim_topk) and shingle Jaccard (dedup_*), and the one that
+    rides an inverted-index shape: pairs form ONLY through shared terms
+    (an equi-join on the term string), so sparsity does the candidate
+    pruning that LSH does for the other modalities.
+
+    Scale shape: the dot product is a term-keyed join of (doc, term,
+    weight) rows + partial-agg sum per pair — at corpus scale the join
+    key's df-skew is bounded by dropping ubiquitous terms (df > 50% of
+    docs here), the sparse analog of a stopword list. Bounded scope for
+    the exact oracle.
+    """
+    from batch_processing_pipeline_spark.functions.tfidf import tfidf
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 80)
+    w = tfidf(d).select("doc_id", "word", F.col("tfidf").alias("w"))
+    n_docs = d.count()  # bounded scope; used for the df prune only
+    docfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfd"))
+    w = w.join(
+        F.broadcast(docfreq.where(F.col("dfd") <= n_docs * 0.5)), "word"
+    ).select("doc_id", "word", "w")
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            round4(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.5)
+    )
+
+
+ORACLES["tfidf_cosine_pairs"] = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents WHERE doc_id < 80 AND length(lower(trim(text))) > 0
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY word
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs
+      FROM documents WHERE doc_id < 80
+    ), w AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df_docs)) + 1.0) AS w
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+      WHERE dfreq.df_docs <= (SELECT n_docs FROM n) * 0.5
+    ), norms AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b,
+           {R("d.dot / (na.nrm * nb.nrm)")} AS cosine
+    FROM dots d
+    JOIN norms na ON d.id_a = na.doc_id
+    JOIN norms nb ON d.id_b = nb.doc_id
+    WHERE {R("d.dot / (na.nrm * nb.nrm)")} >= CAST(0.5 AS DOUBLE)
+"""
+QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
