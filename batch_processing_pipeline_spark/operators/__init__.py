@@ -22,6 +22,10 @@ from batch_processing_pipeline_spark.operators.state_store import (
     merge_touched_buckets,
     read_bucketed_state,
 )
+from batch_processing_pipeline_spark.operators.bucketed import (
+    write_bucketed,
+    bucketed_join,
+)
 from batch_processing_pipeline_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
@@ -35,6 +39,8 @@ __all__ = [
     "observed_quality",
     "merge_touched_buckets",
     "read_bucketed_state",
+    "write_bucketed",
+    "bucketed_join",
     "normalize_queries",
     "expand_prefixes",
     "prefix_frequencies",

@@ -1,0 +1,73 @@
+"""Bucketed (sort-merge-bucket) table layout: shuffle once at write time,
+then join forever without an Exchange.
+
+The reference pipeline re-reads its MySQL tables every 5-minute batch and
+joins them in-engine (SURVEY.md §2.1 #7/#10); at 100 TB the equivalent is a
+fact/dim pair that is joined on the same key every batch.  Spark's answer is
+*bucketing*: `bucketBy(n, key)` + `sortBy(key)` at write time hash-partitions
+and pre-sorts the files, and every later equi-join (or aggregation) on that
+key reads the buckets co-located — the per-batch shuffle disappears from the
+plan entirely (no `Exchange`, and with `sortBy` no per-batch `Sort` either).
+That converts an O(data) shuffle *per query* into a one-time O(data) layout
+cost, exactly the trade a 5-minute cron amortizes thousands of times over.
+
+Design notes for the 100-TB shape:
+- Bucket counts must MATCH on both sides (or be a multiple with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``); we default both
+  sides to the same ``num_buckets``.
+- Each bucket should land in executor memory: pick
+  ``num_buckets ≈ table_bytes / 256 MiB`` at the target scale.
+- Bucketed tables must be saved through the catalog (``saveAsTable``) so the
+  bucketing metadata survives; a plain ``parquet(path)`` write silently drops
+  it.  We register them as EXTERNAL tables via ``option("path", ...)`` so the
+  data lives wherever the caller wants (object store at scale).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Write ``df`` as an external bucketed (and optionally sorted) table.
+
+    Overwrites both the catalog entry and the files so repeated calls in one
+    session (e.g. every driver correctness run) are idempotent.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", os.path.abspath(path))
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two catalog tables bucketed on ``on``.
+
+    When both tables were written with :func:`write_bucketed` on the join
+    key with equal bucket counts, the physical plan contains NO Exchange on
+    either side (asserted in tests/test_bucketed.py) — the join streams
+    bucket i of the left against bucket i of the right.
+    """
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)

@@ -5299,3 +5299,286 @@ ORACLES["tfidf_cosine_pairs"] = f"""
     WHERE {R("d.dot / (na.nrm * nb.nrm)")} >= CAST(0.5 AS DOUBLE)
 """
 QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+
+
+def q_smb_join(spark, sf):
+    """Sort-merge-bucket join: both sides written bucketed+sorted on the
+    join key (operators/bucketed.py), so the per-query shuffle disappears —
+    the one-time layout cost is amortized across every later batch, the
+    trade the reference's 5-minute MySQL-rejoin cron
+    (`README.md:31-41`) makes thousands of times over.  The no-Exchange /
+    no-per-batch-Sort property is plan-asserted in tests/test_bucketed.py;
+    here the oracle pins the join+aggregate semantics themselves.
+    """
+    import os
+
+    from batch_processing_pipeline_spark.operators.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    base = f"/tmp/bpps_bucketed/{tag}"
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    l = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, f"smb_orders_{tag}", f"{base}/orders", ["okey"], 8,
+                   sort_cols=["okey"])
+    write_bucketed(l, f"smb_lineitem_{tag}", f"{base}/lineitem", ["okey"], 8,
+                   sort_cols=["okey"])
+    j = bucketed_join(spark, f"smb_orders_{tag}", f"smb_lineitem_{tag}", ["okey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+    )
+
+
+ORACLES["smb_join"] = f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {R("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+"""
+QUERIES["smb_join"] = q_smb_join
+
+
+def q_ewma_smooth(spark, sf):
+    """Exponentially weighted moving average (alpha=0.3) of the daily mean
+    event value per event_type — the classic monitoring smoother, expressed
+    NON-recursively so it stays a single window pass: with s_1 = x_1 and
+    s_t = a*x_t + (1-a)*s_{t-1}, the closed form is
+    s_t = (1-a)^t * cumsum_i( g_i ), g_1 = x_1/(1-a), g_i = a*x_i*(1-a)^-i.
+    One running SUM over a rows-frame (no self-join per lag, no recursion),
+    which Spark evaluates as a single window operator after one shuffle on
+    event_type — the 100-TB shape for per-entity smoothing.  Exponents are
+    bounded by the per-key row count (30 days here); for unbounded keys,
+    re-base the exponent per window chunk.
+    """
+    a = 0.3
+    daily = (
+        _events(spark, sf)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    rn = F.row_number().over(w)
+    g = F.when(rn == 1, F.col("x") / F.lit(1 - a)).otherwise(
+        F.lit(a) * F.col("x") * F.pow(F.lit(1 - a), -rn)
+    )
+    cum = F.sum(g).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select(
+        "event_type",
+        "day",
+        round4(F.col("x")).alias("x"),
+        round4(F.pow(F.lit(1 - a), rn) * cum).alias("ewma"),
+    )
+
+
+ORACLES["ewma_smooth"] = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), numbered AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), summed AS (
+      SELECT event_type, day, x, rn,
+             SUM(CASE WHEN rn = 1 THEN x / 0.7
+                      ELSE 0.3 * x * pow(0.7, -rn) END)
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM numbered
+    )
+    SELECT event_type, day, {R("x")} AS x,
+           {R("pow(0.7, rn) * cum")} AS ewma
+    FROM summed
+"""
+QUERIES["ewma_smooth"] = q_ewma_smooth
+
+
+def q_cms_topk(spark, sf):
+    """Count-min sketch heavy hitters: d=4 hash rows x 256 buckets (bucket =
+    first 2 hex chars of a salted md5, identical in both engines), estimate
+    = min over rows, top-20 words by estimate.  The sketch is built from the
+    word-count relation (bucket counts = sums of member word counts —
+    mathematically identical to per-occurrence hashing and the mergeable
+    map-side shape: at 100 TB each partition emits a 4x256 partial sketch
+    and only those 1,024-cell sketches shuffle, never the token stream).
+    true_cnt rides along so the oracle pins the overestimate bias too.
+    """
+    d = 4
+    tok = (
+        _t(spark, sf, "documents")
+        .where(F.length(F.lower(F.trim(F.col("text")))) > 0)
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    words = tok.groupBy("word").agg(F.count("*").alias("true_cnt"))
+    bucket = lambda i: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(f"c{i}:"), F.col("word"))), 1, 2
+    )
+    wb = words.select(
+        "word", "true_cnt", *[bucket(i).alias(f"b{i}") for i in range(d)]
+    )
+    est = wb
+    for i in range(d):
+        sketch_i = (
+            wb.groupBy(F.col(f"b{i}").alias("b"))
+            .agg(F.sum("true_cnt").alias(f"c{i}"))
+        )
+        est = est.join(F.broadcast(sketch_i), est[f"b{i}"] == sketch_i["b"]).drop("b")
+    return (
+        est.select(
+            "word",
+            F.least(*[F.col(f"c{i}") for i in range(d)]).alias("est"),
+            "true_cnt",
+        )
+        .orderBy(F.desc("est"), "word")
+        .limit(20)
+    )
+
+
+ORACLES["cms_topk"] = """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), words AS (
+      SELECT word, COUNT(*) AS true_cnt FROM tok WHERE word <> ''
+      GROUP BY word
+    ), wb AS (
+      SELECT word, true_cnt, r,
+             substr(md5('c' || r || ':' || word), 1, 2) AS b
+      FROM words CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+    ), sketch AS (
+      SELECT r, b, SUM(true_cnt) AS cnt FROM wb GROUP BY r, b
+    ), est AS (
+      SELECT w.word, MIN(w.true_cnt) AS true_cnt, MIN(s.cnt) AS est
+      FROM wb w JOIN sketch s ON w.r = s.r AND w.b = s.b
+      GROUP BY w.word
+    )
+    SELECT word, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
+    FROM est ORDER BY est DESC, word LIMIT 20
+"""
+QUERIES["cms_topk"] = q_cms_topk
+
+
+def q_triangle_count(spark, sf):
+    """Per-node triangle participation on the supplier co-shipment graph
+    (suppliers adjacent when their same-order co-occurrence count exceeds
+    1.25x the global mean — a data-derived sparsifier, so the graph stays
+    non-trivial at any SF).  Triangles enumerated on the ORIENTED edge list
+    (s1 < s2), the standard distributed scheme: each triangle produced
+    exactly once by two equi-joins, no post-hoc dedup, join keys are node
+    ids so degree skew (not data size) bounds the intermediate — at web
+    scale add degree-ordered orientation to cap the wedge fan-out.
+    """
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    thr = pairs.agg((F.avg("c") * 1.25).alias("thr"))
+    edges = pairs.join(F.broadcast(thr)).where(F.col("c") > F.col("thr")).select(
+        "s1", "s2"
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("x"),
+            F.col("e1.s2").alias("y"),
+            F.col("e2.s2").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+
+
+ORACLES["triangle_count"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS c
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ), edges AS (
+      SELECT s1, s2 FROM pairs WHERE c > (SELECT AVG(c) * 1.25 FROM pairs)
+    ), tri AS (
+      SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.s2 = e2.s1
+      JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ), nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, COUNT(*) AS tri_cnt FROM nodes GROUP BY node
+"""
+QUERIES["triangle_count"] = q_triangle_count
+
+
+def q_global_shuffle(spark, sf):
+    """Deterministic global shuffle for training-data ordering: every doc
+    gets a salted-md5 draw, the draw's first hex char picks one of 8 shards,
+    and position-within-shard is the rank of the remaining hex digits.
+    Seeded, reproducible (no RNG state), and the 100-TB shape is exactly one
+    hash shuffle + a per-shard local sort — there is never a global ORDER BY
+    over the corpus; shard files are written independently and the training
+    loader interleaves shards.
+    """
+    h = F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            (F.expr("instr('0123456789abcdef', substring("
+                    "md5(concat('gs:', cast(doc_id as string))), 1, 1))") - 1) % 8
+        ).alias("shard"),
+        F.substring(h, 2, 8).alias("subkey"),
+    )
+    w = Window.partitionBy("shard").orderBy("subkey", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+ORACLES["global_shuffle"] = """
+    WITH d AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef',
+                     substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+               AS shard,
+             substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 2, 8) AS subkey
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY subkey, doc_id)
+                AS INTEGER) AS pos
+    FROM d
+"""
+QUERIES["global_shuffle"] = q_global_shuffle
