@@ -38,13 +38,20 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Sequence[str] | None = None,
+    reuse: bool = False,
 ) -> None:
     """Write ``df`` as an external bucketed (and optionally sorted) table.
 
     Overwrites both the catalog entry and the files so repeated calls in one
-    session (e.g. every driver correctness run) are idempotent.
+    session (e.g. every driver correctness run) are idempotent.  With
+    ``reuse=True`` an existing catalog entry is kept as-is — the layout IS
+    the amortized asset, so re-deriving it on every query of a session
+    would charge the one-time cost N times; callers that may feed changed
+    data must leave ``reuse`` off.
     """
     spark = df.sparkSession
+    if reuse and spark.catalog.tableExists(table):
+        return
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")

@@ -5309,6 +5309,8 @@ def q_smb_join(spark, sf):
     (`README.md:31-41`) makes thousands of times over.  The no-Exchange /
     no-per-batch-Sort property is plan-asserted in tests/test_bucketed.py;
     here the oracle pins the join+aggregate semantics themselves.
+    (reuse=True: within a session the layout is built once and every
+    later call pays only the shuffle-free join — the amortization itself.)
     """
     import os
 
@@ -5326,9 +5328,9 @@ def q_smb_join(spark, sf):
         F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
     )
     write_bucketed(o, f"smb_orders_{tag}", f"{base}/orders", ["okey"], 8,
-                   sort_cols=["okey"])
+                   sort_cols=["okey"], reuse=True)
     write_bucketed(l, f"smb_lineitem_{tag}", f"{base}/lineitem", ["okey"], 8,
-                   sort_cols=["okey"])
+                   sort_cols=["okey"], reuse=True)
     j = bucketed_join(spark, f"smb_orders_{tag}", f"smb_lineitem_{tag}", ["okey"])
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
@@ -5426,22 +5428,25 @@ def q_cms_topk(spark, sf):
     bucket = lambda i: F.substring(  # noqa: E731
         F.md5(F.concat(F.lit(f"c{i}:"), F.col("word"))), 1, 2
     )
+    # melt to (word, true_cnt, r, b): ONE pass feeds both the sketch build
+    # and the estimate probe — no per-row rebuild of the vocab relation
     wb = words.select(
-        "word", "true_cnt", *[bucket(i).alias(f"b{i}") for i in range(d)]
-    )
-    est = wb
-    for i in range(d):
-        sketch_i = (
-            wb.groupBy(F.col(f"b{i}").alias("b"))
-            .agg(F.sum("true_cnt").alias(f"c{i}"))
-        )
-        est = est.join(F.broadcast(sketch_i), est[f"b{i}"] == sketch_i["b"]).drop("b")
+        "word",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), bucket(i).alias("b"))
+                    for i in range(d)
+                ]
+            )
+        ).alias("h"),
+    ).select("word", "true_cnt", "h.r", "h.b")
+    sketch = wb.groupBy("r", "b").agg(F.sum("true_cnt").alias("cnt"))
     return (
-        est.select(
-            "word",
-            F.least(*[F.col(f"c{i}") for i in range(d)]).alias("est"),
-            "true_cnt",
-        )
+        wb.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("est"), F.min("true_cnt").alias("true_cnt"))
         .orderBy(F.desc("est"), "word")
         .limit(20)
     )
@@ -5472,14 +5477,16 @@ QUERIES["cms_topk"] = q_cms_topk
 
 
 def q_triangle_count(spark, sf):
-    """Per-node triangle participation on the supplier co-shipment graph
-    (suppliers adjacent when their same-order co-occurrence count exceeds
-    1.25x the global mean — a data-derived sparsifier, so the graph stays
-    non-trivial at any SF).  Triangles enumerated on the ORIENTED edge list
-    (s1 < s2), the standard distributed scheme: each triangle produced
-    exactly once by two equi-joins, no post-hoc dedup, join keys are node
-    ids so degree skew (not data size) bounds the intermediate — at web
-    scale add degree-ordered orientation to cap the wedge fan-out.
+    """Per-node triangle participation on the supplier co-shipment k-NN
+    graph: each supplier keeps its top-5 strongest co-occurrence partners
+    (ties broken by partner id), an edge survives if EITHER endpoint kept
+    it.  k-NN sparsification bounds edges at k*n regardless of how dense
+    raw co-occurrence gets (the fixture's is near-complete), so the wedge
+    join below stays linear in n at every SF.  Triangles enumerated on the
+    ORIENTED edge list (s1 < s2), the standard distributed scheme: each
+    triangle produced exactly once by two equi-joins, no post-hoc dedup —
+    at web scale, orient by (degree, id) instead of id to cap wedge
+    fan-out on hubs.
     """
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a, b = li.alias("a"), li.alias("b")
@@ -5494,9 +5501,18 @@ def q_triangle_count(spark, sf):
         )
         .agg(F.count("*").alias("c"))
     )
-    thr = pairs.agg((F.avg("c") * 1.25).alias("thr"))
-    edges = pairs.join(F.broadcast(thr)).where(F.col("c") > F.col("thr")).select(
-        "s1", "s2"
+    nbrs = pairs.unionByName(
+        pairs.select(
+            F.col("s2").alias("s1"), F.col("s1").alias("s2"), "c"
+        )
+    )
+    w = Window.partitionBy("s1").orderBy(F.desc("c"), "s2")
+    kept = nbrs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    edges = (
+        kept.select(
+            F.least("s1", "s2").alias("s1"), F.greatest("s1", "s2").alias("s2")
+        )
+        .distinct()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -5526,8 +5542,17 @@ ORACLES["triangle_count"] = """
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
       GROUP BY a.l_suppkey, b.l_suppkey
+    ), nbrs AS (
+      SELECT s1, s2, c FROM pairs
+      UNION ALL
+      SELECT s2 AS s1, s1 AS s2, c FROM pairs
+    ), kept AS (
+      SELECT s1, s2,
+             ROW_NUMBER() OVER (PARTITION BY s1 ORDER BY c DESC, s2) AS rn
+      FROM nbrs
     ), edges AS (
-      SELECT s1, s2 FROM pairs WHERE c > (SELECT AVG(c) * 1.25 FROM pairs)
+      SELECT DISTINCT LEAST(s1, s2) AS s1, GREATEST(s1, s2) AS s2
+      FROM kept WHERE rn <= 5
     ), tri AS (
       SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
       FROM edges e1
@@ -5582,3 +5607,139 @@ ORACLES["global_shuffle"] = """
     FROM d
 """
 QUERIES["global_shuffle"] = q_global_shuffle
+
+
+def q_ppjoin_pairs(spark, sf):
+    """Exact near-dup pairs via prefix-filtered set-similarity join
+    (operators/setsim.py, AllPairs/PPJoin family) — the only EXACT scale
+    path among the dedup modalities: identical output to the O(n^2)
+    all-pairs join (that's the oracle), but candidates come from an
+    equi-join on rarest-first prefix tokens only.  The fixture corpus is
+    template-generated (word-set similarity runs high and its tiny vocab
+    blunts rarity-based pruning — natural Zipfian corpora prune far
+    better), so the scope is a deterministic 1/16 md5 sample of the
+    corpus+mutated union: scale-proportional, and the planted
+    near-identical copies (id+10^7, one appended token) keep the
+    threshold-0.9 band non-vacuous with the exact pair set hash-pinned.
+    """
+    from batch_processing_pipeline_spark.operators.setsim import ppjoin_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zmutatedz")).alias("text"),
+    )
+    corpus = d.unionByName(mutated).where(
+        F.substring(
+            F.md5(F.concat(F.lit("pp:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        == "0"
+    )
+    return ppjoin_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b", round4(F.col("jac")).alias("jac")
+    )
+
+
+ORACLES["ppjoin_pairs"] = f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' zmutatedz' FROM documents
+    ), corpus AS (
+      SELECT doc_id, text FROM all_docs
+      WHERE substr(md5('pp:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), sets AS (
+      SELECT doc_id AS id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS tokens
+      FROM corpus WHERE length(lower(trim(text))) > 0
+    ), sized AS (
+      SELECT id, tokens, len(tokens) AS n FROM sets WHERE len(tokens) > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           {R("CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)"
+              " / (a.n + b.n - len(list_intersect(a.tokens, b.tokens)))")}
+             AS jac
+    FROM sized a JOIN sized b ON a.id < b.id
+    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+          / (a.n + b.n - len(list_intersect(a.tokens, b.tokens)))
+          >= CAST(0.9 AS DOUBLE)
+"""
+QUERIES["ppjoin_pairs"] = q_ppjoin_pairs
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-unigram features are under a TARGET
+    distribution (here: the corpus's 'en' slice, standing in for a
+    high-quality reference corpus) than under the RAW distribution —
+    weight(d) = sum over token occurrences of log p_target(bucket) -
+    log p_raw(bucket), buckets = first 2 hex chars of salted md5 (256
+    cells), add-one smoothed.  The 100-TB shape: both distributions are
+    256-row broadcast relations built by one map-side-combining groupBy;
+    scoring is a broadcast join + partial-agg sum, so only 256-cell tables
+    and per-doc partial sums ever shuffle — the reason hashed n-grams (not
+    raw vocab) are the published method's choice.
+    """
+    docs = _t(spark, sf, "documents").where(
+        F.length(F.lower(F.trim(F.col("text")))) > 0
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).withColumn(
+        "b", F.substring(F.md5(F.concat(F.lit("ds:"), F.col("word"))), 1, 2)
+    )
+    raw = tok.groupBy("b").agg(F.count("*").alias("raw_n"))
+    tgt = tok.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("tgt_n")
+    )
+    raw_tot = tok.count()
+    tgt_tot = tok.where(F.col("lang") == "en").count()
+    dist = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
+                      / F.lit(float(tgt_tot + 256)))
+                - F.log((F.col("raw_n") + 1) / F.lit(float(raw_tot + 256)))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(round4(F.sum("logratio")).alias("weight"))
+    )
+
+
+ORACLES["dsir_weights"] = f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), hashed AS (
+      SELECT doc_id, lang, substr(md5('ds:' || word), 1, 2) AS b FROM tok
+    ), raw AS (
+      SELECT b, COUNT(*) AS raw_n FROM hashed GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*) AS tgt_n FROM hashed WHERE lang = 'en' GROUP BY b
+    ), tots AS (
+      SELECT (SELECT COUNT(*) FROM hashed) AS raw_tot,
+             (SELECT COUNT(*) FROM hashed WHERE lang = 'en') AS tgt_tot
+    ), dist AS (
+      SELECT raw.b,
+             ln((COALESCE(tgt.tgt_n, 0) + 1)
+                / CAST(tots.tgt_tot + 256 AS DOUBLE))
+             - ln((raw.raw_n + 1) / CAST(tots.raw_tot + 256 AS DOUBLE))
+               AS logratio
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    )
+    SELECT h.doc_id, {R("SUM(d.logratio)")} AS weight
+    FROM hashed h JOIN dist d ON h.b = d.b
+    GROUP BY h.doc_id
+"""
+QUERIES["dsir_weights"] = q_dsir_weights

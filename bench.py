@@ -73,6 +73,13 @@ HEADLINE = [
     "tpch_q21",
     "perplexity",
     "hopping_window",
+    "smb_join",
+    "ewma_smooth",
+    "cms_topk",
+    "triangle_count",
+    "global_shuffle",
+    "dsir_weights",
+    "ppjoin_pairs",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a

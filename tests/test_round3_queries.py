@@ -55,8 +55,16 @@ def test_triangles_match_bruteforce(spark):
     for supps in by_order.values():
         for s1, s2 in itertools.combinations(sorted(supps), 2):
             cnt[(s1, s2)] += 1
-    thr = 1.25 * (sum(cnt.values()) / len(cnt))
-    edges = {e for e, c in cnt.items() if c > thr}
+    # kNN sparsifier: each node keeps its 5 strongest partners
+    # (count desc, partner asc); an edge survives if EITHER side kept it
+    nbrs: dict[int, list] = {}
+    for (s1, s2), c in cnt.items():
+        nbrs.setdefault(s1, []).append((-c, s2))
+        nbrs.setdefault(s2, []).append((-c, s1))
+    edges = set()
+    for node, lst in nbrs.items():
+        for _negc, other in sorted(lst)[:5]:
+            edges.add((min(node, other), max(node, other)))
     adj: dict[int, set] = {}
     for s1, s2 in edges:
         adj.setdefault(s1, set()).add(s2)
@@ -82,3 +90,81 @@ def test_global_shuffle_is_deterministic_and_dense(spark):
         by_shard.setdefault(shard, []).append(pos)
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_ppjoin_equals_bruteforce(spark):
+    """Prefix filtering is lossless: identical pair set to the O(n^2) join."""
+    from batch_processing_pipeline_spark.operators.setsim import (
+        allpairs_jaccard_bruteforce,
+        ppjoin_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r.id_a, r.id_b, round(r.jac, 6))
+            for r in ppjoin_pairs(docs, threshold=t).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jac, 6))
+            for r in allpairs_jaccard_bruteforce(docs, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+        assert want, f"vacuous at threshold {t}"  # fixture must exercise it
+
+
+def test_ppjoin_prefix_actually_prunes(spark):
+    """At a high threshold the candidate join must examine strictly fewer
+    pairs than all-pairs would — the filter's reason to exist."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.setsim import token_sets
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sets = token_sets(docs)
+    n = sets.count()
+    t = 0.9
+    tok = sets.select("id", F.explode("tokens").alias("token"))
+    df_rank = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn("rank", F.row_number().over(Window.orderBy("df", "token")))
+        .select("token", "rank")
+    )
+    ranked = (
+        tok.join(df_rank, "token")
+        .withColumn("pos", F.row_number().over(Window.partitionBy("id").orderBy("rank")))
+        .withColumn("nn", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("nn") - F.ceil(F.lit(t) * F.col("nn")) + 1
+    ).select("id", "token")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert candidates < n * (n - 1) / 2
+
+
+def test_dsir_weights_favor_target_slice(spark):
+    """Mean importance weight of 'en' docs must exceed the non-target mean —
+    the defining property of importance weighting toward a target dist."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    w = QUERIES["dsir_weights"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rows = w.join(docs, "doc_id").collect()
+    en = [r.weight for r in rows if r.lang == "en"]
+    other = [r.weight for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
