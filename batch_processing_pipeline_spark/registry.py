@@ -5743,3 +5743,30 @@ ORACLES["dsir_weights"] = f"""
     GROUP BY h.doc_id
 """
 QUERIES["dsir_weights"] = q_dsir_weights
+
+
+def q_sim_topk_pq(spark, sf):
+    """Product-quantization ADC cosine top-10 with exact re-rank
+    (operators/pq.py) — the fourth ANN path, attacking MEMORY: corpus
+    vectors scan as m=16 nibble codes (16x smaller than float32; the
+    fixture's vectors are isotropic-random — the hardest PQ case — so the
+    finer m=16 split buys the recall budget), each query
+    scores rows by m codebook-table lookups, then the top-50 ADC
+    candidates re-rank by exact cosine.  Rows-only by design (k-means
+    codebooks are seed-dependent); recall vs brute force is asserted in
+    tests/test_round3_queries.py.
+    """
+    from batch_processing_pipeline_spark.operators.pq import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    books = train_pq_codebooks(emb, m=16, ksub=16, seed=42)
+    return pq_topk(
+        emb.where(F.col("vec_id") < 5), emb, books, k=10, refine=50
+    ).select("query_id", "vec_id", "rank", round4(F.col("cosine")).alias("cosine"))
+
+
+ORACLES["sim_topk_pq"] = None
+QUERIES["sim_topk_pq"] = q_sim_topk_pq

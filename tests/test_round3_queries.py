@@ -168,3 +168,53 @@ def test_dsir_weights_favor_target_slice(spark):
     other = [r.weight for r in rows if r.lang != "en"]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pq_books(spark):
+    from batch_processing_pipeline_spark.operators.pq import train_pq_codebooks
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    return train_pq_codebooks(emb, m=16, ksub=16, seed=42)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, pq_books):
+    """PQ+ADC with exact re-rank must recover >=80% of the true top-10 per
+    query, and the re-ranked candidates' cosines must be exact."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.pq import pq_topk
+    from batch_processing_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = pq_topk(queries, emb, pq_books, k=10, refine=50).collect()
+    exact = cosine_topk(queries, emb, k=10).collect()
+
+    approx_by_q: dict[int, set] = {}
+    for r in approx:
+        approx_by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    exact_by_q: dict[int, set] = {}
+    for r in exact:
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_by_q) == set(exact_by_q)
+    recalls = {
+        qid: len(approx_by_q[qid] & want) for qid, want in exact_by_q.items()
+    }
+    assert all(r >= 6 for r in recalls.values()), recalls
+    assert sum(recalls.values()) / len(recalls) >= 7.5, recalls
+
+
+def test_pq_code_shape_and_compression(spark, pq_books):
+    from batch_processing_pipeline_spark.operators.pq import pq_encode
+
+    books = pq_books
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, books).select("pq_code").collect()
+    for r in codes:
+        assert len(r.pq_code) == 16
+        assert all(0 <= c < 16 for c in r.pq_code)
