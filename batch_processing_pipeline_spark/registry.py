@@ -5770,3 +5770,214 @@ def q_sim_topk_pq(spark, sf):
 
 ORACLES["sim_topk_pq"] = None
 QUERIES["sim_topk_pq"] = q_sim_topk_pq
+
+
+def q_dup_spans(spark, sf):
+    """Repeated-span detection (the substring-level dedup of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every 8-token window of every document is fingerprinted; spans whose
+    fingerprint occurs more than once ACROSS the corpus are flagged with
+    their in-document position — the removal list a span-dedup pass feeds
+    a slicer.  Fourth granularity of dedup beside whole-doc (exact),
+    near-doc (MinHash/SimHash/PPJoin), and cross-set (decontaminate).
+
+    Scale shape: spans never leave their row as text — only the 16-byte
+    fingerprint exits to the groupBy, with map-side partial counts; the
+    flag join is fingerprint-keyed.  The span window rides an array-slice
+    transform over the tokenized column (one pass per doc, no self-join
+    on positions).
+    """
+    n = 8
+    d = _t(spark, sf, "documents").where(
+        F.length(F.lower(F.trim(F.col("text")))) > 0
+    )
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    ).where(F.size("toks") >= n)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("toks", i, n))).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.fp")
+    dup_fps = (
+        spans.groupBy("fp")
+        .agg(F.count("*").alias("occurrences"))
+        .where(F.col("occurrences") > 1)
+    )
+    return spans.join(dup_fps, "fp").select(
+        "doc_id", "pos", "fp", "occurrences"
+    )
+
+
+ORACLES["dup_spans"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), spans AS (
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             md5(array_to_string(toks[pos:pos+7], ' ')) AS fp
+      FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(pos)
+      WHERE len(toks) >= 8
+    ), dup_fps AS (
+      SELECT fp, COUNT(*) AS occurrences FROM spans GROUP BY fp
+      HAVING COUNT(*) > 1
+    )
+    SELECT s.doc_id, s.pos, s.fp, d.occurrences
+    FROM spans s JOIN dup_fps d USING (fp)
+"""
+QUERIES["dup_spans"] = q_dup_spans
+
+
+def q_hard_negatives(spark, sf):
+    """Contrastive-pair mining over the labeled embedding table: per anchor
+    (vec_id < 5), the top-1 same-label neighbor ("positive") and the top-3
+    nearest DIFFERENT-label neighbors ("hard negatives" — the pairs a
+    contrastive/metric-learning loss learns most from).  One scored
+    relation, two windowed top-k cuts; at corpus scale the scoring join is
+    replaced by any of the engine's ANN paths (sign-LSH / IVF / PQ) — the
+    mining logic downstream is identical.
+    """
+    from batch_processing_pipeline_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.when(F.col("qlabel") == F.col("clabel"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.where(
+        ((F.col("role") == "pos") & (F.col("rk") == 1))
+        | ((F.col("role") == "neg") & (F.col("rk") <= 3))
+    ).select(
+        "anchor_id", "role", "rk", "cand_id", round4(F.col("cos")).alias("cos")
+    )
+
+
+ORACLES["hard_negatives"] = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+             CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END AS role,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ), ranked AS (
+      SELECT anchor_id, cand_id, role, cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id, role
+                                ORDER BY cos DESC, cand_id ASC) AS rk
+      FROM scored
+    )
+    SELECT anchor_id, role, rk, cand_id, {R("cos")} AS cos
+    FROM ranked
+    WHERE (role = 'pos' AND rk = 1) OR (role = 'neg' AND rk <= 3)
+"""
+QUERIES["hard_negatives"] = q_hard_negatives
+
+
+def q_quantile_normalize(spark, sf):
+    """Cross-domain quantile normalization of the heuristic quality score:
+    a doc's within-language percentile rank is mapped to the GLOBAL score
+    at that same percentile, making scores comparable across languages
+    whose raw score distributions differ (the microarray-normalization
+    trick, applied to curation thresholds so one global cutoff treats
+    every domain fairly).  Deterministic tie-break (score, doc_id) on both
+    the domain rank and the global reference ladder.
+
+    Scale note: the global ladder here is an exact single-window
+    row_number (fixture-sized); at corpus scale the ladder is an
+    approx_percentile grid of a few hundred knots broadcast to the
+    domain-ranked rows — same join shape, bounded reference.
+    """
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        quality_score,
+    )
+
+    d = _t(spark, sf, "documents").where(
+        F.length(F.lower(F.trim(F.col("text")))) > 0
+    )
+    scored = d.select("doc_id", "lang", quality_score(F.col("text")).alias("score"))
+    wd = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        (
+            (F.row_number().over(wd) - 1).cast("double")
+            / (F.count("*").over(Window.partitionBy("lang")) - 1)
+        ).alias("pr"),
+    )
+    wg = Window.orderBy("score", "doc_id")
+    glob = scored.select(
+        F.col("score").alias("gscore"), F.row_number().over(wg).alias("rn")
+    )
+    n = scored.count()
+    target = ranked.withColumn(
+        "target_rn", (F.floor(F.col("pr") * (n - 1)) + 1).cast("int")
+    )
+    return (
+        target.join(F.broadcast(glob), F.col("target_rn") == F.col("rn"))
+        .select(
+            "doc_id",
+            "lang",
+            round4(F.col("score")).alias("score"),
+            round4(F.col("pr")).alias("pr"),
+            round4(F.col("gscore")).alias("qnorm_score"),
+        )
+    )
+
+
+ORACLES["quantile_normalize"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), scored AS (
+      SELECT doc_id, lang, {_QUALITY} AS score FROM t
+    ), ranked AS (
+      SELECT doc_id, lang, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY score, doc_id) - 1 AS DOUBLE)
+             / (COUNT(*) OVER (PARTITION BY lang) - 1) AS pr
+      FROM scored
+    ), gl AS (
+      SELECT score AS gscore,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn
+      FROM scored
+    ), n AS (SELECT COUNT(*) AS n FROM scored)
+    SELECT r.doc_id, r.lang, {R("r.score")} AS score, {R("r.pr")} AS pr,
+           {R("g.gscore")} AS qnorm_score
+    FROM ranked r CROSS JOIN n
+    JOIN gl g ON g.rn = CAST(FLOOR(r.pr * (n.n - 1)) + 1 AS BIGINT)
+"""
+QUERIES["quantile_normalize"] = q_quantile_normalize

@@ -218,3 +218,30 @@ def test_pq_code_shape_and_compression(spark, pq_books):
     for r in codes:
         assert len(r.pq_code) == 16
         assert all(0 <= c < 16 for c in r.pq_code)
+
+
+def test_dup_spans_positions_really_recur(spark):
+    """Every flagged (doc, pos) must denote an 8-token window whose text
+    occurs at least twice across the corpus — checked by re-extracting the
+    raw text windows in Python."""
+    from collections import Counter
+
+    rows = QUERIES["dup_spans"](spark, SF_SMOKE).collect()
+    assert rows  # fixture corpus is template-generated: must be non-vacuous
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r.text and r.text.strip()
+    }
+    windows: Counter = Counter()
+    spans_by_doc: dict[int, list] = {}
+    for doc_id, text in docs.items():
+        toks = text.strip().lower().split()
+        spans_by_doc[doc_id] = [
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        ]
+        windows.update(spans_by_doc[doc_id])
+    for r in rows:
+        span = spans_by_doc[r.doc_id][r.pos - 1]  # pos is 1-based
+        assert windows[span] == r.occurrences
+        assert r.occurrences > 1
