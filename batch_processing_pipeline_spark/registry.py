@@ -5783,29 +5783,34 @@ def q_dup_spans(spark, sf):
 
     Scale shape: spans never leave their row as text — only the 16-byte
     fingerprint exits to the groupBy, with map-side partial counts; the
-    flag join is fingerprint-keyed.  The span window rides an array-slice
-    transform over the tokenized column (one pass per doc, no self-join
-    on positions).
+    flag join is fingerprint-keyed.  Span strings assemble from 7 LEAD()s
+    over the per-doc position order — whole-stage codegen end to end (an
+    array-slice transform was tried first: higher-order functions run
+    interpreted, 5x slower on the span pass).
     """
     n = 8
     d = _t(spark, sf, "documents").where(
         F.length(F.lower(F.trim(F.col("text")))) > 0
     )
-    toks = d.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
-    ).where(F.size("toks") >= n)
-    spans = toks.select(
+    tok = d.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(F.concat_ws(" ", F.slice("toks", i, n))).alias("fp"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.pos", "s.fp")
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos0", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    spans = (
+        tok.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.when(
+                F.lead("word", n - 1).over(w).isNotNull(),
+                F.md5(F.concat_ws(" ", *parts)),
+            ).alias("fp"),
+        )
+        .where(F.col("fp").isNotNull())
+    )
     dup_fps = (
         spans.groupBy("fp")
         .agg(F.count("*").alias("occurrences"))
@@ -5981,3 +5986,129 @@ ORACLES["quantile_normalize"] = f"""
     JOIN gl g ON g.rn = CAST(FLOOR(r.pr * (n.n - 1)) + 1 AS BIGINT)
 """
 QUERIES["quantile_normalize"] = q_quantile_normalize
+
+
+def q_inverted_index(spark, sf):
+    """Positional inverted index build — the IR artifact behind the
+    engine's sparse-similarity paths (tfidf_cosine_pairs, ppjoin) made
+    explicit: per (word, doc) an ordered postings row with the in-doc
+    position list, term frequency, and the word's document frequency.
+
+    Scale shape: positions are collected per (word, doc) — a key whose
+    cardinality is bounded by tokens — with sort_array making the list
+    order deterministic under any partitioning (the H4 ordered-collect
+    discipline); df joins back from a word-keyed partial-agg count.
+    Stopword-class words (df > 90% of docs here — the template corpus has
+    a compact, high-df vocabulary) are cut exactly as the sparse cosine
+    path does — at corpus scale posting lists for those words are
+    the skew hazard, and every real index drops or block-compresses them.
+    """
+    d = _t(spark, sf, "documents").where(
+        F.length(F.lower(F.trim(F.col("text")))) > 0
+    )
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).where(F.col("word") != "")
+    postings = tok.groupBy("word", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count("*").alias("tf"),
+    )
+    df_counts = postings.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        postings.join(
+            F.broadcast(df_counts.where(F.col("df") <= n_docs * 0.9)), "word"
+        )
+        .select("word", "doc_id", "positions", "tf", "df")
+    )
+
+
+ORACLES["inverted_index"] = """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), tok AS (
+      SELECT doc_id, CAST(pos - 1 AS INTEGER) AS pos, toks[pos] AS word
+      FROM t, UNNEST(range(1, len(toks) + 1)) AS u(pos)
+      WHERE toks[pos] <> ''
+    ), postings AS (
+      SELECT word, doc_id,
+             list_sort(list(pos)) AS positions,
+             COUNT(*) AS tf
+      FROM tok GROUP BY word, doc_id
+    ), dfc AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY word
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs
+      FROM documents WHERE length(lower(trim(text))) > 0
+    )
+    SELECT p.word, p.doc_id, p.positions, p.tf, d.df
+    FROM postings p JOIN dfc d USING (word) CROSS JOIN n
+    WHERE d.df <= n.n_docs * 0.9
+"""
+QUERIES["inverted_index"] = q_inverted_index
+
+
+def q_event_pattern(spark, sf):
+    """CEP-style sequence-pattern matching (the MATCH_RECOGNIZE class of
+    query, which Spark SQL lacks natively): encode each user's event
+    history as an ordered symbol string (one letter per event type) and
+    run an anchored regex over it — here "a view, then a purchase within
+    at most two intervening non-purchase events" — counting matches per
+    user.  Ordered collect uses the H4 discipline (sort by (ts, event_id)
+    inside the aggregation) so the symbol string is partition-stable.
+
+    Scale shape: one groupBy(user) with an ordered collect of 1-char
+    symbols (state bounded by per-user event count), then a regex over the
+    compact string — the standard distributed CEP reduction when sessions
+    fit in a row; for unbounded streams the same pattern runs per
+    watermarked session window.
+    """
+    e = _events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    sym = e.withColumn(
+        "sym", F.substring(F.col("event_type"), 1, 1)
+    )  # click→c, signup→s, purchase→p, error→e, view→v (distinct initials)
+    seq = sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.col("sym").alias("s"))
+                    )
+                ),
+                lambda r: r["s"],
+            ),
+        ).alias("seq")
+    )
+    pat = "v[^p]{0,2}p"
+    return seq.select(
+        "user_id",
+        F.size(F.expr(f"regexp_extract_all(seq, '{pat}', 0)")).alias("n_matches"),
+        F.length("seq").alias("n_events"),
+    ).where(F.col("n_matches") > 0)
+
+
+ORACLES["event_pattern"] = """
+    WITH sym AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS s
+      FROM events
+    ), seq AS (
+      SELECT user_id,
+             string_agg(s, '' ORDER BY ts, event_id) AS seq
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'v[^p]{0,2}p')) AS INTEGER)
+             AS n_matches,
+           CAST(length(seq) AS INTEGER) AS n_events
+    FROM seq
+    WHERE len(regexp_extract_all(seq, 'v[^p]{0,2}p')) > 0
+"""
+QUERIES["event_pattern"] = q_event_pattern

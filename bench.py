@@ -80,6 +80,9 @@ HEADLINE = [
     "global_shuffle",
     "dsir_weights",
     "ppjoin_pairs",
+    "dup_spans",
+    "inverted_index",
+    "quantile_normalize",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a

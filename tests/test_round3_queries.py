@@ -245,3 +245,42 @@ def test_dup_spans_positions_really_recur(spark):
         span = spans_by_doc[r.doc_id][r.pos - 1]  # pos is 1-based
         assert windows[span] == r.occurrences
         assert r.occurrences > 1
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_query_plan_shapes(spark):
+    """Scale-shape guards for the round-3 additions: no Cartesian products
+    where an equi-join is intended, broadcasts where dims are bounded."""
+    # ppjoin: candidate generation is an equi-join on prefix tokens —
+    # a CartesianProduct would mean the filter degenerated to all-pairs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from batch_processing_pipeline_spark.operators.setsim import ppjoin_pairs
+
+    assert "CartesianProduct" not in _plan(ppjoin_pairs(docs, threshold=0.9))
+
+    # dsir: both distribution relations must broadcast (256 rows)
+    plan = _plan(QUERIES["dsir_weights"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # cms: sketch probe joins broadcast; no shuffle beyond the two groupBys
+    plan = _plan(QUERIES["cms_topk"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+    # ewma: exactly one Window operator — the closed form must not
+    # introduce per-lag self-joins
+    plan = _plan(QUERIES["ewma_smooth"](spark, SF_SMOKE))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+
+    # global_shuffle: no global sort — ordering is per-shard (window),
+    # so no rangepartitioning-based Sort/Exchange over the whole corpus
+    plan = _plan(QUERIES["global_shuffle"](spark, SF_SMOKE))
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
