@@ -54,21 +54,22 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     sets = token_sets(docs)
 
     # global rarest-first token order: ascending document frequency,
-    # token string as the deterministic tie-break
+    # token string as the deterministic tie-break.  The ORDER is all the
+    # prefix theorem needs — any total order works — so we sort each
+    # document's tokens by the (df, token) TUPLE directly instead of
+    # materializing dense global ranks (a row_number over the whole vocab
+    # would be a single-partition sort: the one non-scalable step).
     tok = sets.select("id", F.explode("tokens").alias("token"))
-    df_rank = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .withColumn("rank", F.row_number().over(Window.orderBy("df", "token")))
-        .select("token", "rank")
-    )
+    df_rank = tok.groupBy("token").agg(F.count("*").alias("df"))
 
-    # per-set prefix: first (n - ceil(t*n) + 1) tokens in rank order
+    # per-set prefix: first (n - ceil(t*n) + 1) tokens in rarity order
     ranked = (
         tok.join(df_rank, "token")
         .withColumn(
             "pos",
-            F.row_number().over(Window.partitionBy("id").orderBy("rank")),
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "token")
+            ),
         )
         .withColumn("n", F.count("*").over(Window.partitionBy("id")))
     )
