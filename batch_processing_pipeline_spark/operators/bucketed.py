@@ -51,7 +51,10 @@ def write_bucketed(
     """
     spark = df.sparkSession
     if reuse and spark.catalog.tableExists(table):
-        return
+        if _bucket_spec_matches(spark, table, bucket_cols, num_buckets, sort_cols):
+            return
+        # stale layout (different bucket count/keys/sort): silently reusing
+        # it would break the no-Exchange property callers rely on — rewrite
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")
@@ -61,6 +64,28 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def _bucket_spec_matches(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None,
+) -> bool:
+    """True iff the catalog table's bucketing metadata equals the request."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    meta = {r["col_name"]: (r["data_type"] or "") for r in rows}
+
+    def cols(field: str) -> list[str]:
+        raw = meta.get(field, "")
+        return [c.strip().strip("`") for c in raw.strip("[]").split(",") if c.strip()]
+
+    return (
+        meta.get("Num Buckets", "").strip() == str(num_buckets)
+        and cols("Bucket Columns") == list(bucket_cols)
+        and cols("Sort Columns") == list(sort_cols or [])
+    )
 
 
 def bucketed_join(

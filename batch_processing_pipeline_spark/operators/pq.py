@@ -35,8 +35,11 @@ from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 def _unit(vec):
     """L2-normalize: on unit vectors, L2 distance is monotone in cosine
     (||a-b||^2 = 2 - 2cos), so ADC's L2 ranking matches the cosine ground
-    truth the other ANN paths use."""
-    n = l2_norm(vec)
+    truth the other ANN paths use.  The norm is floored (mirroring the
+    training path's np.maximum(norm, 1e-12)) so an all-zero vector yields
+    zeros, not NULLs — Spark's x/0.0 is NULL and NULLs would poison every
+    downstream distance and rank."""
+    n = F.greatest(l2_norm(vec), F.lit(1e-12))
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
@@ -198,12 +201,16 @@ def pq_topk(
     # table), and without the barrier Catalyst collapses the full encode
     # expression into the Generate operator, re-evaluating it per output
     # row (observed: 70 s for 500 rows vs ~2 s with the barrier).
+    # localCheckpoint (not persist): the materialized codes are released
+    # by the ContextCleaner when the returned DataFrame is dropped —
+    # persist() would pin one cached corpus per call in the CacheManager
+    # for the session lifetime with no safe place to unpersist (the
+    # return value is lazy).
     encoded = (
         pq_encode(corpus, codebooks, vec_col=vec_col)
         .select(F.col(id_col).alias("vec_id"), "pq_code")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    encoded.count()
     codes = encoded.select(
         "vec_id", F.posexplode("pq_code").alias("j", "code")
     )

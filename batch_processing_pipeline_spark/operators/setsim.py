@@ -44,15 +44,22 @@ def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def ppjoin_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """All pairs with word-set Jaccard >= ``threshold`` — exact result,
-    prefix-filtered candidates.
+#: ceil(t*n) must not overshoot when t*n is an exact integer that IEEE
+#: multiplication lands a hair ABOVE (0.55*100 == 55.000000000000007 →
+#: ceil 56 → prefix one too short → qualifying pairs silently lost).
+#: Subtracting this epsilon before ceil is lossless: it can only ever
+#: LENGTHEN a prefix (when t*n sits within 1e-9 above an integer), never
+#: shorten one.
+_CEIL_EPS = 1e-9
 
-    Returns (id_a, id_b, jac) with id_a < id_b and ``jac`` unrounded
-    (callers round for oracle comparison).
+
+def prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing >=1 prefix token.
+
+    ``sets`` is the (id, tokens) relation from :func:`token_sets`.  Shared
+    by :func:`ppjoin_pairs` and the pruning test, so the production prefix
+    formula is the one under test.
     """
-    sets = token_sets(docs)
-
     # global rarest-first token order: ascending document frequency,
     # token string as the deterministic tie-break.  The ORDER is all the
     # prefix theorem needs — any total order works — so we sort each
@@ -74,17 +81,31 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         .withColumn("n", F.count("*").over(Window.partitionBy("id")))
     )
     prefix = ranked.where(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("pos")
+        <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(_CEIL_EPS))
+        + 1
     ).select("id", "token")
 
     # candidates: pairs sharing any prefix token (rarest-first order keeps
     # this join's key distribution the least skewed possible)
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def ppjoin_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """All pairs with word-set Jaccard >= ``threshold`` — exact result,
+    prefix-filtered candidates.
+
+    Returns (id_a, id_b, jac) with id_a < id_b and ``jac`` unrounded
+    (callers round for oracle comparison).
+    """
+    sets = token_sets(docs)
+    cand = prefix_candidates(sets, threshold)
 
     # exact verification on candidates only
     sa = sets.select(F.col("id").alias("id_a"), F.col("tokens").alias("ta"))
@@ -117,4 +138,4 @@ def allpairs_jaccard_bruteforce(docs: DataFrame, threshold: float = 0.6) -> Data
 
 def prefix_length(n: int, threshold: float) -> int:
     """Prefix size for a set of ``n`` tokens at Jaccard ``threshold``."""
-    return n - math.ceil(threshold * n) + 1
+    return n - math.ceil(threshold * n - _CEIL_EPS) + 1

@@ -13,30 +13,44 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def test_analyzed_small_table_broadcasts_via_cbo(spark, tmp_path):
+def test_cbo_column_stats_flip_filtered_dim_to_broadcast(spark, tmp_path):
+    """Anti-vacuity by construction: the dim's ON-DISK size exceeds the
+    broadcast threshold, so WITHOUT CBO the filtered dim keeps its
+    file-size estimate and the join stays sort-merge; WITH cbo.enabled +
+    ANALYZE FOR COLUMNS the equality filter's selectivity (1/ndv) shrinks
+    the estimate under the threshold and the same query flips to
+    broadcast. Both arms asserted, so neither a stats regression nor a
+    trivially-small fixture can fake the pass."""
     spark.sql("DROP TABLE IF EXISTS cbo_dim")
-    spark.sql("DROP TABLE IF EXISTS cbo_fact")
-    spark.range(0, 10).select(
-        F.col("id").alias("k"), F.lit("x").alias("tag")
+    spark.range(0, 60000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("pad1"),
+        F.md5((F.col("id") + 1).cast("string")).alias("pad2"),
+        F.md5((F.col("id") + 2).cast("string")).alias("pad3"),
     ).write.mode("overwrite").option("path", str(tmp_path / "dim")).saveAsTable(
         "cbo_dim"
     )
-    spark.range(0, 10000).select(
-        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
-    ).write.mode("overwrite").option("path", str(tmp_path / "fact")).saveAsTable(
-        "cbo_fact"
-    )
     spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
-    spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS bucket")
+    fact = spark.range(0, 100000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+    def plan_for(cbo: bool) -> str:
+        spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+        dim = spark.table("cbo_dim").where(F.col("bucket") == 5)
+        q = fact.join(dim, "k").select("k", "v", "pad1")
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024))
     try:
-        q = spark.table("cbo_fact").join(spark.table("cbo_dim"), "k")
-        plan = q._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan, plan[:1500]
+        assert "BroadcastHashJoin" not in plan_for(False)  # file-size est: too big
+        assert "BroadcastHashJoin" in plan_for(True)  # 1/ndv selectivity: fits
     finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.cbo.enabled")
         spark.sql("DROP TABLE IF EXISTS cbo_dim")
-        spark.sql("DROP TABLE IF EXISTS cbo_fact")
 
 
 def test_shared_aggregate_exchange_is_reused(spark, sf_dir):

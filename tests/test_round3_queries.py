@@ -117,40 +117,20 @@ def test_ppjoin_equals_bruteforce(spark):
 
 def test_ppjoin_prefix_actually_prunes(spark):
     """At a high threshold the candidate join must examine strictly fewer
-    pairs than all-pairs would — the filter's reason to exist."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from batch_processing_pipeline_spark.operators.setsim import token_sets
+    pairs than all-pairs would — the filter's reason to exist.  Uses the
+    operator's own prefix_candidates so the production formula is what's
+    measured, not a test-local copy."""
+    from batch_processing_pipeline_spark.operators.setsim import (
+        prefix_candidates,
+        token_sets,
+    )
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
         "doc_id", "text"
     )
     sets = token_sets(docs)
     n = sets.count()
-    t = 0.9
-    tok = sets.select("id", F.explode("tokens").alias("token"))
-    df_rank = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .withColumn("rank", F.row_number().over(Window.orderBy("df", "token")))
-        .select("token", "rank")
-    )
-    ranked = (
-        tok.join(df_rank, "token")
-        .withColumn("pos", F.row_number().over(Window.partitionBy("id").orderBy("rank")))
-        .withColumn("nn", F.count("*").over(Window.partitionBy("id")))
-    )
-    prefix = ranked.where(
-        F.col("pos") <= F.col("nn") - F.ceil(F.lit(t) * F.col("nn")) + 1
-    ).select("id", "token")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
-        .select("a.id", "b.id")
-        .distinct()
-        .count()
-    )
+    candidates = prefix_candidates(sets, threshold=0.9).count()
     assert candidates < n * (n - 1) / 2
 
 
@@ -192,7 +172,9 @@ def test_pq_topk_recall_vs_bruteforce(spark, pq_books):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
     approx = pq_topk(queries, emb, pq_books, k=10, refine=50).collect()
-    exact = cosine_topk(queries, emb, k=10).collect()
+    # pq_topk does not exclude the query's own vector; compare against the
+    # same convention or one approx slot is always burned on the self-match
+    exact = cosine_topk(queries, emb, k=10, exclude_self=False).collect()
 
     approx_by_q: dict[int, set] = {}
     for r in approx:
@@ -284,3 +266,63 @@ def test_new_query_plan_shapes(spark):
     # so no rangepartitioning-based Sort/Exchange over the whole corpus
     plan = _plan(QUERIES["global_shuffle"](spark, SF_SMOKE))
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_ppjoin_ceil_boundary_threshold_is_lossless(spark):
+    """Regression: 0.55*100 == 55.000000000000007 in IEEE double — a naive
+    ceil gives 56 and shortens the prefix below the lossless minimum,
+    silently dropping qualifying pairs. Pin the formula against exact
+    rational arithmetic for known-overshooting (t, n) pairs, then run an
+    overshoot-prone threshold end-to-end against brute force."""
+    from batch_processing_pipeline_spark.operators.setsim import (
+        allpairs_jaccard_bruteforce,
+        ppjoin_pairs,
+        prefix_length,
+    )
+
+    # formula-level: every (t, n) with an exactly-integer product must
+    # yield the same prefix as exact rational arithmetic
+    from fractions import Fraction
+    import math
+
+    for t, n in [(0.55, 100), (0.68, 75), (0.68, 150), (0.81, 300), (0.9, 10)]:
+        exact = n - math.ceil(Fraction(t).limit_denominator(1000) * n) + 1
+        assert prefix_length(n, t) == exact, (t, n)
+
+    # end-to-end at an overshoot-prone threshold
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        (r.id_a, r.id_b) for r in ppjoin_pairs(docs, threshold=0.55).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in allpairs_jaccard_bruteforce(docs, threshold=0.55).collect()
+    }
+    assert got == want
+    assert want
+
+
+def test_bucketed_reuse_rejects_mismatched_spec(spark, tmp_path):
+    """reuse=True must NOT silently keep a table whose bucket layout
+    differs from the request — that would break the no-Exchange property."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.bucketed import write_bucketed
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    write_bucketed(df, "t_reuse_spec", str(tmp_path / "a"), ["k"], 4, sort_cols=["k"])
+    # same spec → reused (no error, still 4 buckets)
+    write_bucketed(df, "t_reuse_spec", str(tmp_path / "a"), ["k"], 4,
+                   sort_cols=["k"], reuse=True)
+    meta = {r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED t_reuse_spec").collect()}
+    assert meta["Num Buckets"].strip() == "4"
+    # different bucket count → rewritten, not reused
+    write_bucketed(df, "t_reuse_spec", str(tmp_path / "b"), ["k"], 8,
+                   sort_cols=["k"], reuse=True)
+    meta = {r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED t_reuse_spec").collect()}
+    assert meta["Num Buckets"].strip() == "8"
+    spark.sql("DROP TABLE IF EXISTS t_reuse_spec")
