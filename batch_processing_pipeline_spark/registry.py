@@ -5312,14 +5312,22 @@ def q_smb_join(spark, sf):
     (reuse=True: within a session the layout is built once and every
     later call pays only the shuffle-free join — the amortization itself.)
     """
+    import hashlib
     import os
+    import re
 
     from batch_processing_pipeline_spark.operators.bucketed import (
         bucketed_join,
         write_bucketed,
     )
 
-    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    # Tag = sanitized Spark applicationId + hash of the ABSOLUTE sf dir:
+    # unique per session (no cross-process /tmp races), and two different
+    # datasets sharing a directory basename can never collide into one
+    # reused table. Within a session the tag is stable, so reuse=True
+    # still amortizes the layout across repeated calls.
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = f"{app}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}"
     base = f"/tmp/bpps_bucketed/{tag}"
     o = _t(spark, sf, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
@@ -5374,11 +5382,23 @@ def q_ewma_smooth(spark, sf):
         F.lit(a) * F.col("x") * F.pow(F.lit(1 - a), -rn)
     )
     cum = F.sum(g).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # (1-a)^-rn exceeds double range near rn~1990 and the closed form
+    # degrades to NaN SILENTLY (both engines agree on the NaNs, so the
+    # oracle would not catch it) — fail loudly instead; past this bound
+    # the right implementation is chunk-sequential (applyInPandas per
+    # key), not a longer float
+    guard = F.coalesce(
+        F.assert_true(
+            rn <= 1500, F.lit("ewma_smooth: per-key series exceeds the "
+                              "closed-form exponent bound (1500 rows)")
+        ).cast("double"),
+        F.lit(0.0),
+    )
     return daily.select(
         "event_type",
         "day",
         round4(F.col("x")).alias("x"),
-        round4(F.pow(F.lit(1 - a), rn) * cum).alias("ewma"),
+        round4(F.pow(F.lit(1 - a), rn) * cum + guard).alias("ewma"),
     )
 
 
@@ -5570,40 +5590,54 @@ QUERIES["triangle_count"] = q_triangle_count
 
 def q_global_shuffle(spark, sf):
     """Deterministic global shuffle for training-data ordering: every doc
-    gets a salted-md5 draw, the draw's first hex char picks one of 8 shards,
+    gets a salted-md5 draw, the draw's first two hex chars pick one of 256
+    shards (shard count bounds the rank stage's parallelism — size it to
+    the cluster, hundreds to thousands at 100 TB),
     and position-within-shard is the rank of the remaining hex digits.
     Seeded, reproducible (no RNG state), and the 100-TB shape is exactly one
     hash shuffle + a per-shard local sort — there is never a global ORDER BY
     over the corpus; shard files are written independently and the training
     loader interleaves shards.
     """
-    h = F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        (
-            (F.expr("instr('0123456789abcdef', substring("
-                    "md5(concat('gs:', cast(doc_id as string))), 1, 1))") - 1) % 8
-        ).alias("shard"),
-        F.substring(h, 2, 8).alias("subkey"),
+    hexpos = lambda c: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', {c})"
+    ) - 1
+    d = (
+        _t(spark, sf, "documents")
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+        )
+        .select(
+            "doc_id",
+            # 256 shards from the first two hex chars — parallelism scales
+            # with shard count, and every derived column reads the ONE
+            # projected digest so salt logic can't drift between copies
+            (
+                hexpos("substring(_h, 1, 1)") * 16 + hexpos("substring(_h, 2, 1)")
+            ).alias("shard"),
+            F.substring("_h", 3, 8).alias("subkey"),
+        )
     )
     w = Window.partitionBy("shard").orderBy("subkey", "doc_id")
     return d.select(
-        "doc_id", "shard", F.row_number().over(w).alias("pos")
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
 
 
 ORACLES["global_shuffle"] = """
-    WITH d AS (
-      SELECT doc_id,
-             (strpos('0123456789abcdef',
-                     substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
-               AS shard,
-             substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 2, 8) AS subkey
+    WITH h AS (
+      SELECT doc_id, md5('gs:' || CAST(doc_id AS VARCHAR)) AS hh
       FROM documents
+    ), d AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) AS shard,
+             substr(hh, 3, 8) AS subkey
+      FROM h
     )
     SELECT doc_id, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY subkey, doc_id)
-                AS INTEGER) AS pos
+                AS BIGINT) AS pos
     FROM d
 """
 QUERIES["global_shuffle"] = q_global_shuffle
@@ -5692,22 +5726,29 @@ def q_dsir_weights(spark, sf):
     ).withColumn(
         "b", F.substring(F.md5(F.concat(F.lit("ds:"), F.col("word"))), 1, 2)
     )
-    raw = tok.groupBy("b").agg(F.count("*").alias("raw_n"))
-    tgt = tok.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").alias("tgt_n")
-    )
-    raw_tot = tok.count()
-    tgt_tot = tok.where(F.col("lang") == "en").count()
-    dist = (
-        raw.join(F.broadcast(tgt), "b", "left")
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
-                      / F.lit(float(tgt_tot + 256)))
-                - F.log((F.col("raw_n") + 1) / F.lit(float(raw_tot + 256)))
-            ).alias("logratio"),
+    # ONE combined agg pass produces both distributions (raw and target
+    # counts per bucket); totals come from the collected 256-row result —
+    # separate tok.count() jobs would re-tokenize the full corpus twice
+    # more for numbers this relation already holds
+    counts = (
+        tok.groupBy("b")
+        .agg(
+            F.count("*").alias("raw_n"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_n"),
         )
+        .collect()
+    )
+    raw_tot = sum(r["raw_n"] for r in counts)
+    tgt_tot = sum(r["tgt_n"] for r in counts)
+    dist = spark.createDataFrame(
+        [(r["b"], r["raw_n"], r["tgt_n"]) for r in counts],
+        "b string, raw_n long, tgt_n long",
+    ).select(
+        "b",
+        (
+            F.log((F.col("tgt_n") + 1) / F.lit(float(tgt_tot + 256)))
+            - F.log((F.col("raw_n") + 1) / F.lit(float(raw_tot + 256)))
+        ).alias("logratio"),
     )
     return (
         tok.join(F.broadcast(dist), "b")
@@ -5849,6 +5890,11 @@ def q_hard_negatives(spark, sf):
     relation, two windowed top-k cuts; at corpus scale the scoring join is
     replaced by any of the engine's ANN paths (sign-LSH / IVF / PQ) — the
     mining logic downstream is identical.
+
+    Cross-engine note: rank membership depends on unrounded cosine order,
+    so near-ulp-tied candidates could rank differently between engines —
+    the same inherent exposure as every top-k differential query here
+    (sim_topk, dq13); the fixture's cosines are well-separated.
     """
     from batch_processing_pipeline_spark.functions.vector import (
         cosine_similarity,
@@ -5939,8 +5985,11 @@ def q_quantile_normalize(spark, sf):
         "score",
         (
             (F.row_number().over(wd) - 1).cast("double")
-            / (F.count("*").over(Window.partitionBy("lang")) - 1)
-        ).alias("pr"),
+            / F.greatest(
+                F.count("*").over(Window.partitionBy("lang")) - 1, F.lit(1)
+            )
+        ).alias("pr"),  # greatest(...,1): a single-doc language gets pr=0
+        # instead of 0/0 -> NULL -> silently dropped from the join
     )
     wg = Window.orderBy("score", "doc_id")
     glob = scored.select(
@@ -5973,7 +6022,7 @@ ORACLES["quantile_normalize"] = f"""
       SELECT doc_id, lang, score,
              CAST(ROW_NUMBER() OVER (PARTITION BY lang
                                      ORDER BY score, doc_id) - 1 AS DOUBLE)
-             / (COUNT(*) OVER (PARTITION BY lang) - 1) AS pr
+             / GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1) AS pr
       FROM scored
     ), gl AS (
       SELECT score AS gscore,
@@ -6006,7 +6055,10 @@ def q_inverted_index(spark, sf):
     d = _t(spark, sf, "documents").where(
         F.length(F.lower(F.trim(F.col("text")))) > 0
     )
-    n_docs = d.count()
+    # distinct-id count (not a row count): duplicated doc_id rows from a
+    # re-ingested batch must not inflate the stopword threshold — and the
+    # oracle counts DISTINCT, so the semantics must match exactly
+    n_docs = d.select("doc_id").distinct().count()
     tok = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -6020,10 +6072,11 @@ def q_inverted_index(spark, sf):
     df_counts = postings.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df")
     )
+    # no broadcast hint: the vocabulary relation grows with Heaps' law at
+    # corpus scale (typos, URLs, numbers) — let the planner pick broadcast
+    # while it fits and fall back to a shuffle join when it doesn't
     return (
-        postings.join(
-            F.broadcast(df_counts.where(F.col("df") <= n_docs * 0.9)), "word"
-        )
+        postings.join(df_counts.where(F.col("df") <= n_docs * 0.9), "word")
         .select("word", "doc_id", "positions", "tf", "df")
     )
 

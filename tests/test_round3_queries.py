@@ -86,7 +86,7 @@ def test_global_shuffle_is_deterministic_and_dense(spark):
     # every shard's positions are 1..n with no gaps
     by_shard: dict[int, list] = {}
     for shard, pos in r1.values():
-        assert 0 <= shard < 8
+        assert 0 <= shard < 256
         by_shard.setdefault(shard, []).append(pos)
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
