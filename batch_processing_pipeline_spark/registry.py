@@ -6165,3 +6165,78 @@ ORACLES["event_pattern"] = """
     WHERE len(regexp_extract_all(seq, 'v[^p]{0,2}p')) > 0
 """
 QUERIES["event_pattern"] = q_event_pattern
+
+
+def q_ngram_novelty(spark, sf):
+    """Temporal novelty scoring: the fraction of each document's distinct
+    word 3-grams whose FIRST corpus occurrence is the document itself
+    (ties broken by doc_id order — the fixture's ingestion order).  A
+    low-novelty doc is mostly re-treading earlier text: the streaming-era
+    complement of dedup, used to down-weight late near-copies that no
+    pairwise threshold catches.
+
+    Scale shape: first-occurrence is one min-aggregate over (ngram_fp,
+    doc_id) — only 16-byte fingerprints shuffle, never n-gram text; the
+    per-doc score is a fingerprint-keyed join back plus a ratio aggregate.
+    """
+    n = 3
+    d = _t(spark, sf, "documents").where(
+        F.length(F.lower(F.trim(F.col("text")))) > 0
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos0", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    gram = tok.select(
+        "doc_id",
+        F.when(
+            F.lead("word", n - 1).over(w).isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    " ", F.col("word"), F.lead("word", 1).over(w),
+                    F.lead("word", 2).over(w),
+                )
+            ),
+        ).alias("fp"),
+    ).where(F.col("fp").isNotNull()).select("doc_id", "fp").distinct()
+    first = gram.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        gram.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            round4(
+                F.avg(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(
+                        0.0
+                    )
+                )
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLES["ngram_novelty"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), gram AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[pos:pos+2], ' ')) AS fp
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS u(pos)
+      WHERE len(toks) >= 3
+    ), first AS (
+      SELECT fp, MIN(doc_id) AS first_doc FROM gram GROUP BY fp
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           {R("AVG(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END)")}
+             AS novelty
+    FROM gram g JOIN first f USING (fp)
+    GROUP BY g.doc_id
+"""
+QUERIES["ngram_novelty"] = q_ngram_novelty
