@@ -6240,3 +6240,88 @@ ORACLES["ngram_novelty"] = f"""
     GROUP BY g.doc_id
 """
 QUERIES["ngram_novelty"] = q_ngram_novelty
+
+
+def q_decayed_counts(spark, sf):
+    """Half-life-decayed event counts per type — the trending-score
+    formula (each event contributes 0.5^(age_days/7), ages measured from
+    the corpus's newest day): a point-in-time decayed TOTAL, complementing
+    ewma_smooth's per-day smoothed SERIES.  One scan + one partial-agg
+    sum; the reference anchor (max day) is a broadcast scalar.
+    """
+    e = _events(spark, sf).select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    anchor = e.agg(F.max("day").alias("maxd"))
+    return (
+        e.join(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.pow(F.lit(0.5), F.datediff("maxd", "day") / F.lit(7.0)).alias("wt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round4(F.sum("wt")).alias("decayed_count"),
+        )
+    )
+
+
+ORACLES["decayed_counts"] = f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events
+    ), anchor AS (SELECT MAX(day) AS maxd FROM e)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {R("SUM(pow(0.5, date_diff('day', day, maxd) / 7.0))")}
+             AS decayed_count
+    FROM e CROSS JOIN anchor
+    GROUP BY event_type
+"""
+QUERIES["decayed_counts"] = q_decayed_counts
+
+
+def q_score_calibration(spark, sf):
+    """Reliability-diagram data for the heuristic quality score: decile
+    bins of the score vs the empirical rate of the 'en' slice per bin —
+    the calibration check run before any score threshold ships to a
+    curation gate.  One scan, one 10-row aggregate.
+    """
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        quality_score,
+    )
+
+    d = _t(spark, sf, "documents").where(
+        F.length(F.lower(F.trim(F.col("text")))) > 0
+    )
+    scored = d.select(
+        F.least(F.floor(quality_score(F.col("text")) * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        quality_score(F.col("text")).alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("is_en"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        round4(F.avg("score")).alias("mean_score"),
+        round4(F.avg("is_en")).alias("en_rate"),
+    )
+
+
+ORACLES["score_calibration"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(lower(trim(text))) > 0
+    ), scored AS (
+      SELECT CAST(LEAST(FLOOR(({_QUALITY}) * 10), 9) AS INTEGER) AS bin,
+             {_QUALITY} AS score,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS is_en
+      FROM t
+    )
+    SELECT bin, COUNT(*) AS n,
+           {R("AVG(score)")} AS mean_score,
+           {R("AVG(is_en)")} AS en_rate
+    FROM scored GROUP BY bin
+"""
+QUERIES["score_calibration"] = q_score_calibration
