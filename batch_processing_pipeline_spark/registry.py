@@ -6294,8 +6294,11 @@ def q_score_calibration(spark, sf):
     d = _t(spark, sf, "documents").where(
         F.length(F.lower(F.trim(F.col("text")))) > 0
     )
+    # bin on the PORTABLE-rounded score: both engines apply the same
+    # round4 formula, so a raw score one ulp either side of a decile
+    # boundary cannot bin differently across engines
     scored = d.select(
-        F.least(F.floor(quality_score(F.col("text")) * 10), F.lit(9))
+        F.least(F.floor(round4(quality_score(F.col("text"))) * 10), F.lit(9))
         .cast("int")
         .alias("bin"),
         quality_score(F.col("text")).alias("score"),
@@ -6314,7 +6317,7 @@ ORACLES["score_calibration"] = f"""
              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE length(lower(trim(text))) > 0
     ), scored AS (
-      SELECT CAST(LEAST(FLOOR(({_QUALITY}) * 10), 9) AS INTEGER) AS bin,
+      SELECT CAST(LEAST(FLOOR((floor((({_QUALITY})) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)) * CAST(10 AS DOUBLE)), 9) AS INTEGER) AS bin,
              {_QUALITY} AS score,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS is_en
       FROM t
@@ -6325,3 +6328,65 @@ ORACLES["score_calibration"] = f"""
     FROM scored GROUP BY bin
 """
 QUERIES["score_calibration"] = q_score_calibration
+
+
+def q_chi2_independence(spark, sf):
+    """Two-way chi-square independence test: is event_type independent of
+    hour-of-day? (The drift/seasonality smell test run before trusting
+    per-hour aggregates; complements benford_audit's one-way
+    goodness-of-fit.)  Observed counts per (type, hour) vs expected
+    row_total*col_total/N — three partial-agg passes over a contingency
+    relation whose size is |types| x 24, then one scalar.
+    """
+    e = _events(spark, sf).select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    obs = e.groupBy("event_type", "hr").agg(F.count("*").alias("o"))
+    row_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("hr").agg(F.sum("o").alias("ct"))
+    n = e.count()
+    cells = (
+        obs.join(F.broadcast(row_t), "event_type")
+        .join(F.broadcast(col_t), "hr")
+        .select(
+            "event_type",
+            "hr",
+            "o",
+            (F.col("rt") * F.col("ct") / F.lit(float(n))).alias("exp"),
+        )
+    )
+    chi2 = F.sum(
+        (F.col("o") - F.col("exp")) * (F.col("o") - F.col("exp")) / F.col("exp")
+    )
+    return cells.agg(
+        round4(chi2).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("hr") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum("o").alias("n_events"),
+    )
+
+
+ORACLES["chi2_independence"] = f"""
+    WITH e AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr FROM events
+    ), obs AS (
+      SELECT event_type, hr, COUNT(*) AS o FROM e GROUP BY event_type, hr
+    ), row_t AS (
+      SELECT event_type, SUM(o) AS rt FROM obs GROUP BY event_type
+    ), col_t AS (
+      SELECT hr, SUM(o) AS ct FROM obs GROUP BY hr
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    cells AS (
+      SELECT obs.event_type, obs.hr, obs.o,
+             row_t.rt * col_t.ct / n.n AS exp
+      FROM obs JOIN row_t USING (event_type) JOIN col_t USING (hr)
+      CROSS JOIN n
+    )
+    SELECT {R("SUM((o - exp) * (o - exp) / exp)")} AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1)
+                AS BIGINT) AS dof,
+           SUM(o) AS n_events
+    FROM cells
+"""
+QUERIES["chi2_independence"] = q_chi2_independence
