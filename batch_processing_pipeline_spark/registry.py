@@ -6190,16 +6190,14 @@ def q_ngram_novelty(spark, sf):
         ),
     )
     w = Window.partitionBy("doc_id").orderBy("pos0")
+    # gram parts derived from range(n): guard and gram share the same n,
+    # so changing the gram order cannot silently desynchronize them
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
     gram = tok.select(
         "doc_id",
         F.when(
             F.lead("word", n - 1).over(w).isNotNull(),
-            F.md5(
-                F.concat_ws(
-                    " ", F.col("word"), F.lead("word", 1).over(w),
-                    F.lead("word", 2).over(w),
-                )
-            ),
+            F.md5(F.concat_ws(" ", *parts)),
         ).alias("fp"),
     ).where(F.col("fp").isNotNull()).select("doc_id", "fp").distinct()
     first = gram.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
@@ -6317,7 +6315,8 @@ ORACLES["score_calibration"] = f"""
              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE length(lower(trim(text))) > 0
     ), scored AS (
-      SELECT CAST(LEAST(FLOOR((floor((({_QUALITY})) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)) * CAST(10 AS DOUBLE)), 9) AS INTEGER) AS bin,
+      SELECT CAST(LEAST(FLOOR(({R("(" + _QUALITY + ")")}) * CAST(10 AS DOUBLE)), 9)
+                  AS INTEGER) AS bin,
              {_QUALITY} AS score,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS is_en
       FROM t
@@ -6344,15 +6343,27 @@ def q_chi2_independence(spark, sf):
     obs = e.groupBy("event_type", "hr").agg(F.count("*").alias("o"))
     row_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_t = obs.groupBy("hr").agg(F.sum("o").alias("ct"))
-    n = e.count()
+    # N from the row totals INSIDE the DAG (no second eager scan of
+    # events); row/col marginals cast to double before multiplying — the
+    # bigint product rt*ct overflows long at ~1.5e10 concentrated events
+    n_rel = row_t.agg(F.sum("rt").cast("double").alias("nn"))
+    # FULL grid: a zero-observed cell still contributes (0-exp)^2/exp =
+    # exp; dropping absent cells understates chi2 exactly when the data
+    # is most skewed (and dof would still count them)
+    grid = row_t.select("event_type", "rt").crossJoin(
+        col_t.select("hr", "ct")
+    )
     cells = (
-        obs.join(F.broadcast(row_t), "event_type")
-        .join(F.broadcast(col_t), "hr")
+        grid.join(obs, ["event_type", "hr"], "left")
+        .join(F.broadcast(n_rel))
         .select(
             "event_type",
             "hr",
-            "o",
-            (F.col("rt") * F.col("ct") / F.lit(float(n))).alias("exp"),
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (
+                F.col("rt").cast("double") * F.col("ct").cast("double")
+                / F.col("nn")
+            ).alias("exp"),
         )
     )
     chi2 = F.sum(
@@ -6376,11 +6387,13 @@ ORACLES["chi2_independence"] = f"""
       SELECT event_type, SUM(o) AS rt FROM obs GROUP BY event_type
     ), col_t AS (
       SELECT hr, SUM(o) AS ct FROM obs GROUP BY hr
-    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    ), n AS (SELECT CAST(SUM(rt) AS DOUBLE) AS n FROM row_t),
     cells AS (
-      SELECT obs.event_type, obs.hr, obs.o,
-             row_t.rt * col_t.ct / n.n AS exp
-      FROM obs JOIN row_t USING (event_type) JOIN col_t USING (hr)
+      SELECT g.event_type, g.hr, COALESCE(obs.o, 0) AS o,
+             CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / n.n AS exp
+      FROM (SELECT row_t.event_type, row_t.rt, col_t.hr, col_t.ct
+            FROM row_t CROSS JOIN col_t) g
+      LEFT JOIN obs ON obs.event_type = g.event_type AND obs.hr = g.hr
       CROSS JOIN n
     )
     SELECT {R("SUM((o - exp) * (o - exp) / exp)")} AS chi2,

@@ -83,6 +83,8 @@ HEADLINE = [
     "dup_spans",
     "inverted_index",
     "quantile_normalize",
+    "ngram_novelty",
+    "event_pattern",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
