@@ -101,3 +101,44 @@ def test_python_datasource_querylog_reads_hourly_files(spark, tmp_path):
         .load()
     )
     assert {r.value for r in windowed.collect()} == {"gamma", "delta"}
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across batches: a later batch adds a column; a
+    mergeSchema read unifies both (older rows NULL-filled), and the
+    default read of the union survives column pruning to either shape —
+    the ingest reality at 100 TB where producers upgrade mid-stream."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), F.lit("v1").alias("source")
+    ).write.mode("append").parquet(base)
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("v2").alias("source"), F.lit(0.5).alias("score")
+    ).write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "source", "score"}
+    assert merged.count() == 20
+    # old-batch rows get NULL for the new column, new-batch rows keep it
+    nulls = merged.where(F.col("score").isNull()).count()
+    assert nulls == 10
+    assert merged.where(F.col("score") == 0.5).count() == 10
+
+
+def test_merge_schema_type_widening_rejected_loudly(spark, tmp_path):
+    """Conflicting types for one column across batches must fail the
+    mergeSchema read with a clear error, not silently coerce."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "conflict")
+    spark.range(0, 5).select(F.col("id"), F.lit(1).alias("v")).write.mode(
+        "append"
+    ).parquet(base)
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("s").alias("v")
+    ).write.mode("append").parquet(base)
+    with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
+        spark.read.option("mergeSchema", "true").parquet(base).collect()
