@@ -6403,3 +6403,100 @@ ORACLES["chi2_independence"] = f"""
     FROM cells
 """
 QUERIES["chi2_independence"] = q_chi2_independence
+
+
+def q_temporal_split(spark, sf):
+    """Time-based train/eval split with a leakage audit: events strictly
+    before the cutoff (day 25 of the fixture month) are train, the rest
+    eval, and the audit row counts users appearing on BOTH sides — the
+    population a user-level dedup must resolve before the split is
+    leakage-free (temporal splits, not random ones, are how eval sets are
+    cut for forecasting and for contamination-sensitive LLM evals).  Two
+    partial-agg passes; the user-overlap is a semi-join on user_id.
+    """
+    e = _events(spark, sf).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cutoff = F.lit("2024-01-25").cast("date")
+    tagged = e.select(
+        "user_id", F.when(F.col("day") < cutoff, "train").otherwise("eval").alias("split")
+    )
+    sides = tagged.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    train_u = tagged.where(F.col("split") == "train").select("user_id").distinct()
+    eval_u = tagged.where(F.col("split") == "eval").select("user_id").distinct()
+    overlap = train_u.join(eval_u, "user_id", "left_semi").agg(
+        F.lit("overlap").alias("split"),
+        F.count("*").alias("n_events"),
+        F.count("*").alias("n_users"),
+    )
+    return sides.unionByName(overlap)
+
+
+ORACLES["temporal_split"] = """
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-25'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM events
+    ), sides AS (
+      SELECT split, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM tagged GROUP BY split
+    ), ov AS (
+      SELECT 'overlap' AS split,
+             COUNT(*) AS n_events, COUNT(*) AS n_users
+      FROM (
+        SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+        INTERSECT
+        SELECT DISTINCT user_id FROM tagged WHERE split = 'eval'
+      )
+    )
+    SELECT * FROM sides UNION ALL SELECT * FROM ov
+"""
+QUERIES["temporal_split"] = q_temporal_split
+
+
+def q_skipping_audit(spark, sf):
+    """Data-skipping layout audit: per partition key (event day), the
+    min/max of the value column — the zone-map statistics a lakehouse
+    scanner consults — plus, for a reference predicate (value > 90), each
+    partition's verdict: 'skip' (max below), 'full' (min above), or
+    'scan'.  The audit quantifies how much a predicate can prune under
+    the CURRENT layout; run before and after a re-cluster (zorder_key) it
+    measures the layout change's worth.  One partial-agg pass.
+    """
+    e = _events(spark, sf).select(F.to_date("ts").alias("day"), "value")
+    thr = 90.0
+    stats = e.groupBy("day").agg(
+        F.count("*").alias("n_rows"),
+        round4(F.min("value")).alias("min_v"),
+        round4(F.max("value")).alias("max_v"),
+    )
+    return stats.select(
+        "day",
+        "n_rows",
+        "min_v",
+        "max_v",
+        F.when(F.col("max_v") <= thr, "skip")
+        .when(F.col("min_v") > thr, "full")
+        .otherwise("scan")
+        .alias("verdict"),
+    )
+
+
+ORACLES["skipping_audit"] = f"""
+    WITH stats AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+             {R("MIN(value)")} AS min_v, {R("MAX(value)")} AS max_v
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, n_rows, min_v, max_v,
+           CASE WHEN max_v <= 90.0 THEN 'skip'
+                WHEN min_v > 90.0 THEN 'full'
+                ELSE 'scan' END AS verdict
+    FROM stats
+"""
+QUERIES["skipping_audit"] = q_skipping_audit
