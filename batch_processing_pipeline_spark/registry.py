@@ -6500,3 +6500,44 @@ ORACLES["skipping_audit"] = f"""
     FROM stats
 """
 QUERIES["skipping_audit"] = q_skipping_audit
+
+
+def q_cumulative_reach(spark, sf):
+    """Cumulative distinct-user reach by day — the DAU companion metric
+    ("how many unique users have we EVER seen by day d"), computed without
+    any distinct-over-window: each user reduces to their first-seen day
+    (one partial-agg MIN), days aggregate first-seen counts, and a running
+    sum over the day order yields the reach curve.  At 100 TB the only
+    wide operation is the user-keyed MIN; the window runs over |days|
+    rows.
+    """
+    e = _events(spark, sf).select("user_id", F.to_date("ts").alias("day"))
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+ORACLES["cumulative_reach"] = """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT first_day AS day, new_users,
+           SUM(new_users) OVER (ORDER BY first_day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumulative_users
+    FROM per_day
+"""
+QUERIES["cumulative_reach"] = q_cumulative_reach
