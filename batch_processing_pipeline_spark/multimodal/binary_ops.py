@@ -108,7 +108,11 @@ def decode_image_batches(df: DataFrame, id_col: str = "doc_id", fake: bool = Fal
                 continue
             ws, hs = [], []
             for payload in pdf["content"]:
-                w, h, _ch, _px = codecs.decode_png(bytes(payload))
+                raw = bytes(payload)
+                if codecs.is_bmp(raw):
+                    w, h, _ch, _px = codecs.decode_bmp(raw)
+                else:
+                    w, h, _ch, _px = codecs.decode_png(raw)
                 ws.append(w)
                 hs.append(h)
             out = pd.DataFrame(
@@ -319,13 +323,15 @@ def extract_features(
                 if not fake:
                     if codecs.is_png(data):
                         _w, _h, _ch, data = codecs.decode_png(data)
+                    elif codecs.is_bmp(data):
+                        _w, _h, _ch, data = codecs.decode_bmp(data)
                     elif codecs.is_wav(data):
                         _r, _c, _b, data = codecs.decode_wav(data)
                     elif decoder is not None:
                         data = bytes(decoder(data))
                     else:
                         raise NotImplementedError(
-                            "built-in real feature extraction covers PNG/WAV; "
+                            "built-in real feature extraction covers PNG/BMP/WAV; "
                             "for other containers pass decoder=<callable "
                             "bytes -> bytes> backed by av/ffmpeg"
                         )

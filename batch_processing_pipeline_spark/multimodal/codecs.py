@@ -1,4 +1,4 @@
-"""Dependency-free media codecs: PNG, animated GIF, and WAV PCM.
+"""Dependency-free media codecs: PNG, animated GIF, WAV PCM, and 24-bit BMP.
 
 The container has no PIL/ffmpeg, but "the decode step is stubbed" is a
 weaker contract than the pipeline needs — so the two formats with pure
@@ -419,3 +419,73 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
     if not frames:
         raise MediaFormatError("GIF contains no image data")
     return width, height, frames
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed)
+# ---------------------------------------------------------------------------
+# The third image codec beside PNG and GIF: no compression at all, which
+# makes it the fast-path interchange format scanners and legacy pipelines
+# still emit. Layout: 14-byte file header ('BM', size, reserved, pixel
+# offset) + 40-byte DIB header + bottom-up rows of BGR triplets, each row
+# zero-padded to a 4-byte boundary.
+
+
+def is_bmp(data: bytes) -> bool:
+    return len(data) >= 2 and data[:2] == b"BM"
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """RGB top-down ``pixels`` (width*height*3 bytes) → 24-bit BMP."""
+    if len(pixels) != width * height * 3:
+        raise MediaFormatError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x3"
+        )
+    row_pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        base = y * width * 3
+        for x in range(width):
+            r, g, b = pixels[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    body = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels=3, RGB top-down bytes). 24-bit only."""
+    if not is_bmp(data):
+        raise MediaFormatError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise MediaFormatError(f"unsupported BMP DIB header ({dib_size} bytes)")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise MediaFormatError(
+            f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = width * 3 + ((-(width * 3)) % 4)
+    out = bytearray(width * height * 3)
+    for row_idx in range(height):
+        src = pixel_off + row_idx * row_stride
+        y = (height - 1 - row_idx) if bottom_up else row_idx
+        if src + width * 3 > len(data):
+            raise MediaFormatError("truncated BMP pixel data")
+        base = y * width * 3
+        for x in range(width):
+            b, g, r = data[src + 3 * x : src + 3 * x + 3]
+            out[base + 3 * x : base + 3 * x + 3] = bytes((r, g, b))
+    return width, height, 3, bytes(out)

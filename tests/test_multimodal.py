@@ -485,3 +485,48 @@ def test_sample_frames_with_av_real_video(spark):
     df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, content binary")
     rows = sample_frames(df, n_frames=4, decoder=av_decoder).collect()
     assert len(rows) == 4 and all(len(r.frame) == 64 * 64 * 3 for r in rows)
+
+
+def test_bmp_codec_roundtrip_and_distributed_decode(spark):
+    """24-bit BMP: encode→decode is identity (incl. row padding at widths
+    not divisible by 4), and the mapInPandas decode path dispatches BMP
+    payloads by magic bytes alongside PNG."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.multimodal import codecs
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        decode_image_batches,
+    )
+
+    random.seed(11)
+    rows = []
+    for doc_id, (w, h) in enumerate([(1, 1), (3, 2), (5, 4), (7, 3)]):
+        px = bytes(random.randrange(256) for _ in range(w * h * 3))
+        enc = codecs.encode_bmp(w, h, px)
+        got = codecs.decode_bmp(enc)
+        assert got == (w, h, 3, px)
+        rows.append((doc_id, enc, w, h))
+    df = spark.createDataFrame(
+        [(i, bytearray(e)) for i, e, _, _ in rows], "doc_id long, content binary"
+    )
+    out = {r.doc_id: (r.width, r.height) for r in decode_image_batches(df).collect()}
+    assert out == {i: (w, h) for i, _, w, h in rows}
+
+
+def test_bmp_rejects_unsupported_variants(spark):
+    import struct
+
+    import pytest
+
+    from batch_processing_pipeline_spark.multimodal import codecs
+
+    good = codecs.encode_bmp(2, 2, bytes(12))
+    # flip bpp to 8 → loud failure, not silent garbage
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(codecs.MediaFormatError, match="bpp=8"):
+        codecs.decode_bmp(bytes(bad))
+    with pytest.raises(codecs.MediaFormatError, match="not a BMP"):
+        codecs.decode_bmp(b"\x89PNG")
