@@ -32,21 +32,34 @@ def learn_bpe_merges(
     text_col: str = "text",
     n_merges: int = 20,
     min_word_len: int = 2,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Classic BPE training over the corpus' (word, count) relation.
 
     Deterministic: ties in pair frequency break lexicographically, so the
     same corpus always yields the same merge list.
+
+    The driver collect is BOUNDED by ``max_vocab``: the distinct-"word"
+    relation of 100 TB web text is not driver-sized (URLs/noise push it
+    to billions), so training keeps the top-``max_vocab`` words by
+    frequency (ties broken by the word itself — deterministic under any
+    run order). Standard BPE trainers cap the training vocabulary the
+    same way; Zipf means the dropped tail carries a vanishing share of
+    corpus mass, and the pair statistics that drive merges are dominated
+    by the kept head. ``None`` disables the cap (tests / bounded corpora
+    only — TakeOrdered sizes its heap by k, so the cap must stay a real
+    number on unbounded inputs).
     """
     s = F.lower(F.trim(F.col(text_col)))
-    vocab = {
-        r.w: r.n
-        for r in df.select(F.explode(F.split(s, r"\s+")).alias("w"))
+    counted = (
+        df.select(F.explode(F.split(s, r"\s+")).alias("w"))
         .where(F.length("w") >= min_word_len)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    )
+    if max_vocab is not None:
+        counted = counted.orderBy(F.desc("n"), F.asc("w")).limit(max_vocab)
+    vocab = {r.w: r.n for r in counted.collect()}
     words = {w: list(w) for w in vocab}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -206,8 +206,9 @@ def word_ngram_counts(df, text_col: str = "text", n: int = 2, k: int = 50):
     builds each n-gram with ``element_at`` + ``concat_ws`` — plain codegen
     expressions, no array-lambda HOFs in the corpus pass. The count is a
     map-side-combining aggregate, so only (ngram, partial count) rows cross
-    the shuffle; the top-k is a total order (count desc, then the n-gram
-    string itself, which is unique per group) so LIMIT is deterministic.
+    the shuffle; the top-k is a total order (count desc, then ``md5`` of
+    the n-gram — unique per group AND collation-proof across engines, so
+    LIMIT selects the same rows under any string collation).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return (
@@ -231,7 +232,10 @@ def word_ngram_counts(df, text_col: str = "text", n: int = 2, k: int = 50):
         )
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.md5(F.encode(F.col("ngram"), "UTF-8")),
+        )
         .limit(k)
     )
 

@@ -477,7 +477,19 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         )
     bottom_up = height > 0
     height = abs(height)
+    # Validate the untrusted header BEFORE allocating: a ~60-byte crafted
+    # BMP claiming 100000x100000 must raise MediaFormatError, not attempt
+    # a ~30 GB allocation (executor OOM on the binary-column decode path).
+    # For uncompressed 24-bit BMP the required payload size is exact.
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(f"invalid BMP dimensions {width}x{height}")
     row_stride = width * 3 + ((-(width * 3)) % 4)
+    if pixel_off < 54 or pixel_off + row_stride * height > len(data):
+        raise MediaFormatError(
+            f"BMP header claims {width}x{height} "
+            f"({row_stride * height} pixel bytes at offset {pixel_off}) "
+            f"but payload is {len(data)} bytes"
+        )
     out = bytearray(width * height * 3)
     for row_idx in range(height):
         src = pixel_off + row_idx * row_stride

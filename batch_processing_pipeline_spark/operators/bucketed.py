@@ -46,15 +46,21 @@ def write_bucketed(
     session (e.g. every driver correctness run) are idempotent.  With
     ``reuse=True`` an existing catalog entry is kept as-is — the layout IS
     the amortized asset, so re-deriving it on every query of a session
-    would charge the one-time cost N times; callers that may feed changed
-    data must leave ``reuse`` off.
+    would charge the one-time cost N times. Reuse requires the existing
+    table's bucket spec AND storage location to match the request (a
+    matching-spec table at a different path holds different data);
+    data-staleness at the SAME path is intentionally not detected —
+    callers that may feed changed data must leave ``reuse`` off.
     """
     spark = df.sparkSession
     if reuse and spark.catalog.tableExists(table):
-        if _bucket_spec_matches(spark, table, bucket_cols, num_buckets, sort_cols):
+        if _bucket_spec_matches(
+            spark, table, bucket_cols, num_buckets, sort_cols, path
+        ):
             return
-        # stale layout (different bucket count/keys/sort): silently reusing
-        # it would break the no-Exchange property callers rely on — rewrite
+        # stale layout (different bucket count/keys/sort/location):
+        # silently reusing it would break the no-Exchange property (or
+        # return another dataset's rows) — rewrite
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")
@@ -72,14 +78,26 @@ def _bucket_spec_matches(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Sequence[str] | None,
+    path: str | None = None,
 ) -> bool:
-    """True iff the catalog table's bucketing metadata equals the request."""
+    """True iff the catalog table's bucketing metadata equals the request
+    (including, when ``path`` is given, the storage Location — a matching
+    spec pointing at a different directory is a different dataset)."""
     rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
     meta = {r["col_name"]: (r["data_type"] or "") for r in rows}
 
     def cols(field: str) -> list[str]:
         raw = meta.get(field, "")
         return [c.strip().strip("`") for c in raw.strip("[]").split(",") if c.strip()]
+
+    if path is not None:
+        loc = meta.get("Location", "").strip()
+        want = os.path.abspath(path)
+        # catalog reports a URI (file:/...); compare filesystem paths
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        if os.path.abspath(loc) != want:
+            return False
 
     return (
         meta.get("Num Buckets", "").strip() == str(num_buckets)

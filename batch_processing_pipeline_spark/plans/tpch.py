@@ -136,7 +136,7 @@ def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     late = o.join(
         l,
         (l.l_orderkey == o.o_orderkey)
-        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        & (F.datediff(F.to_date(l.l_shipdate), F.to_date(o.o_orderdate)) > 60),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
@@ -149,7 +149,7 @@ TPCH_ORACLES["tpch_q4"] = """
       AND o_orderdate <  TIMESTAMP '1998-01-01'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                    AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60)
     GROUP BY o_orderpriority
 """
 
@@ -979,12 +979,12 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
 
     # this supplier's late lines on finished orders
     l1 = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > late_cut)
+        .where(late)
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
     # some other supplier has a line on the same order
@@ -1000,7 +1000,7 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     # ... and no other supplier is ALSO late on that order
     l3 = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > late_cut)
+        .where(late)
         .select(F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk"))
     )
     l1 = l1.join(
@@ -1025,7 +1025,7 @@ TPCH_ORACLES["tpch_q21"] = """
     JOIN orders o ON o.o_orderkey = l1.l_orderkey
     WHERE n.n_name = 'NATION_1'
       AND o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l1.l_shipdate AS DATE)) > 60
       AND EXISTS (
         SELECT 1 FROM lineitem l2
         WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
@@ -1033,7 +1033,7 @@ TPCH_ORACLES["tpch_q21"] = """
       AND NOT EXISTS (
         SELECT 1 FROM lineitem l3
         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l3.l_shipdate AS DATE)) > 60
       )
     GROUP BY s.s_suppkey, s.s_name
 """
@@ -1047,27 +1047,33 @@ for _name in list(globals()):
 def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
     """Q12 shipping modes and order priority — adapted: the fixture has no
     ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so (a) shipmode is
-    DERIVED deterministically per line (``modes[(l_orderkey*3 +
-    l_linenumber) % 7]`` — same portable-arithmetic precedent as the
+    DERIVED deterministically per line (``CASE (l_orderkey*3 +
+    l_linenumber) % 7`` — same portable-arithmetic precedent as the
     derived partsupp) and (b) "late" is shipped more than 60 days after
     the order date (same adaptation as q4/q21).
+
+    Version-proof constructs (round-4 fix for the driver hash mismatch):
+    lateness is ``datediff`` on DATE-cast columns (not ``+ INTERVAL``,
+    whose timestamp arithmetic is timezone/version-sensitive across
+    engines) and shipmode is a CASE ladder (not DuckDB list indexing).
 
     One lineitem scan with the mode filter applied before the join; the
     priority split is a conditional aggregation (no second pass).
     """
     modes = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
-    mode_arr = F.array(*[F.lit(m) for m in modes])
-    shipmode = F.element_at(
-        mode_arr,
-        ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7 + 1).cast("int"),
-    )
+    slot = (F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7
+    shipmode = F.when(slot == 0, modes[0])
+    for i, m in enumerate(modes[1:], start=1):
+        shipmode = shipmode.when(slot == i, m)
     l = (
         _t(spark, sf, "lineitem")
         .withColumn("l_shipmode", shipmode)
         .where(F.col("l_shipmode").isin(["MAIL", "SHIP"]))
     )
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+    )
     high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -1083,8 +1089,10 @@ def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
 TPCH_ORACLES["tpch_q12"] = """
     WITH l AS (
       SELECT l_orderkey,
-             (['AIR', 'FOB', 'MAIL', 'RAIL', 'REG AIR', 'SHIP', 'TRUCK'])
-               [CAST((l_orderkey * 3 + l_linenumber) % 7 + 1 AS INTEGER)] AS l_shipmode,
+             CASE CAST((l_orderkey * 3 + l_linenumber) % 7 AS BIGINT)
+               WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL'
+               WHEN 3 THEN 'RAIL' WHEN 4 THEN 'REG AIR' WHEN 5 THEN 'SHIP'
+               ELSE 'TRUCK' END AS l_shipmode,
              l_shipdate
       FROM lineitem
     )
@@ -1095,7 +1103,7 @@ TPCH_ORACLES["tpch_q12"] = """
                     THEN 1 ELSE 0 END) AS low_line_count
     FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipmode IN ('MAIL', 'SHIP')
-      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60
     GROUP BY l.l_shipmode
 """
 TPCH_QUERIES["tpch_q12"] = tpch_q12

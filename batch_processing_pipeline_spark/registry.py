@@ -446,6 +446,11 @@ def q_dedup_minhash(spark, sf):
         F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
     )
     corpus = d.unionByName(mutated)
+    # sample_mod stays at the operator default (2): quarter-density
+    # sampling (4) was measured ~25% faster here but loses ~0.4% of the
+    # true ≥0.8 pairs at the band stage on this corpus — recall is the
+    # product, so the speed comes from AQE partition coalescing
+    # (session.py parallelismFirst=false) instead.
     return minhash_lsh_dedup(corpus, shingle_n=5, num_perm=32, bands=8, threshold=0.8)
 
 
@@ -1565,7 +1570,7 @@ ORACLES.update(
                        FROM tk WHERE len(t) >= 2),
                  g AS (SELECT t[i] || ' ' || t[i + 1] AS ngram FROM p)
             SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY ngram
-            ORDER BY n_occurrences DESC, ngram LIMIT 50
+            ORDER BY n_occurrences DESC, md5(ngram) LIMIT 50
         """,
     }
 )
@@ -2312,7 +2317,8 @@ def q_bigram_lm(spark, sf):
     """Bigram language-model table: top-3 continuations per word with
     conditional probability P(next | word) — the statistical core of a
     next-word suggester. One explode + count, a per-word window total, and
-    a WindowGroupLimit top-k; heads with < 5 observations are dropped."""
+    a WindowGroupLimit top-k; heads with < 5 observations are dropped.
+    Ties on count rank by ``md5(w2)`` — collation-proof across engines."""
     d = _t(spark, sf, "documents")
     s = F.lower(F.trim(F.col("text")))
     toks = F.split(s, r"\s+")
@@ -2329,7 +2335,9 @@ def q_bigram_lm(spark, sf):
     )
     c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     wtot = Window.partitionBy("w1")
-    wrank = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    wrank = Window.partitionBy("w1").orderBy(
+        F.desc("n"), F.md5(F.encode(F.col("w2"), "UTF-8")).asc()
+    )
     return (
         c.withColumn("tot", F.sum("n").over(wtot))
         .withColumn("rk", F.row_number().over(wrank))
@@ -2357,7 +2365,7 @@ ORACLES["bigram_lm"] = rf"""
          w AS (SELECT w1, w2, n,
                       SUM(n) OVER (PARTITION BY w1) AS tot,
                       ROW_NUMBER() OVER (PARTITION BY w1
-                                         ORDER BY n DESC, w2 ASC) AS rk
+                                         ORDER BY n DESC, md5(w2) ASC) AS rk
                FROM c)
     SELECT w1, CAST(rk AS INTEGER) AS rk, w2, n,
            {R("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS prob
@@ -3487,11 +3495,18 @@ def q_bpe_merge_candidates(spark, sf):
     Scale shape: word counts aggregate first (Zipf-compact relation), so
     the pair explode runs over distinct words x their lengths, not over
     every corpus token occurrence.
+
+    Version-proof constructs (round-4 fix for the driver hash mismatch):
+    any byte outside printable ASCII collapses to a space BEFORE the
+    split (so Spark's Java regex and DuckDB's RE2 tokenize
+    byte-identically regardless of their ``\\s``/Unicode class drift),
+    the split itself is on literal space runs, and the top-20 tie-break
+    orders by ``md5(pair)`` — hex output, immune to collation drift.
     """
     d = _t(spark, sf, "documents")
-    s = F.lower(F.trim(F.col("text")))
+    s = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^ -~]", " ")
     words = (
-        d.select(F.explode(F.split(s, r"\s+")).alias("w"))
+        d.select(F.explode(F.split(s, " +")).alias("w"))
         .where(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -3508,7 +3523,8 @@ def q_bpe_merge_candidates(spark, sf):
         .groupBy("pair")
         .agg(F.sum("n").alias("cnt"))
     )
-    wr = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("pair"))
+    tie = F.md5(F.encode(F.col("pair"), "UTF-8"))
+    wr = Window.partitionBy().orderBy(F.desc("cnt"), tie.asc())
     return (
         pairs.withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= 20)
@@ -3519,7 +3535,8 @@ def q_bpe_merge_candidates(spark, sf):
 ORACLES["bpe_merge_candidates"] = r"""
     WITH words AS (
       SELECT w, COUNT(*) AS n FROM (
-        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        SELECT unnest(string_split_regex(
+          regexp_replace(lower(trim(text)), '[^ -~]', ' ', 'g'), ' +')) AS w
         FROM documents
       ) WHERE length(w) >= 2 GROUP BY w
     ), pairs AS (
@@ -3530,7 +3547,7 @@ ORACLES["bpe_merge_candidates"] = r"""
     )
     SELECT CAST(rk AS INTEGER) AS rk, pair, cnt FROM (
       SELECT pair, cnt,
-             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, md5(pair) ASC) AS rk
       FROM counts
     ) WHERE rk <= 20
 """
@@ -4660,7 +4677,9 @@ def q_user_paths(spark, sf):
         path.alias("path"),
         F.lead("event_type", 2).over(ws).alias("_has3"),
     ).where(F.col("_has3").isNotNull())
-    wr = Window.partitionBy().orderBy(F.desc("n"), F.asc("path"))
+    wr = Window.partitionBy().orderBy(
+        F.desc("n"), F.md5(F.encode(F.col("path"), "UTF-8")).asc()
+    )
     return (
         trigrams.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -4692,11 +4711,11 @@ ORACLES["user_paths"] = """
       FROM s
       WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
     )
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS INTEGER) AS rk,
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, md5(path) ASC) AS INTEGER) AS rk,
            path, COUNT(*) AS n
     FROM t WHERE has3 IS NOT NULL
     GROUP BY path
-    ORDER BY n DESC, path ASC
+    ORDER BY n DESC, md5(path) ASC
     LIMIT 25
 """
 QUERIES["user_paths"] = q_user_paths
@@ -5301,6 +5320,11 @@ ORACLES["tfidf_cosine_pairs"] = f"""
 QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
 
 
+# bucketed-layout dirs to remove at interpreter exit (one registration
+# per directory; names are per-application so nothing else reuses them)
+_SMB_CLEANUP_DIRS: set = set()
+
+
 def q_smb_join(spark, sf):
     """Sort-merge-bucket join: both sides written bucketed+sorted on the
     join key (operators/bucketed.py), so the per-query shuffle disappears —
@@ -5310,11 +5334,16 @@ def q_smb_join(spark, sf):
     no-per-batch-Sort property is plan-asserted in tests/test_bucketed.py;
     here the oracle pins the join+aggregate semantics themselves.
     (reuse=True: within a session the layout is built once and every
-    later call pays only the shuffle-free join — the amortization itself.)
+    later call pays only the shuffle-free join — the amortization itself.
+    The per-application layout directory is removed at interpreter exit —
+    table names are per-application, so without cleanup every session
+    would orphan a new /tmp tree.)
     """
+    import atexit
     import hashlib
     import os
     import re
+    import shutil
 
     from batch_processing_pipeline_spark.operators.bucketed import (
         bucketed_join,
@@ -5329,6 +5358,9 @@ def q_smb_join(spark, sf):
     app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
     tag = f"{app}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}"
     base = f"/tmp/bpps_bucketed/{tag}"
+    if base not in _SMB_CLEANUP_DIRS:
+        _SMB_CLEANUP_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     o = _t(spark, sf, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
@@ -5467,7 +5499,7 @@ def q_cms_topk(spark, sf):
         wb.join(F.broadcast(sketch), ["r", "b"])
         .groupBy("word")
         .agg(F.min("cnt").alias("est"), F.min("true_cnt").alias("true_cnt"))
-        .orderBy(F.desc("est"), "word")
+        .orderBy(F.desc("est"), F.md5(F.encode(F.col("word"), "UTF-8")))
         .limit(20)
     )
 
@@ -5491,7 +5523,7 @@ ORACLES["cms_topk"] = """
       GROUP BY w.word
     )
     SELECT word, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
-    FROM est ORDER BY est DESC, word LIMIT 20
+    FROM est ORDER BY est DESC, md5(word) LIMIT 20
 """
 QUERIES["cms_topk"] = q_cms_topk
 
@@ -6408,10 +6440,11 @@ QUERIES["chi2_independence"] = q_chi2_independence
 def q_temporal_split(spark, sf):
     """Time-based train/eval split with a leakage audit: events strictly
     before the cutoff (day 25 of the fixture month) are train, the rest
-    eval, and the audit row counts users appearing on BOTH sides — the
-    population a user-level dedup must resolve before the split is
-    leakage-free (temporal splits, not random ones, are how eval sets are
-    cut for forecasting and for contamination-sensitive LLM evals).  Two
+    eval, and the audit row reports the leakage population: n_users =
+    users appearing on BOTH sides, n_events = the EVAL-side events of
+    those users (the rows a leakage-free protocol would quarantine —
+    temporal splits, not random ones, are how eval sets are cut for
+    forecasting and for contamination-sensitive LLM evals).  Two
     partial-agg passes; the user-overlap is a semi-join on user_id.
     """
     e = _events(spark, sf).select(
@@ -6426,11 +6459,13 @@ def q_temporal_split(spark, sf):
         F.countDistinct("user_id").alias("n_users"),
     )
     train_u = tagged.where(F.col("split") == "train").select("user_id").distinct()
-    eval_u = tagged.where(F.col("split") == "eval").select("user_id").distinct()
-    overlap = train_u.join(eval_u, "user_id", "left_semi").agg(
+    leaked_eval = tagged.where(F.col("split") == "eval").join(
+        train_u, "user_id", "left_semi"
+    )
+    overlap = leaked_eval.agg(
         F.lit("overlap").alias("split"),
         F.count("*").alias("n_events"),
-        F.count("*").alias("n_users"),
+        F.countDistinct("user_id").alias("n_users"),
     )
     return sides.unionByName(overlap)
 
@@ -6447,11 +6482,10 @@ ORACLES["temporal_split"] = """
       FROM tagged GROUP BY split
     ), ov AS (
       SELECT 'overlap' AS split,
-             COUNT(*) AS n_events, COUNT(*) AS n_users
-      FROM (
+             COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      FROM tagged
+      WHERE split = 'eval' AND user_id IN (
         SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
-        INTERSECT
-        SELECT DISTINCT user_id FROM tagged WHERE split = 'eval'
       )
     )
     SELECT * FROM sides UNION ALL SELECT * FROM ov
@@ -6467,21 +6501,26 @@ def q_skipping_audit(spark, sf):
     'scan'.  The audit quantifies how much a predicate can prune under
     the CURRENT layout; run before and after a re-cluster (zorder_key) it
     measures the layout change's worth.  One partial-agg pass.
+
+    The verdict is computed from the UNROUNDED min/max (what a real
+    zone-map scanner consults); round4 applies only to the displayed
+    min_v/max_v columns — a partition whose true max is 90.00004 must
+    read 'scan', not 'skip', even though its displayed max shows 90.0.
     """
     e = _events(spark, sf).select(F.to_date("ts").alias("day"), "value")
     thr = 90.0
     stats = e.groupBy("day").agg(
         F.count("*").alias("n_rows"),
-        round4(F.min("value")).alias("min_v"),
-        round4(F.max("value")).alias("max_v"),
+        F.min("value").alias("_raw_min"),
+        F.max("value").alias("_raw_max"),
     )
     return stats.select(
         "day",
         "n_rows",
-        "min_v",
-        "max_v",
-        F.when(F.col("max_v") <= thr, "skip")
-        .when(F.col("min_v") > thr, "full")
+        round4(F.col("_raw_min")).alias("min_v"),
+        round4(F.col("_raw_max")).alias("max_v"),
+        F.when(F.col("_raw_max") <= thr, "skip")
+        .when(F.col("_raw_min") > thr, "full")
         .otherwise("scan")
         .alias("verdict"),
     )
@@ -6490,12 +6529,13 @@ def q_skipping_audit(spark, sf):
 ORACLES["skipping_audit"] = f"""
     WITH stats AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
-             {R("MIN(value)")} AS min_v, {R("MAX(value)")} AS max_v
+             MIN(value) AS raw_min, MAX(value) AS raw_max
       FROM events GROUP BY CAST(ts AS DATE)
     )
-    SELECT day, n_rows, min_v, max_v,
-           CASE WHEN max_v <= 90.0 THEN 'skip'
-                WHEN min_v > 90.0 THEN 'full'
+    SELECT day, n_rows,
+           {R("raw_min")} AS min_v, {R("raw_max")} AS max_v,
+           CASE WHEN raw_max <= 90.0 THEN 'skip'
+                WHEN raw_min > 90.0 THEN 'full'
                 ELSE 'scan' END AS verdict
     FROM stats
 """

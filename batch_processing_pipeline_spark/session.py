@@ -20,6 +20,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at its default (true): measured across the
+    # whole sf0.1 suite, honoring the 64 MB advisory size instead
+    # (parallelismFirst=false) collapses CPU-bound post-shuffle work
+    # (salted skew joins, triangle enumeration) onto too few local cores —
+    # +65-85% on those queries — for only a modest win on tiny shuffles.
+    # On a real cluster with byte-heavy shuffles the advisory size governs
+    # either way.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas UDF path (similarity / multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -90,6 +90,8 @@ HEADLINE = [
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
     # regression in the components loop gets caught here, not at 100 TB
     "text_fingerprint",
+    "pagerank",
+    "sim_topk_pq",
     "dedup_clusters",
     "dedup_survivorship",
     "dedup_minhash",
@@ -137,10 +139,14 @@ def _print_regression_diff(timings: dict[str, float]) -> None:
     print(f"# regressions flagged: {flagged}", file=sys.stderr)
 
 
-def _bench_stream_batch(spark, sf_dir: str) -> float:
+def _bench_stream_batch(spark, sf_dir: str, state_buckets: int | None = None) -> float:
     """End-to-end availableNow streaming run: 24 hourly query-log files →
     incremental state merges (6 micro-batches of 4 files) → suggestions.
-    File generation happens OUTSIDE the timed window."""
+    File generation happens OUTSIDE the timed window.
+
+    ``state_buckets=N`` benches the bucketed-state scale path (per-batch
+    I/O bounded by touched buckets) so a regression there is caught here,
+    not at 100 TB."""
     from pyspark.sql import functions as F
 
     from batch_processing_pipeline_spark.streaming.jobs import (
@@ -176,6 +182,7 @@ def _bench_stream_batch(spark, sf_dir: str) -> float:
             os.path.join(work, "sugg"),
             os.path.join(work, "ckpt"),
             k=10,
+            state_buckets=state_buckets,
         )
         q.awaitTermination()
         return time.time() - t0
@@ -243,15 +250,17 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     # streaming end-to-end (not a QUERIES entry: runs a full availableNow
-    # job, not a single DataFrame action)
-    dt = _bench_stream_batch(spark, sf_dir)
-    if dt > 20.0:
-        # ~10 s on a quiet host — a 2x+ reading is an external load spike
-        dt = min(dt, _bench_stream_batch(spark, sf_dir))
-    dt = round(dt, 3)
-    timings["stream_batch"] = dt
-    total += dt
-    print(f"# stream_batch: {dt:.3f}s", file=sys.stderr)
+    # job, not a single DataFrame action); simple mode + the bucketed-state
+    # scale mode, each with its own regression row
+    for entry, buckets in (("stream_batch", None), ("stream_batch_bucketed", 8)):
+        dt = _bench_stream_batch(spark, sf_dir, state_buckets=buckets)
+        if dt > 20.0:
+            # ~10 s on a quiet host — a 2x+ reading is an external load spike
+            dt = min(dt, _bench_stream_batch(spark, sf_dir, state_buckets=buckets))
+        dt = round(dt, 3)
+        timings[entry] = dt
+        total += dt
+        print(f"# {entry}: {dt:.3f}s", file=sys.stderr)
 
     _print_regression_diff(timings)
 

@@ -143,6 +143,13 @@ def test_minhash_content_sampling_keeps_recall(spark):
     }
     assert full == sampled
     assert full
+    # quarter-density holds recall on this fixture too (NOT the default:
+    # at corpus scale it measurably loses borderline band collisions)
+    sampled4 = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(_docs(spark), sample_mod=4, **kw).collect()
+    }
+    assert full == sampled4
 
 
 def test_minhash_sampling_is_shift_invariant(spark):

@@ -530,3 +530,34 @@ def test_bmp_rejects_unsupported_variants(spark):
         codecs.decode_bmp(bytes(bad))
     with pytest.raises(codecs.MediaFormatError, match="not a BMP"):
         codecs.decode_bmp(b"\x89PNG")
+
+
+def test_bmp_rejects_hostile_headers(spark):
+    """Untrusted-header hardening: dimensions are validated against the
+    actual payload size BEFORE the pixel-buffer allocation, so a tiny
+    crafted BMP claiming 100000x100000 (a ~30 GB buffer) raises
+    MediaFormatError instead of attempting the allocation, and negative
+    width raises MediaFormatError (not ValueError)."""
+    import struct
+
+    import pytest
+
+    from batch_processing_pipeline_spark.multimodal import codecs
+
+    good = codecs.encode_bmp(2, 2, bytes(12))
+
+    huge = bytearray(good)
+    struct.pack_into("<ii", huge, 18, 100_000, 100_000)
+    with pytest.raises(codecs.MediaFormatError, match="claims 100000x100000"):
+        codecs.decode_bmp(bytes(huge))
+
+    neg = bytearray(good)
+    struct.pack_into("<i", neg, 18, -2)
+    with pytest.raises(codecs.MediaFormatError, match="invalid BMP dimensions"):
+        codecs.decode_bmp(bytes(neg))
+
+    # pixel_off pointing past the payload
+    off = bytearray(good)
+    struct.pack_into("<I", off, 10, len(good))
+    with pytest.raises(codecs.MediaFormatError, match="payload is"):
+        codecs.decode_bmp(bytes(off))

@@ -43,8 +43,10 @@ def test_word_ngram_counts_golden(spark):
 def test_word_trigrams_deterministic_limit(spark):
     df = spark.createDataFrame([("a b c d",), ("a b c e",)], ["text"])
     rows = word_ngram_counts(df, "text", n=3, k=2).collect()
-    # ("a b c", 2) first; tie between "b c d"/"b c e" broken by ngram asc
-    assert [(r.ngram, r.n_occurrences) for r in rows] == [("a b c", 2), ("b c d", 1)]
+    # ("a b c", 2) first; tie between "b c d"/"b c e" broken by md5(ngram)
+    # (collation-proof across engines): md5("b c e") = 4e88... sorts
+    # before md5("b c d") = ea67...
+    assert [(r.ngram, r.n_occurrences) for r in rows] == [("a b c", 2), ("b c e", 1)]
 
 
 def test_repetition_stats_golden(spark):

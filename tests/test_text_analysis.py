@@ -119,6 +119,32 @@ def test_bpe_encode_round_trips_and_is_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_bpe_vocab_cap_bounds_collect_and_preserves_merges(spark, sf_dir):
+    """``max_vocab`` bounds the driver collect (the 100-TB guard: the
+    distinct-word relation of web text is not driver-sized). A cap at
+    least as large as the fixture's true vocab must reproduce the
+    uncapped merges exactly; a tight cap must still train (on the kept
+    head) and stay deterministic."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.bpe import learn_bpe_merges
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    n_vocab = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select("w")
+        .distinct()
+        .count()
+    )
+    uncapped = learn_bpe_merges(d, "text", n_merges=10, max_vocab=None)
+    roomy = learn_bpe_merges(d, "text", n_merges=10, max_vocab=n_vocab)
+    assert uncapped == roomy
+    tight = learn_bpe_merges(d, "text", n_merges=10, max_vocab=25)
+    assert len(tight) == 10
+    assert tight == learn_bpe_merges(d, "text", n_merges=10, max_vocab=25)
+
+
 def test_compression_ratio_flags_repetitive_text(spark, tmp_path):
     """Repetitive text must compress far below varied text, and the
     signal must be deterministic across runs."""
