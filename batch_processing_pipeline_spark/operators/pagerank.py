@@ -34,35 +34,57 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    broadcast_nodes_limit: int = 1_000_000,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` damped power-iteration rounds.
 
     Deterministic given the edge set (floating-point addition order may
     differ across engines/partitionings by ~ulp; compare ranks rounded).
+
+    Join strategy is chosen from the MEASURED node count (known before
+    the loop starts): when ``n_nodes <= broadcast_nodes_limit`` the
+    (node, rank) relation broadcasts into both per-round joins, so the
+    big persisted edge relation is NEVER re-shuffled — each round costs
+    one shuffle (the contribution groupBy, bounded by |nodes|) instead
+    of three. The default limit (~16 MB of (long, double) pairs) is safe
+    for any executor; above it — web-scale graphs with 10⁹ nodes — the
+    classic partitioned-join iteration runs instead.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ew = e.join(out_deg, "src").persist()
+    # e is the root of THREE derivations (out-degrees, the weighted edge
+    # relation, the node set) — persist it once so the upstream
+    # join/distinct lineage runs once, not per branch.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()  # also materializes both persists' lineage roots
+    n_nodes = nodes.count()  # materializes e's and nodes' caches
+    small = n_nodes <= broadcast_nodes_limit
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out_deg has at most |nodes| rows — broadcast it under the same
+    # bound so attaching degrees never re-shuffles the edge relation.
+    ew = e.join(F.broadcast(out_deg) if small else out_deg, "src").persist()
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
         eager=True
     )
     for _ in range(iterations):
+        r = F.broadcast(ranks) if small else ranks
         contrib = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(r, ew.src == r.node)
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
+        c = F.broadcast(contrib) if small else contrib
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(c, nodes.node == c.dst, "left")
             .select(
                 "node",
                 (
@@ -74,4 +96,5 @@ def pagerank(
         )
     ew.unpersist()
     nodes.unpersist()
+    e.unpersist()
     return ranks

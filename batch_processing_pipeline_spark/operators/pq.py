@@ -25,6 +25,8 @@ ADC + re-rank pipeline.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,8 +65,6 @@ def train_pq_codebooks(
     ml.KMeans-per-subspace variant cost m sequential fits — 70s at m=16
     on the sf0.01 fixture vs <1s for this).
     """
-    import numpy as np
-
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.concat(F.lit("pqtrain:"), F.col(vec_col).cast("string"))))
@@ -100,43 +100,42 @@ def pq_encode(
 ) -> DataFrame:
     """Attach the m-byte PQ code: per subspace, the nearest centroid id.
 
-    One map-side pass.  The codebook enters as STATIC python floats baked
-    into flat arithmetic (element_at - const)^2 sums — pure whole-stage
-    codegen, ~m*ksub*sub multiplies per row.  (A nested array literal +
-    higher-order-function fold was tried first: Catalyst re-evaluates the
-    literal on every element access and HOFs run interpreted — 70 s for
-    500 rows vs sub-second for this form.)  The vector is L2-normalized
-    once into a scratch column so the norm fold runs once per row, not
-    once per codebook term.
+    One map-side pass through an Arrow-batched pandas UDF: the codebook
+    ships once per executor in the closure (m*ksub*sub floats — KBs) and
+    each batch encodes as three numpy broadcasts per subspace
+    ((X-C)² sum + argmin).  This is the documented escape hatch for
+    math-dense kernels: the pure-codegen form (static per-centroid
+    ``(element_at - const)²`` sums + array_sort argmin) builds an
+    expression tree of ~m·ksub·sub·3 nodes, which at m=16/ksub=16 blows
+    past the JVM codegen budget and falls back to interpreted evaluation
+    — measured 10.6 s for 2,000 rows vs ~0.3 s for this kernel.  Ties
+    (equidistant centroids) break to the LOWEST centroid id in both this
+    and the training path (np.argmin takes the first minimum), keeping
+    encode deterministic.
     """
+    from pyspark.sql.functions import pandas_udf
+
     m = len(codebooks)
-    ksub = len(codebooks[0])
     sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
 
-    u = F.col("__pq_unit")
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vecs), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            D = X[:, j * sub : (j + 1) * sub]
+            # (n, ksub) squared distances via ||d||² - 2 d·c + ||c||²
+            d2 = (
+                (D * D).sum(1, keepdims=True)
+                - 2.0 * (D @ books[j].T)
+                + (books[j] * books[j]).sum(1)[None, :]
+            )
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
 
-    def dist(j: int, c: int):
-        cent = codebooks[j][c]
-        acc = F.lit(0.0)
-        for i in range(sub):
-            diff = F.element_at(u, j * sub + i + 1) - F.lit(float(cent[i]))
-            acc = acc + diff * diff
-        return acc
-
-    def argmin(j: int):
-        cands = F.array(
-            *[
-                F.struct(dist(j, c).alias("d"), F.lit(c).alias("c"))
-                for c in range(ksub)
-            ]
-        )
-        return F.element_at(F.array_sort(cands), 1)["c"]
-
-    return (
-        df.withColumn("__pq_unit", _unit(F.col(vec_col)))
-        .withColumn(out_col, F.array(*[argmin(j) for j in range(m)]))
-        .drop("__pq_unit")
-    )
+    return df.withColumn(out_col, enc(F.col(vec_col)))
 
 
 def pq_topk(

@@ -209,7 +209,11 @@ def merge_touched_buckets(
     buckets — ``buckets`` must be ≫ per-batch key count for pruning to
     bite.
 
-    Returns the touched bucket ids (post replay-guard; the publish scope).
+    Returns the bucket ids the DELTA touched (pre replay-guard — the
+    publish scope: a replay-skipped bucket's suggestions may still be
+    unpublished after a crash between state commit and publish, so the
+    publisher must cover it; publishing from current state is idempotent
+    either way). Callers therefore need no second bucket collect.
     """
     import os
 
@@ -219,7 +223,10 @@ def merge_touched_buckets(
     d = delta.select(
         *keys, F.col(freq_col).cast("long").alias(freq_col)
     ).withColumn("bucket", b)
-    touched = sorted(r.bucket for r in d.select("bucket").distinct().collect())
+    delta_touched = sorted(
+        r.bucket for r in d.select("bucket").distinct().collect()
+    )
+    touched = list(delta_touched)
     if not touched:
         return []
     cached = _read_bucket_dirs(spark, state_dir, touched)
@@ -242,7 +249,7 @@ def merge_touched_buckets(
             touched = [bk for bk in touched if bk not in skip]
             if not touched:
                 cached.unpersist()
-                return []
+                return delta_touched
             state = cached.where(~F.col("bucket").isin(skip))
         merged = merge_frequencies_join(
             state.select(*keys, freq_col), d.select(*keys, freq_col),
@@ -262,7 +269,7 @@ def merge_touched_buckets(
     finally:
         if cached is not None:
             cached.unpersist()
-    return touched
+    return delta_touched
 
 
 def merge_aggregates(

@@ -231,18 +231,14 @@ def run_autocomplete_stream(
         from batch_processing_pipeline_spark.plans.autocomplete import suggestions
 
         delta = prefix_frequencies(normalize_queries(batch_df))
-        merge_touched_buckets(
-            spark, delta, state_dir, batch_id, buckets=state_buckets
-        )
-        # Publish scope = the DELTA's full bucket set, NOT the merge's
-        # post-replay-guard return: after a crash between a partial state
-        # commit and the publish, a redelivery skips the already-stamped
-        # buckets in the merge — but their suggestions were never written,
-        # so excluding them would leave those partitions stale forever.
+        # merge_touched_buckets returns the DELTA's full bucket set (pre
+        # replay-guard) — exactly the publish scope: after a crash between
+        # a partial state commit and the publish, a redelivery skips the
+        # already-stamped buckets in the merge, but their suggestions were
+        # never written, so the publisher must still cover them.
         # Publishing from current state is idempotent either way.
-        b = state_bucket("prefix", state_buckets)
-        publish = sorted(
-            r.b for r in delta.select(b.alias("b")).distinct().collect()
+        publish = merge_touched_buckets(
+            spark, delta, state_dir, batch_id, buckets=state_buckets
         )
         if not publish:
             return
