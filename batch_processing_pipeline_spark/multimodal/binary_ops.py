@@ -190,9 +190,12 @@ def sample_frames(
     ``fake=False`` (default) REALLY decodes: animated GIFs are LZW-decoded
     (codecs.decode_gif) and ``n_frames`` evenly spaced decoded frames are
     emitted as full-canvas pixel buffers (``frame j = i·nf // n_frames``,
-    repeating frames when the animation is shorter than the sample); WAV
-    payloads yield evenly spaced windows of whole PCM sample blocks, so
-    frame boundaries never split a sample.
+    repeating frames when the animation is shorter than the sample); AVI
+    containers with uncompressed 24-bit DIB streams split into RGB frame
+    buffers the same way (codecs.decode_avi — a true RIFF container walk,
+    so the video-container path executes for real without native deps);
+    WAV payloads yield evenly spaced windows of whole PCM sample blocks,
+    so frame boundaries never split a sample.
     ``fake=True`` slices the raw bytes — codec-free stand-in for arbitrary
     payloads.
 
@@ -225,6 +228,10 @@ def sample_frames(
                     cuts = [data[i * step : (i + 1) * step] or b"\x00" for i in range(n_frames)]
                 elif codecs.is_gif(data):
                     _w, _h, decoded = codecs.decode_gif(data)
+                    nf = len(decoded)
+                    cuts = [decoded[i * nf // n_frames] for i in range(n_frames)]
+                elif codecs.is_avi(data):
+                    _w, _h, decoded = codecs.decode_avi(data)
                     nf = len(decoded)
                     cuts = [decoded[i * nf // n_frames] for i in range(n_frames)]
                 elif codecs.is_wav(data):
@@ -285,6 +292,35 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
                 px = (b * (need // len(b) + 1))[:need] if b else b"\x00" * need
                 ids.append(doc_id)
                 outs.append(codecs.encode_png(w, h, px, color_type=0))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select(id_col, text_col).mapInPandas(run, _SYNTH_SCHEMA)
+
+
+def synthesize_avi(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic uncompressed-DIB AVI payload per document (payload
+    generator for tests/oracles): ``width = len % 6 + 1``, ``height =
+    len % 4 + 1``, ``n_frames = len % 3 + 2``, frame ``i`` filled with the
+    constant byte ``(len*7 + i*13) % 251`` — every term reproducible in
+    ANSI SQL, so a differential oracle can pin the decoded frame stats.
+    Runs the real container encoder distributed; downstream decode
+    exercises a true RIFF walk + DIB frame decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = "" if text is None else str(text)
+                L = len(s)
+                w = L % 6 + 1
+                h = L % 4 + 1
+                nf = L % 3 + 2
+                frames = [
+                    bytes([(L * 7 + i * 13) % 251]) * (w * h * 3)
+                    for i in range(nf)
+                ]
+                ids.append(doc_id)
+                outs.append(codecs.encode_avi(w, h, frames, fps=4))
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
     return df.select(id_col, text_col).mapInPandas(run, _SYNTH_SCHEMA)

@@ -1,4 +1,5 @@
-"""Dependency-free media codecs: PNG, animated GIF, WAV PCM, and 24-bit BMP.
+"""Dependency-free media codecs: PNG, animated GIF, WAV PCM, 24-bit BMP,
+and uncompressed-DIB AVI.
 
 The container has no PIL/ffmpeg, but "the decode step is stubbed" is a
 weaker contract than the pipeline needs — so the two formats with pure
@@ -17,10 +18,16 @@ stdlib representations get REAL codecs:
   skipping; encoder emits the uncompressed-LZW construction. This is the
   "video" path: multi-frame decode + frame sampling run for real.
 
+* AVI: RIFF container walk (hdrl/strl/strf headers, movi frame chunks,
+  idx1) + uncompressed 24-bit DIB frame decode — a REAL video container
+  the frame sampler splits end-to-end; compressed streams (MJPEG/h264)
+  raise with the decoder-hook instructions.
+
 Everything here is per-row CPU work invoked from Arrow-batched
 ``mapInPandas`` kernels (multimodal/binary_ops.py) — the distributed plan
-never sees these internals. Modern video containers (mp4/webm) have no
-stdlib codec; their kernels raise with a clear message.
+never sees these internals. Compressed video (mp4/webm/MJPEG) has no
+stdlib codec; their kernels raise with a clear message and a pluggable
+``decoder`` hook takes an av/ffmpeg-backed callable in production.
 """
 
 from __future__ import annotations
@@ -501,3 +508,176 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             b, g, r = data[src + 3 * x : src + 3 * x + 3]
             out[base + 3 * x : base + 3 * x + 3] = bytes((r, g, b))
     return width, height, 3, bytes(out)
+
+
+# ----------------------------------------------------------------- AVI (RIFF)
+def is_avi(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _riff_subchunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF region.
+
+    RIFF chunks are [fourcc][u32 size][payload][pad-to-even]."""
+    pos = start
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise MediaFormatError(
+                f"RIFF chunk {tag!r} at {pos} overruns its parent "
+                f"({body + size} > {end})"
+            )
+        yield tag, body, size
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+
+
+def encode_avi(
+    width: int, height: int, frames: list[bytes], fps: int = 4
+) -> bytes:
+    """Minimal uncompressed-DIB AVI writer (fccHandler 'DIB ', 24-bit).
+
+    ``frames``: RGB top-down buffers of ``width*height*3`` bytes each (the
+    same convention as ``encode_bmp``/``decode_bmp``). Produces a
+    standards-shaped container — RIFF('AVI ') with hdrl(avih + strl(strh,
+    strf)), a movi LIST of '00db' keyframe chunks (stored bottom-up BGR
+    with rows padded to 4 bytes, the DIB convention), and an idx1 index —
+    that ffprobe/VLC recognize.  The point is a REAL container format the
+    frame-sampling kernel can split without native deps.
+    """
+    if not frames:
+        raise MediaFormatError("AVI needs at least one frame")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise MediaFormatError(
+                f"frame is {len(f)} bytes, expected {width * height * 3}"
+            )
+    row_pad = (-(width * 3)) % 4
+    stride = width * 3 + row_pad
+
+    def to_dib(rgb: bytes) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            base = y * width * 3
+            for x in range(width):
+                r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+                row += bytes((b, g, r))
+            row += b"\x00" * row_pad
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frame_size = stride * height
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,        # dwMicroSecPerFrame
+        frame_size * fps,        # dwMaxBytesPerSec
+        0,                       # dwPaddingGranularity
+        0x10,                    # AVIF_HASINDEX
+        len(frames),             # dwTotalFrames
+        0,                       # dwInitialFrames
+        1,                       # dwStreams
+        frame_size,              # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,              # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,              # flags, priority, language, initial
+        1, fps,                  # dwScale / dwRate = frame period
+        0, len(frames),          # start, length (frames)
+        frame_size, 0xFFFFFFFF,  # buffer size, quality (-1 = default)
+        0,                       # dwSampleSize (0: one sample per chunk)
+        0, 0, width & 0xFFFF, height & 0xFFFF,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"movi"
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00db" + struct.pack("<III", 0x10, len(movi_payload), frame_size)
+        movi_payload += chunk(b"00db", to_dib(f))
+    movi = chunk(b"LIST", movi_payload)
+    idx1 = chunk(b"idx1", idx)
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def decode_avi(data: bytes) -> tuple[int, int, list[bytes]]:
+    """→ (width, height, [RGB top-down frame bytes]). Uncompressed 24-bit
+    DIB streams only; compressed streams (MJPEG '00dc' etc.) raise with
+    the decoder-hook instructions — loud, never silently empty."""
+    if not is_avi(data):
+        raise MediaFormatError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+
+    width = height = None
+    bpp = compression = None
+    frames: list[bytes] = []
+
+    def walk(start: int, stop: int) -> None:
+        nonlocal width, height, bpp, compression
+        for tag, body, size in _riff_subchunks(data, start, stop):
+            if tag == b"LIST":
+                walk(body + 4, body + size)  # skip the list-kind fourcc
+            elif tag == b"strf" and width is None:
+                if size < 24:
+                    raise MediaFormatError(f"strf header too short ({size})")
+                _, width, height = struct.unpack_from("<Iii", data, body)
+                _, bpp = struct.unpack_from("<HH", data, body + 12)
+                (compression,) = struct.unpack_from("<I", data, body + 16)
+            elif tag[2:] in (b"db", b"dc") and size > 0:
+                frames.append(data[body : body + size])
+
+    walk(12, end)
+    if width is None:
+        raise MediaFormatError("AVI has no strf stream format header")
+    if bpp != 24 or compression != 0:
+        raise MediaFormatError(
+            f"unsupported AVI stream (bpp={bpp}, compression={compression:#x}):"
+            " only uncompressed 24-bit DIB decodes dependency-free — pass"
+            " decoder=<av/ffmpeg-backed callable> to sample_frames for"
+            " compressed containers"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise MediaFormatError(f"invalid AVI dimensions {width}x{height}")
+    stride = width * 3 + ((-(width * 3)) % 4)
+    out: list[bytes] = []
+    for fr in frames:
+        if stride * height > len(fr):
+            raise MediaFormatError(
+                f"AVI frame is {len(fr)} bytes, needs {stride * height}"
+            )
+        rgb = bytearray(width * height * 3)
+        for row_idx in range(height):
+            src = row_idx * stride
+            y = (height - 1 - row_idx) if bottom_up else row_idx
+            base = y * width * 3
+            for x in range(width):
+                b, g, r = fr[src + 3 * x : src + 3 * x + 3]
+                rgb[base + 3 * x : base + 3 * x + 3] = bytes((r, g, b))
+        out.append(bytes(rgb))
+    if not out:
+        raise MediaFormatError("AVI movi list contains no frames")
+    return width, height, out

@@ -2704,6 +2704,40 @@ ORACLES["mm_frames"] = """
 QUERIES["mm_frames"] = q_mm_frames
 
 
+def q_mm_video_avi(spark, sf):
+    """REAL video-CONTAINER frame sampling: synthesize an uncompressed-DIB
+    AVI per document (stdlib RIFF encoder; dims/frame count/fill derived
+    from text length), walk the container and decode frames inside
+    mapInPandas, sample 3 evenly spaced frames, and emit per-frame stats.
+    The AVI twin of ``mm_frames``'s GIF path — any RIFF-walk/DIB-decode/
+    sampling bug breaks the oracle match."""
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        frame_stats,
+        sample_frames,
+        synthesize_avi,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return frame_stats(sample_frames(synthesize_avi(d), n_frames=3, fake=False))
+
+
+ORACLES["mm_video_avi"] = """
+    WITH base AS (
+      SELECT doc_id, length(text) AS L FROM documents
+    ), f AS (
+      SELECT doc_id, L, unnest(range(0, 3)) AS frame_idx FROM base
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((L % 6 + 1) * (L % 4 + 1) * 3 AS BIGINT) AS frame_len,
+           CAST((L % 6 + 1) * (L % 4 + 1) * 3
+                * ((L * 7 + 13 * ((frame_idx * (L % 3 + 2)) // 3)) % 251)
+                AS BIGINT) AS pixel_sum
+    FROM f
+"""
+QUERIES["mm_video_avi"] = q_mm_video_avi
+
+
 def q_wow_growth(spark, sf):
     """Week-over-week growth per event type. Weeks are absolute epoch
     buckets (floor(epoch/604800)) — calendar-week functions disagree

@@ -448,6 +448,50 @@ def test_sample_frames_unknown_container_still_loud(spark):
         sample_frames(df, n_frames=2).collect()
 
 
+def test_avi_codec_roundtrip_and_rejections(spark):
+    """Uncompressed-DIB AVI: encode→decode is identity (incl. row padding
+    at widths not divisible by 4 and bottom-up BGR storage), and
+    compressed/malformed containers raise loudly."""
+    import struct
+
+    import pytest
+
+    from batch_processing_pipeline_spark.multimodal import codecs
+
+    frames = [bytes((i * 17 + p) % 256 for p in range(5 * 3 * 3)) for i in range(6)]
+    avi = codecs.encode_avi(5, 3, frames, fps=4)
+    assert codecs.is_avi(avi) and not codecs.is_wav(avi)
+    w, h, got = codecs.decode_avi(avi)
+    assert (w, h) == (5, 3) and got == frames
+
+    # flip the strf compression field to MJPEG → loud, hook-pointing error
+    mjpg = bytearray(avi)
+    off = avi.find(b"strf") + 8 + 16
+    struct.pack_into("<I", mjpg, off, 0x47504A4D)  # 'MJPG'
+    with pytest.raises(codecs.MediaFormatError, match="decoder="):
+        codecs.decode_avi(bytes(mjpg))
+    with pytest.raises(codecs.MediaFormatError, match="not an AVI"):
+        codecs.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_sample_frames_real_avi_container(spark):
+    """The video-container path runs FOR REAL: an AVI built by the stdlib
+    encoder is split by the distributed frame sampler into evenly spaced
+    decoded RGB frames — no PyAV, no fake slicing."""
+    from batch_processing_pipeline_spark.multimodal import codecs
+    from batch_processing_pipeline_spark.multimodal.binary_ops import sample_frames
+
+    frames = [bytes([i * 30] * (4 * 4 * 3)) for i in range(8)]
+    avi = codecs.encode_avi(4, 4, frames, fps=4)
+    df = spark.createDataFrame([(7, avi)], "doc_id long, content binary")
+    rows = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in sample_frames(df, n_frames=4).collect()
+    )
+    # frame j = i*8//4 → decoded frames 0, 2, 4, 6
+    assert [b for _, b in rows] == [frames[0], frames[2], frames[4], frames[6]]
+
+
 def test_sample_frames_with_av_real_video(spark):
     """Real-container path: runs only where PyAV is installed (not in this
     sandbox); proves the documented decoder wiring verbatim."""
