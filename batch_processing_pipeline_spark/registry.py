@@ -6870,3 +6870,177 @@ ORACLES["embedding_audit"] = f"""
     FROM stats CROSS JOIN tv
 """
 QUERIES["embedding_audit"] = q_embedding_audit
+
+
+def q_kcenter_coreset(spark, sf):
+    """k-center greedy coreset selection (Sener & Savarese 2018, "Active
+    Learning for Convolutional Neural Networks: A Core-Set Approach" —
+    the diversity-first data-selection strategy curation pipelines run
+    on embeddings): start from the lowest vec_id, then 7 rounds of "add
+    the point farthest from its nearest already-selected center".
+
+    Spark shape: the selected set is a driver list (k vectors — bounded
+    by construction), each round is ONE distributed job — a
+    min-over-selected distance per point (codegen fold over a k-vector
+    literal, same pattern as ivf.assign_cells) followed by a max-reduce;
+    the corpus never shuffles. Deterministic: distance ties break to the
+    lowest vec_id. Rows-only by declared design (an 8-round argmax chain
+    has no tractable SQL twin); the greedy invariant — every selected
+    point is the true farthest from its predecessors — is pinned in
+    tests/test_round4_queries.py.
+
+    Output: (rank, vec_id, dist_to_prev) — dist_to_prev is the point's
+    min squared L2 to the set selected before it (0 for the seed).
+    """
+    k = 8
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(0, int(seed.vec_id), 0.0)]
+    centers = [[float(x) for x in seed.embedding]]
+    for rank in range(1, k):
+        cent = F.lit(centers)
+        mind = F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda i: F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.element_at(cent, (i + F.lit(1)).cast("int")),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ),
+            )
+        )
+        far = (
+            e.where(~F.col("vec_id").isin([s[1] for s in selected]))
+            .select("vec_id", "embedding", mind.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rank, int(far.vec_id), float(far.d)))
+        centers.append([float(x) for x in far.embedding])
+    return spark.createDataFrame(
+        [(r, v, round(d, 4)) for r, v, d in selected],
+        "rank int, vec_id long, dist_to_prev double",
+    )
+
+
+ORACLES["kcenter_coreset"] = None
+QUERIES["kcenter_coreset"] = q_kcenter_coreset
+
+
+def q_dp_counts(spark, sf):
+    """Differentially-private release of per-type event counts: seeded
+    Laplace(b=2.0) noise via inverse-CDF sampling of a salted-md5
+    uniform — the ε=0.5 count release a privacy-aware telemetry pipeline
+    publishes. The noise is DETERMINISTIC given the salt (u derives from
+    md5('dp:'||event_type), engine-identical), so the oracle pins the
+    exact released values; swapping the salt for a secret random seed
+    gives the production mechanism unchanged.
+
+    noise = -b·sign(u-0.5)·ln(1-2|u-0.5|), u ∈ (0,1) from the first 8
+    hex chars of the salted digest. One partial-agg pass + scalar math.
+    """
+    b = 2.0
+    e = _events(spark, sf).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return e.select(
+        "event_type",
+        "true_n",
+        round4(noise).alias("noise"),
+        round4(F.col("true_n") + noise).alias("released_n"),
+    )
+
+
+ORACLES["dp_counts"] = f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY event_type
+    ), u AS (
+      SELECT event_type, true_n,
+             (CAST('0x' || substr(md5('dp:' || event_type), 1, 8) AS UBIGINT)
+              + 0.5) / 4294967296.0 AS u
+      FROM c
+    ), n AS (
+      SELECT event_type, true_n,
+             -2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+      FROM u
+    )
+    SELECT event_type, true_n, {R("noise")} AS noise,
+           {R("true_n + noise")} AS released_n
+    FROM n
+"""
+QUERIES["dp_counts"] = q_dp_counts
+
+
+def q_ab_welch(spark, sf):
+    """Welch's two-sample t-test between every event-type pair's value
+    distributions — the A/B-test readout an experimentation pipeline
+    computes per metric. Per pair: t = (m1-m2)/sqrt(s1²/n1 + s2²/n2),
+    Welch–Satterthwaite df. One partial-agg pass produces the 5-row
+    (type, n, mean, var) relation; the pair join is 5×5 driver-trivial
+    at any corpus size (per-type moments are the only thing that
+    shuffles — the 100-TB shape).
+    """
+    m = _events(spark, sf).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va"),
+    )
+    bdf = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    dfree = (se2 * se2) / (
+        (F.col("va") / F.col("na")) * (F.col("va") / F.col("na")) / (F.col("na") - 1)
+        + (F.col("vb") / F.col("nb")) * (F.col("vb") / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return (
+        a.crossJoin(bdf)
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            round4((F.col("ma") - F.col("mb")) / F.sqrt(se2)).alias("t_stat"),
+            round4(dfree).alias("df"),
+        )
+    )
+
+
+ORACLES["ab_welch"] = f"""
+    WITH m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS mu, VAR_SAMP(value) AS v
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           {R("(a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n)")} AS t_stat,
+           {R("((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)) / "
+              "((a.v / a.n) * (a.v / a.n) / (a.n - 1)"
+              " + (b.v / b.n) * (b.v / b.n) / (b.n - 1))")} AS df
+    FROM m a CROSS JOIN m b
+    WHERE a.event_type < b.event_type
+"""
+QUERIES["ab_welch"] = q_ab_welch

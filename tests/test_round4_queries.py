@@ -118,6 +118,51 @@ def test_psi_zero_for_identical_and_positive_for_shifted(spark):
     assert psi > 0.2
 
 
+def test_kcenter_greedy_invariant(spark):
+    """Each selected point is the TRUE farthest-from-selected point at its
+    round (brute-force check), distances are non-increasing, and the seed
+    is the lowest vec_id."""
+    rows = sorted(
+        QUERIES["kcenter_coreset"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.rank,
+    )
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    assert rows[0].vec_id == min(emb) and rows[0].dist_to_prev == 0.0
+    dists = [r.dist_to_prev for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    chosen = [rows[0].vec_id]
+    for r in rows[1:]:
+        best = max(
+            ((min(d2(emb[v], emb[c]) for c in chosen), -v), v)
+            for v in emb
+            if v not in chosen
+        )
+        assert best[1] == r.vec_id, (r.rank, best[1], r.vec_id)
+        assert abs(best[0][0] - r.dist_to_prev) < 5e-4
+        chosen.append(r.vec_id)
+
+
+def test_dp_counts_noise_properties(spark):
+    """Released counts = true + Laplace(b=2) noise; noise is deterministic
+    across runs and type-dependent (salted), and |noise| stays within the
+    1e-9 quantile bound of Laplace(2) (≈ 40)."""
+    a = {r.event_type: r for r in QUERIES["dp_counts"](spark, SF_SMOKE).collect()}
+    b = {r.event_type: r for r in QUERIES["dp_counts"](spark, SF_SMOKE).collect()}
+    assert len(a) == 5
+    for t, r in a.items():
+        assert abs(r.released_n - (r.true_n + r.noise)) < 2e-4
+        assert abs(r.noise) < 40.0
+        assert r.noise == b[t].noise
+    assert len({r.noise for r in a.values()}) == 5  # salted per type
+
+
 def test_embedding_audit_invariants(spark):
     """64 rows, var shares sum to ~1, and no dead/biased dimensions in
     the fixture; a planted constant dimension reports std 0."""
