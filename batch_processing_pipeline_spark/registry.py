@@ -6632,10 +6632,13 @@ def q_semdedup(spark, sf):
     ONLY within clusters, so cost is sum over clusters of |c|² instead of
     n²; at 100 TB you raise k so |c| stays bounded and the per-cluster
     pair join is an equi-join on cluster id. Dots/norms use the bulk
-    posexplode + partial-agg form (no interpreted array lambdas on the
-    corpus side); cosines round4 BEFORE the threshold so partial-sum
-    order cannot flip a boundary pair (same contract as
-    decontaminate_embedding).
+    posexplode + partial-agg form; the one-round ASSIGNMENT deliberately
+    uses ivf.assign_cells' fixed-order fold (interpreted HOF — the only
+    form whose IEEE addition order the oracle can replicate exactly;
+    kmeans_assign makes the same trade) — at corpus scale swap it for
+    ivf.assign_cells_bulk and accept ulp-level assignment drift. Cosines
+    round4 BEFORE the threshold so partial-sum order cannot flip a
+    boundary pair (same contract as decontaminate_embedding).
     """
     from batch_processing_pipeline_spark.operators.ivf import assign_cells
 
