@@ -7047,3 +7047,81 @@ ORACLES["ab_welch"] = f"""
     WHERE a.event_type < b.event_type
 """
 QUERIES["ab_welch"] = q_ab_welch
+
+
+def q_recursive_cte(spark, sf):
+    """Recursive CTE (Spark 4.1 `WITH RECURSIVE`) — BFS reachability with
+    hop counts over the supplier co-shipment graph (suppliers sharing an
+    order), seeded at the minimum suppkey, depth ≤ 3. Each recursion
+    level is a DISTINCT frontier join (level size ≤ |suppliers| — the
+    working-table semantics both engines share — so UNION ALL recursion
+    cannot blow up into path enumeration); min(hops) per node collapses
+    the levels. The iterative-graph-traversal surface as a single SQL
+    statement — the driver-looped twin is operators/components.py.
+    """
+    for t in ("lineitem",):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE reach(s, hops) AS (
+      SELECT (SELECT MIN(l_suppkey) FROM lineitem) AS s, 0 AS hops
+      UNION ALL
+      SELECT DISTINCT e.s2 AS s, r.hops + 1 AS hops
+      FROM reach r
+      JOIN (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      ) e ON e.s1 = r.s
+      WHERE r.hops < 3
+    )
+    SELECT s AS suppkey, CAST(MIN(hops) AS INT) AS min_hops
+    FROM reach GROUP BY s
+"""
+
+ORACLES["recursive_cte"] = _RECURSIVE_CTE_SQL
+QUERIES["recursive_cte"] = q_recursive_cte
+
+
+def q_session_vars(spark, sf):
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 scripting
+    surface): compute a per-run threshold into a session variable
+    (1.5 × avg order total), then run a parameterized statement through
+    EXECUTE IMMEDIATE ... USING — the templated-report shape that avoids
+    string-splicing values into SQL (injection-safe, plan-cache
+    friendly). The oracle inlines the same two-step computation
+    statically.
+    """
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE bpps_thresh DOUBLE"
+    )
+    spark.sql(
+        "SET VAR bpps_thresh = (SELECT 1.5 * AVG(o_totalprice) FROM orders)"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_big,
+                  CAST(SUM(CASE WHEN o_orderstatus = ''F'' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_big_finished
+           FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
+          USING bpps_thresh
+        """
+    )
+
+
+ORACLES["session_vars"] = """
+    WITH t AS (SELECT 1.5 * AVG(o_totalprice) AS thresh FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big_finished
+    FROM orders, t WHERE o_totalprice > t.thresh
+    GROUP BY o_orderpriority
+"""
+QUERIES["session_vars"] = q_session_vars
