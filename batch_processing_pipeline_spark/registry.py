@@ -7125,3 +7125,62 @@ ORACLES["session_vars"] = """
     GROUP BY o_orderpriority
 """
 QUERIES["session_vars"] = q_session_vars
+
+
+def q_arrow_grouped(spark, sf):
+    """``applyInArrow`` grouped-map surface (Spark 4): per-event-type 10%
+    trimmed mean of value — a robust statistic Spark has no native
+    aggregate for, computed Arrow-native (zero pandas conversion; the
+    group ships as a pyarrow Table). Trim contract, replicated exactly by
+    the oracle: sort by (value, event_id), drop floor(n/10) rows from
+    each end, average the rest.
+
+    Scale note: like GROUPED_MAP pandas UDFs, each group ships whole to
+    one worker — right for bounded per-group payloads (5 types here);
+    for billion-row groups reformulate on approx_percentile bounds.
+    """
+    import pyarrow as pa
+
+    def trimmed(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            t, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
+        )
+        vals = pc.take(t.column("value"), idx)
+        n = len(vals)
+        k = n // 10
+        kept = vals.slice(k, n - 2 * k)
+        mean = pc.mean(kept).as_py() if len(kept) else None
+        return pa.table(
+            {
+                "event_type": pa.array([t.column("event_type")[0].as_py()]),
+                "n_kept": pa.array([len(kept)], pa.int64()),
+                "trimmed_mean": pa.array(
+                    [None if mean is None else round(mean, 4)], pa.float64()
+                ),
+            }
+        )
+
+    e = _events(spark, sf).select("event_type", "event_id", "value")
+    return e.groupBy("event_type").applyInArrow(
+        trimmed, "event_type string, n_kept long, trimmed_mean double"
+    )
+
+
+ORACLES["arrow_grouped"] = f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           {R("AVG(value)")} AS trimmed_mean
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+"""
+QUERIES["arrow_grouped"] = q_arrow_grouped

@@ -30,8 +30,15 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _HOUR_RE = re.compile(r"^(\d{4}-\d{2}-\d{2}-\d{2})\.txt$")
 
@@ -73,8 +80,84 @@ class QueryLogReader(DataSourceReader):
                 yield (line.rstrip("\n"), partition.hour)
 
 
+class HourPartsCommit(WriterCommitMessage):
+    """(hour → staged part file) pairs produced by one write task."""
+
+    def __init__(self, parts: list[tuple[str, str]]):
+        self.parts = parts
+
+
+class QueryLogWriter(DataSourceWriter):
+    """Distributed write of the hourly layout with a driver-side commit.
+
+    The full two-phase protocol the V2 write API exists for:
+
+    * ``write`` (executor, per partition): rows bucket by hour into
+      STAGED part files ``.staging-<runid>/<hour>.part-<uuid>`` — tasks
+      never touch the final ``<hour>.txt`` names, so a failed/ speculative
+      task leaves no partial final file (the staging dir is the
+      write-ahead area; on an object store this is the multipart-upload
+      equivalent).
+    * ``commit`` (driver, once, only after every task succeeded):
+      concatenates each hour's staged parts (sorted by part name —
+      deterministic assembly) into the final ``<hour>.txt`` the READER
+      half of this source consumes, then drops staging.
+    * ``abort``: removes staging; final layout is untouched.
+
+    Rows may carry any mix of hours in any partition — tasks writing the
+    same hour stage distinct part files, the commit merges them. Callers
+    wanting one part per hour repartition by ``hour`` first.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("querylog sink requires .option('path', <dir>)")
+        self.staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator) -> HourPartsCommit:
+        os.makedirs(self.staging, exist_ok=True)
+        handles: dict[str, tuple[str, object]] = {}
+        for row in iterator:
+            hour = row.hour
+            if hour is None or not re.match(r"^\d{4}-\d{2}-\d{2}-\d{2}$", hour):
+                raise ValueError(f"bad hour value {hour!r} (want YYYY-MM-DD-HH)")
+            if hour not in handles:
+                part = os.path.join(
+                    self.staging, f"{hour}.part-{uuid.uuid4().hex[:12]}"
+                )
+                handles[hour] = (part, open(part, "w", encoding="utf-8"))
+            handles[hour][1].write((row.value or "") + "\n")
+        for _, fh in handles.values():
+            fh.close()
+        return HourPartsCommit([(h, p) for h, (p, _) in handles.items()])
+
+    def commit(self, messages) -> None:
+        by_hour: dict[str, list[str]] = {}
+        for m in messages:
+            for hour, part in m.parts:
+                by_hour.setdefault(hour, []).append(part)
+        for hour, parts in by_hour.items():
+            final = os.path.join(self.root, f"{hour}.txt")
+            tmp = final + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as out:
+                for part in sorted(parts):
+                    with open(part, encoding="utf-8") as f:
+                        out.write(f.read())
+            os.replace(tmp, final)  # atomic per-hour finalize
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class QueryLogDataSource(DataSource):
-    """``format("querylog")`` — hourly query-log files as (value, hour)."""
+    """``format("querylog")`` — hourly query-log files as (value, hour),
+    readable AND writable (two-phase staged commit)."""
 
     @classmethod
     def name(cls) -> str:
@@ -85,3 +168,6 @@ class QueryLogDataSource(DataSource):
 
     def reader(self, schema) -> QueryLogReader:
         return QueryLogReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> QueryLogWriter:
+        return QueryLogWriter(self.options)

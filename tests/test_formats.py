@@ -103,6 +103,54 @@ def test_python_datasource_querylog_reads_hourly_files(spark, tmp_path):
     assert {r.value for r in windowed.collect()} == {"gamma", "delta"}
 
 
+def test_querylog_writer_round_trip(spark, tmp_path):
+    """The WRITE half of the custom DataSource: distributed tasks stage
+    per-hour part files, the driver commit assembles the final
+    <hour>.txt layout atomically — then the READER half reads back
+    exactly what was written (full custom-connector loop)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.sources.pyds import QueryLogDataSource
+
+    spark.dataSource.register(QueryLogDataSource)
+    out = tmp_path / "out"
+    out.mkdir()
+    rows = [
+        ("alpha", "2025-01-01-00"),
+        ("beta", "2025-01-01-00"),
+        ("gamma", "2025-01-01-01"),
+        ("delta", "2025-01-01-02"),
+        ("epsilon", "2025-01-01-02"),
+    ]
+    df = spark.createDataFrame(rows, "value string, hour string").repartition(3)
+    df.write.format("querylog").option("path", str(out)).mode("append").save()
+
+    files = sorted(p for p in os.listdir(out) if not p.startswith("."))
+    assert files == [
+        "2025-01-01-00.txt", "2025-01-01-01.txt", "2025-01-01-02.txt"
+    ]
+    # no staging residue
+    assert not [p for p in os.listdir(out) if p.startswith(".staging")]
+
+    back = spark.read.format("querylog").option("path", str(out)).load()
+    assert {(r.value, r.hour) for r in back.collect()} == set(rows)
+
+    # a bad hour value fails the job loudly and leaves no final files
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    bad = spark.createDataFrame([("x", "not-an-hour")], "value string, hour string")
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="bad hour"):
+        bad.write.format("querylog").option("path", str(bad_dir)).mode(
+            "append"
+        ).save()
+    assert not [p for p in os.listdir(bad_dir) if p.endswith(".txt")]
+
+
 def test_merge_schema_evolution_read(spark, tmp_path):
     """Schema evolution across batches: a later batch adds a column; a
     mergeSchema read unifies both (older rows NULL-filled), and the

@@ -278,3 +278,39 @@ def test_autocomplete_stream_bucketed_state(spark, tmp_path):
         for r in read_bucketed_state(spark, state_dir).collect()
     }
     assert freq3 == freq2, "replayed batches must not double-count"
+
+
+def test_statestore_reader_observability(spark, tmp_path):
+    """Spark's state-store reader (`format("statestore")`) reads a
+    streaming aggregation's checkpointed operator state as a plain
+    DataFrame — the debugging/observability surface for "what does my
+    stateful query currently believe". Pinned here: the stored counts
+    equal the stream's true grouped counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("x\ny\nx\nz\nx\n")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .groupBy("value")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ss_obs")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(F.col("key.value").alias("k"), F.col("value.count").alias("n"))
+    )
+    got = {r.k: r.n for r in state.collect()}
+    assert got == {"x": 3, "y": 1, "z": 1}
