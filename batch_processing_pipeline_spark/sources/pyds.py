@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -78,6 +79,62 @@ class QueryLogReader(DataSourceReader):
         with open(partition.path, encoding="utf-8") as f:
             for line in f:
                 yield (line.rstrip("\n"), partition.hour)
+
+
+class QueryLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the hourly-log source (Spark 4
+    ``simpleStreamReader`` API): the offset is the SET of hour files
+    already ingested, so newly-arriving hourly files — including LATE
+    ones that sort before already-seen hours — each appear in exactly one
+    micro-batch. ``readBetweenOffsets`` replays a committed batch
+    deterministically from its offset pair (end − start), which is what
+    makes checkpoint recovery exactly-once downstream.
+
+    Offset size is bounded by the retention window of the layout (24
+    names/day); a production variant compacts the set to
+    (watermark_hour, stragglers) once files outside the lateness horizon
+    stop arriving.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("querylog stream requires .option('path', <dir>)")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _hours_on_disk(self) -> list[str]:
+        return sorted(
+            m.group(1)
+            for m in (_HOUR_RE.match(n) for n in os.listdir(self.root))
+            if m
+        )
+
+    def _rows_for(self, hours: list[str]):
+        # returns a LIST iterator, not a generator: Spark's prefetch
+        # cache copy.copy()s the entry iterator for replay, which
+        # generators don't support (and a micro-batch's hour files are
+        # bounded, so materializing is safe)
+        rows = []
+        for hour in hours:
+            path = os.path.join(self.root, f"{hour}.txt")
+            with open(path, encoding="utf-8") as f:
+                rows.extend((line.rstrip("\n"), hour) for line in f)
+        return iter(rows)
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [h for h in self._hours_on_disk() if h not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows_for(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return self._rows_for(delta)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side to ack
 
 
 class HourPartsCommit(WriterCommitMessage):
@@ -171,3 +228,6 @@ class QueryLogDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> QueryLogWriter:
         return QueryLogWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> QueryLogStreamReader:
+        return QueryLogStreamReader(self.options)

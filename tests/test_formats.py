@@ -151,6 +151,56 @@ def test_querylog_writer_round_trip(spark, tmp_path):
     assert not [p for p in os.listdir(bad_dir) if p.endswith(".txt")]
 
 
+def test_querylog_stream_reader_incremental(spark, tmp_path):
+    """Streaming half of the custom DataSource: each availableNow run
+    ingests only hour files not in the checkpointed offset — including a
+    LATE file sorting before already-seen hours — so arrivals land in
+    exactly one micro-batch across restarts."""
+    from batch_processing_pipeline_spark.sources.pyds import QueryLogDataSource
+
+    spark.dataSource.register(QueryLogDataSource)
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "2025-01-01-01.txt").write_text("a\nb\n")
+    (logs / "2025-01-01-02.txt").write_text("c\n")
+    ckpt = str(tmp_path / "ckpt")
+    out_rows = []
+
+    def sink(df, batch_id):
+        out_rows.extend((r.value, r.hour) for r in df.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("querylog")
+            .option("path", str(logs))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(out_rows) == [
+        ("a", "2025-01-01-01"), ("b", "2025-01-01-01"), ("c", "2025-01-01-02")
+    ]
+
+    # a NEW hour and a LATE hour (sorts before the seen ones) arrive
+    (logs / "2025-01-01-03.txt").write_text("d\n")
+    (logs / "2025-01-01-00.txt").write_text("late\n")
+    out_rows.clear()
+    run_once()
+    assert sorted(out_rows) == [
+        ("d", "2025-01-01-03"), ("late", "2025-01-01-00")
+    ]
+
+    # nothing new → empty batch, no re-ingestion
+    out_rows.clear()
+    run_once()
+    assert out_rows == []
+
+
 def test_merge_schema_evolution_read(spark, tmp_path):
     """Schema evolution across batches: a later batch adds a column; a
     mergeSchema read unifies both (older rows NULL-filled), and the
