@@ -7184,3 +7184,119 @@ ORACLES["arrow_grouped"] = f"""
     GROUP BY event_type
 """
 QUERIES["arrow_grouped"] = q_arrow_grouped
+
+
+def q_xml_funcs(spark, sf):
+    """XML ingestion surface (Spark 4 `from_xml` + `xpath_*`): synthesize
+    an XML record per order from its columns, then parse it back through
+    BOTH the schema'd `from_xml` path and the ad-hoc `xpath` path. The
+    oracle computes the expected fields directly from the base columns —
+    the synth→parse round trip must be the identity, so any
+    escaping/typing/parsing bug breaks the match. (Deterministic synth:
+    only well-formed machine-built XML, no entities.)"""
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 500)
+    xml = F.concat(
+        F.lit("<order><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total_cents>"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.lit("</total_cents></order>"),
+    )
+    parsed = o.select(
+        F.col("o_orderkey"), xml.alias("x")
+    ).select(
+        "o_orderkey",
+        F.from_xml(F.col("x"), "k BIGINT, status STRING, total_cents BIGINT").alias("v"),
+        F.expr("xpath_string(x, '/order/status')").alias("xp_status"),
+        F.expr("CAST(xpath_long(x, '/order/k') AS BIGINT)").alias("xp_k"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("v.k").alias("k"),
+        F.col("v.status").alias("status"),
+        F.col("v.total_cents").alias("total_cents"),
+        "xp_status",
+        "xp_k",
+    )
+
+
+ORACLES["xml_funcs"] = """
+    SELECT o_orderkey,
+           o_orderkey AS k,
+           o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           o_orderstatus AS xp_status,
+           o_orderkey AS xp_k
+    FROM orders WHERE o_orderkey < 500
+"""
+QUERIES["xml_funcs"] = q_xml_funcs
+
+
+def q_collation_group(spark, sf):
+    """Engine-level collation surface (Spark 4 `COLLATE UNICODE_CI`):
+    case-insensitive grouping WITHOUT a lower() rewrite — the collation
+    travels with the column, so the optimizer sees the real key. Mixed
+    case is planted deterministically (odd doc_ids upper-case their
+    source label); the oracle reproduces the semantics with lower()
+    (identical for this ASCII domain). Output: case-insensitive source
+    groups with counts and the distinct raw spellings seen."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("src_raw"),
+    )
+    d.createOrReplaceTempView("bpps_collate_docs")
+    return spark.sql(
+        """
+        SELECT CAST(src_raw COLLATE UNICODE_CI AS STRING) AS src_ci,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT src_raw COLLATE UTF8_BINARY) AS BIGINT)
+                   AS n_spellings
+        FROM bpps_collate_docs
+        GROUP BY src_raw COLLATE UNICODE_CI
+        """
+    ).select(F.lower("src_ci").alias("src_ci"), "n", "n_spellings")
+
+
+ORACLES["collation_group"] = """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END AS src_raw
+      FROM documents
+    )
+    SELECT lower(src_raw) AS src_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT src_raw) AS BIGINT) AS n_spellings
+    FROM d GROUP BY lower(src_raw)
+"""
+QUERIES["collation_group"] = q_collation_group
+
+
+def q_approx_topk_types(spark, sf):
+    """Built-in heavy-hitter sketch (Spark 4.1 `approx_top_k`): top event
+    types with counts from ONE sketch aggregate — the engine-native twin
+    of the hand-built count-min path (``cms_topk``). Exercised in its
+    EXACT regime (k = the full type cardinality, maxItemsTracked ≫
+    distinct items), where the sketch's counts are exact and
+    oracle-checkable; production uses k ≪ cardinality and accepts the
+    sketch bound, same plan shape."""
+    _events(spark, sf).select("event_type").createOrReplaceTempView(
+        "bpps_atk_events"
+    )
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+        FROM (
+          SELECT explode(approx_top_k(event_type, 5, 10000)) AS t
+          FROM bpps_atk_events
+        )
+        """
+    )
+
+
+ORACLES["approx_topk_types"] = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+"""
+QUERIES["approx_topk_types"] = q_approx_topk_types
