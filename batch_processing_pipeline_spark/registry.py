@@ -7300,3 +7300,46 @@ ORACLES["approx_topk_types"] = """
     FROM events GROUP BY event_type
 """
 QUERIES["approx_topk_types"] = q_approx_topk_types
+
+
+def q_sim_topk_filtered(spark, sf):
+    """FILTERED vector search — exact cosine top-5 restricted to
+    candidates whose joined document has lang='en' — the
+    metadata-predicate + ANN combination every production vector store
+    exposes. Strategy here is PRE-filter (restrict the corpus, then
+    score): the right plan when the predicate is selective, because the
+    scan and the scoring both shrink; a POST-filter (score top-k', then
+    filter and hope k survive) undercounts when the predicate correlates
+    with similarity. The metadata join runs BEFORE scoring — a semi-join
+    on the id, so vectors never widen with document columns.
+    """
+    emb = _t(spark, sf, "embeddings")
+    en_docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(en_docs, "vec_id", "left_semi")
+    return cosine_topk(emb.where(F.col("vec_id") < 5), corpus, k=5).select(
+        "query_id", "rk", "neighbor_id", round4(F.col("cosine")).alias("cosine")
+    )
+
+
+ORACLES["sim_topk_filtered"] = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {R(_COS)} AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'en'
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cosine
+FROM ranked WHERE rk <= 5
+"""
+QUERIES["sim_topk_filtered"] = q_sim_topk_filtered
