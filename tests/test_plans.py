@@ -219,3 +219,42 @@ def test_no_registry_query_uses_row_at_a_time_python(spark, sf_dir):
     # a missing fixture dir would otherwise swallow every plan build and
     # green-light zero coverage
     assert built >= 150, f"only {built} plans built"
+
+
+def _plan_of(spark, sf_dir, name):
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_semdedup_plan_shape(spark, sf_dir):
+    """semdedup: the cluster assignment must broadcast into the
+    dim-exploded corpus, and the within-cluster pair join must be an
+    equi-join — never a CartesianProduct (the all-pairs failure mode the
+    operator exists to avoid)."""
+    plan = _plan_of(spark, sf_dir, "semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sim_topk_filtered_plan_shape(spark, sf_dir):
+    """Filtered vector search: the metadata predicate must apply as a
+    LeftSemi join BEFORE scoring (pre-filter strategy), and no document
+    payload column may ride into the scoring relation."""
+    plan = _plan_of(spark, sf_dir, "sim_topk_filtered")
+    assert "LeftSemi" in plan
+    assert "text" not in plan  # only the id crosses the metadata join
+
+
+def test_embedding_audit_single_wide_pass(spark, sf_dir):
+    """embedding_audit: one partial-aggregated exchange for the per-dim
+    stats; the total-variance side enters as a broadcast."""
+    plan = _plan_of(spark, sf_dir, "embedding_audit")
+    assert "partial_avg" in plan or "partial" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
