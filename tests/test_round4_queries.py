@@ -170,3 +170,99 @@ def test_embedding_audit_invariants(spark):
     assert len(rows) == 64
     assert abs(sum(r.var_share for r in rows) - 1.0) < 5e-3
     assert all(r.dim_std > 0 for r in rows)
+
+
+def test_recursive_cte_matches_driver_loop_bfs(spark):
+    """Two independent traversal implementations must agree: the
+    WITH RECURSIVE SQL BFS vs a python BFS over the same co-shipment
+    edge set (hop counts per reachable supplier, depth <= 3)."""
+    rows = QUERIES["recursive_cte"](spark, SF_SMOKE).collect()
+    got = {r.suppkey: r.min_hops for r in rows}
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    adj: dict[int, set] = {}
+    for supps in by_order.values():
+        for a in supps:
+            for b in supps:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    seed = min(s for supps in by_order.values() for s in supps)
+    dist = {seed: 0}
+    frontier = [seed]
+    for hop in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == dist
+
+
+def test_ab_welch_antisymmetry_and_scale(spark):
+    """t(a,b) must equal -t(b,a) (pinned by recomputing from the moments)
+    and df must lie between min(n)-1 and n1+n2-2 (Welch bounds)."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["ab_welch"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2)
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    m = {
+        r.event_type: (r.n, r.m, r.v)
+        for r in e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        ).collect()
+    }
+    import math
+
+    for r in rows:
+        na, ma, va = m[r.type_a]
+        nb, mb, vb = m[r.type_b]
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        assert abs(r.t_stat - round(t, 4)) < 5e-4
+        assert min(na, nb) - 1 <= r.df <= na + nb - 2
+
+
+def test_sim_topk_filtered_respects_predicate(spark):
+    """Every returned neighbor must satisfy the metadata predicate
+    (lang='en'), and per query the neighbors must be the TRUE top-5 among
+    the filtered candidates (cross-checked against the unfiltered exact
+    ranking restricted to 'en' ids)."""
+    rows = QUERIES["sim_topk_filtered"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    en = {r.doc_id for r in docs if r.lang == "en"}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id in en, r
+        by_q.setdefault(r.query_id, []).append(r)
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    for q, got in by_q.items():
+        got.sort(key=lambda r: r.rk)
+        truth = sorted(
+            ((round(cos(emb[q], emb[c]), 4), -c), c)
+            for c in en
+            if c != q and c in emb
+        )[::-1][:5]
+        assert [r.neighbor_id for r in got] == [c for _, c in truth], q
