@@ -7343,3 +7343,73 @@ SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cosine
 FROM ranked WHERE rk <= 5
 """
 QUERIES["sim_topk_filtered"] = q_sim_topk_filtered
+
+
+def q_continuous_aggregate(spark, sf):
+    """Continuous aggregate (the TimescaleDB/hypertable rollup pattern):
+    an hourly per-type rollup is MATERIALIZED for the closed past (here:
+    days < 25, written to a parquet store and read back — a real
+    materialization, not a plan alias) and the open tail (days ≥ 25)
+    aggregates on the fly at query time; the serving view is the union.
+    The oracle recomputes the whole rollup from raw events, so the
+    pinned contract is exactly the one continuous aggregates must hold:
+    materialized + fresh-tail == full recompute (no boundary bucket is
+    ever split — the refresh watermark lands on a bucket edge).
+
+    Scale shape: the materialized store is refreshed incrementally (the
+    merge_aggregates machinery), queries scan rollup rows for history
+    and only the tail's raw events — query cost stops growing with
+    retained history.
+    """
+    import atexit
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    e = _events(spark, sf).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        "value",
+        F.to_date("ts").alias("_day"),
+    )
+    cutoff = F.lit("2024-01-25").cast("date")
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round4(F.sum("value")).alias("sum_v"),
+    ]
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = f"{app}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}"
+    store = f"/tmp/bpps_cagg/{tag}"
+    if store not in _SMB_CLEANUP_DIRS:
+        _SMB_CLEANUP_DIRS.add(store)
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (
+            e.where(F.col("_day") < cutoff)
+            .groupBy("event_type", "hour_bucket")
+            .agg(*agg_cols)
+            .write.mode("overwrite")
+            .parquet(store)
+        )
+    mat = spark.read.parquet(store)
+    tail = (
+        e.where(F.col("_day") >= cutoff)
+        .groupBy("event_type", "hour_bucket")
+        .agg(*agg_cols)
+    )
+    return mat.unionByName(tail).select(
+        "event_type", F.col("hour_bucket").cast("timestamp").alias("hour_bucket"),
+        "n", "sum_v",
+    )
+
+
+ORACLES["continuous_aggregate"] = f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R("SUM(value)")} AS sum_v
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+"""
+QUERIES["continuous_aggregate"] = q_continuous_aggregate
