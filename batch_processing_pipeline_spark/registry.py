@@ -7413,3 +7413,79 @@ ORACLES["continuous_aggregate"] = f"""
     GROUP BY event_type, date_trunc('hour', ts)
 """
 QUERIES["continuous_aggregate"] = q_continuous_aggregate
+
+
+def q_pretrain_pipeline(spark, sf):
+    """The composed LLM pretraining-data curation funnel
+    (plans/pretrain.py): quality rules → lang filter → exact dedup →
+    exact near-dup dedup (prefix-filtered Jaccard ≥ 0.9, keep-first) →
+    benchmark decontamination, with per-stage survivor accounting. The
+    oracle re-derives every stage from raw documents, so the whole
+    funnel — including the ORDER contract between stages — is
+    hash-pinned end to end."""
+    from batch_processing_pipeline_spark.plans.pretrain import pretrain_pipeline
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    return pretrain_pipeline(spark, d)
+
+
+ORACLES["pretrain_pipeline"] = r"""
+    WITH corpus AS (
+      SELECT doc_id, lower(trim(text)) AS t, lang
+      FROM documents WHERE doc_id % 97 <> 0
+    ), toks AS (
+      SELECT doc_id, t, lang, regexp_split_to_array(t, '\s+') AS tk
+      FROM corpus
+    ), q AS (
+      SELECT doc_id, t, lang FROM toks
+      WHERE len(tk) >= 20 AND len(tk) <= 10000
+        AND (CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE)) >= 3.0
+        AND (CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE)) <= 10.0
+        AND len(list_intersect(tk, ['the', 'a', 'of'])) > 0
+    ), l AS (
+      SELECT doc_id, t FROM q WHERE lang = 'en'
+    ), ed AS (
+      SELECT doc_id, t FROM l
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM l GROUP BY md5(t))
+    ), sets AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(t, '\s+')) AS tokens
+      FROM ed WHERE length(t) > 0
+    ), sized AS (
+      SELECT doc_id, tokens, len(tokens) AS n FROM sets WHERE len(tokens) > 0
+    ), nd_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.tokens, b.tokens))) >= 0.9
+    ), nd AS (
+      SELECT doc_id, t FROM ed WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
+    ), bench AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, length(lower(trim(text))) - 22),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 24))) AS g
+      FROM documents
+      WHERE doc_id % 97 = 0 AND length(lower(trim(text))) >= 24
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, length(t) - 22),
+                 i -> substr(t, CAST(i AS INTEGER), 24))) AS g
+        FROM nd WHERE length(t) >= 24
+      ) WHERE g IN (SELECT g FROM bench)
+    ), final AS (
+      SELECT doc_id FROM nd
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'corpus' AS stage,
+             CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'quality', (SELECT COUNT(*) FROM q)
+      UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM l)
+      UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ed)
+      UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM nd)
+      UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM final)
+    )
+"""
+QUERIES["pretrain_pipeline"] = q_pretrain_pipeline
