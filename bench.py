@@ -90,6 +90,7 @@ HEADLINE = [
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
     # regression in the components loop gets caught here, not at 100 TB
     "text_fingerprint",
+    "pretrain_pipeline",
     "pagerank",
     "sim_topk_pq",
     "dedup_clusters",
