@@ -7489,3 +7489,63 @@ ORACLES["pretrain_pipeline"] = r"""
     )
 """
 QUERIES["pretrain_pipeline"] = q_pretrain_pipeline
+
+
+def q_cdc_apply(spark, sf):
+    """CDC changelog APPLY with delete semantics — the Debezium-edge
+    operation the reference's MySQL→Kafka→Redis topology performs
+    downstream (SURVEY §2.2 CDC fan-out): given an ordered I/U/D change
+    stream per key, materialize the current snapshot — a key exists iff
+    its LATEST operation is not a delete, with the latest values.
+
+    The changelog derives deterministically from events (op =
+    I/U/D by event_id % 5 ∈ {0}/{1,2,3}/{4} — ~20% deletes), versioned by
+    the same packed (epoch, event_id) BIGINT as latest_per_key. One
+    ``max_by`` hash aggregate (map-side combining, no window sort) +
+    a filter on the winning op — the scale-right shape: only one
+    candidate row per key per partition ever shuffles.
+    """
+    e = _events(spark, sf)
+    op = (
+        F.when(F.col("event_id") % 5 == 0, "I")
+        .when(F.col("event_id") % 5 == 4, "D")
+        .otherwise("U")
+    )
+    ver = (
+        F.floor(F.unix_timestamp("ts")) * F.lit(10_000_000) + F.col("event_id")
+    ).cast("long")
+    log = e.select("user_id", op.alias("op"), ver.alias("ver"), "value")
+    snap = log.groupBy("user_id").agg(
+        F.max("ver").alias("last_ver"),
+        F.max_by("op", F.col("ver")).alias("last_op"),
+        round4(F.max_by(F.col("value"), F.col("ver"))).alias("last_value"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias(
+            "n_deletes"
+        ),
+    )
+    return snap.where(F.col("last_op") != "D").select(
+        "user_id", "last_ver", "last_value", "n_deletes"
+    )
+
+
+ORACLES["cdc_apply"] = f"""
+    WITH log AS (
+      SELECT user_id,
+             CASE WHEN event_id % 5 = 0 THEN 'I'
+                  WHEN event_id % 5 = 4 THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS ver,
+             value
+      FROM events
+    ), snap AS (
+      SELECT user_id,
+             MAX(ver) AS last_ver,
+             arg_max(op, ver) AS last_op,
+             {R("arg_max(value, ver)")} AS last_value,
+             CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_deletes
+      FROM log GROUP BY user_id
+    )
+    SELECT user_id, last_ver, last_value, n_deletes
+    FROM snap WHERE last_op <> 'D'
+"""
+QUERIES["cdc_apply"] = q_cdc_apply
