@@ -548,6 +548,8 @@ def encode_avi(
     """
     if not frames:
         raise MediaFormatError("AVI needs at least one frame")
+    if fps <= 0:
+        raise MediaFormatError(f"fps must be positive (got {fps})")
     for f in frames:
         if len(f) != width * height * 3:
             raise MediaFormatError(

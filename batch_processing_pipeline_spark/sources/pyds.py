@@ -179,6 +179,13 @@ class QueryLogWriter(DataSourceWriter):
             hour = row.hour
             if hour is None or not re.match(r"^\d{4}-\d{2}-\d{2}-\d{2}$", hour):
                 raise ValueError(f"bad hour value {hour!r} (want YYYY-MM-DD-HH)")
+            if row.value is not None and "\n" in row.value:
+                # the layout is line-oriented: an embedded newline would
+                # silently split one record into two on read-back
+                raise ValueError(
+                    f"value for hour {hour} contains a newline — "
+                    "line-oriented layout cannot represent it"
+                )
             if hour not in handles:
                 part = os.path.join(
                     self.staging, f"{hour}.part-{uuid.uuid4().hex[:12]}"
