@@ -266,3 +266,52 @@ def test_sim_topk_filtered_respects_predicate(spark):
             if c != q and c in emb
         )[::-1][:5]
         assert [r.neighbor_id for r in got] == [c for _, c in truth], q
+
+
+def test_cdc_apply_delete_semantics(spark):
+    """A key whose LATEST op is a delete must be absent from the
+    snapshot; every present key's last_ver must be its true max version
+    and must not correspond to a delete (recomputed brute-force)."""
+    rows = QUERIES["cdc_apply"](spark, SF_SMOKE).collect()
+    got = {r.user_id: r for r in rows}
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    ).collect()
+    latest: dict[int, tuple] = {}
+    for r in e:
+        ver = int(r.ts.timestamp()) * 10_000_000 + r.event_id
+        if r.user_id not in latest or ver > latest[r.user_id][0]:
+            op = "I" if r.event_id % 5 == 0 else ("D" if r.event_id % 5 == 4 else "U")
+            latest[r.user_id] = (ver, op)
+    for uid, (ver, op) in latest.items():
+        if op == "D":
+            assert uid not in got, uid
+        else:
+            assert uid in got and got[uid].last_ver == ver, uid
+    assert got  # non-vacuous
+
+
+def test_pretrain_pipeline_funnel_monotone(spark):
+    """The funnel is monotone non-increasing stage to stage, every stage
+    is present exactly once, and the quality stage matches
+    curation_rules' keep count on the same corpus slice."""
+    rows = sorted(
+        QUERIES["pretrain_pipeline"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "corpus", "quality", "lang_en", "exact_dedup", "near_dedup",
+        "decontaminated",
+    ]
+    ns = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns
+    assert ns[-1] > 0
+
+    keep = {
+        r.doc_id
+        for r in QUERIES["curation_rules"](spark, SF_SMOKE).collect()
+        if r.keep
+    }
+    corpus_kept = len([d for d in keep if d % 97 != 0])
+    assert ns[1] == corpus_kept
