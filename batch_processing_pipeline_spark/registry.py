@@ -7549,3 +7549,346 @@ ORACLES["cdc_apply"] = f"""
     FROM snap WHERE last_op <> 'D'
 """
 QUERIES["cdc_apply"] = q_cdc_apply
+
+
+# --------------------------------------------------------------------------
+# Round-4 session-2 additions: sequence + nonparametric-statistics surface.
+# Reference parity: the reference's single job (IncrementalAutocomplete.java)
+# has no statistics surface; these extend the engine the way its README's
+# "analytics on query logs" charter implies — activity streaks, distribution
+# drift tests, autocorrelation, corpus-law fits — all as declarative plans.
+# --------------------------------------------------------------------------
+
+
+def q_gap_islands(spark, sf):
+    """Gap-and-islands: per-user consecutive-active-day streaks from the
+    events log. Classic row_number-difference formulation — day_num minus
+    the per-user row_number is constant within one unbroken run, so one
+    sort per user key (a single hash-partitioned window, no self-join)
+    finds every island. Output: each user's longest streak, its start day,
+    and how many distinct streaks they had; ties on length break to the
+    earliest start. Scales: all windows are partitioned by user_id."""
+    e = _events(spark, sf)
+    active = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_num"),
+        )
+        .distinct()
+    )
+    w_user = Window.partitionBy("user_id").orderBy("day_num")
+    isl = active.withColumn(
+        "grp", F.col("day_num") - F.row_number().over(w_user)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day_num").alias("start_day"),
+    )
+    w_cnt = Window.partitionBy("user_id")
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.withColumn("n_streaks", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("streak_len").cast("long").alias("longest_streak"),
+            F.col("start_day").cast("long").alias("start_day"),
+            F.col("n_streaks").cast("long").alias("n_streaks"),
+        )
+    )
+
+
+ORACLES["gap_islands"] = """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_num
+      FROM events
+    ), isl AS (
+      SELECT user_id, day_num,
+             day_num - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day_num) AS grp
+      FROM active
+    ), streaks AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS streak_len,
+             MIN(day_num) AS start_day
+      FROM isl GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, streak_len, start_day,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_len DESC, start_day ASC) AS rn
+      FROM streaks
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           streak_len AS longest_streak,
+           CAST(start_day AS BIGINT) AS start_day,
+           n_streaks
+    FROM best WHERE rn = 1
+"""
+QUERIES["gap_islands"] = q_gap_islands
+
+
+def q_ks_test(spark, sf):
+    """Two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of click vs purchase events. Scale shape: group by the
+    VALUE first (the window then runs over distinct values, not rows), so
+    the cumulative-ECDF window's input is bounded by value cardinality;
+    the two totals ride along as windowed sums instead of a collect.
+    D = max |F_a(v) - F_b(v)| over the pooled support."""
+    e = _events(spark, sf).where(F.col("event_type").isin("click", "purchase"))
+    per_v = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("nb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = per_v.select(
+        F.sum("na").over(w_cum).alias("ca"),
+        F.sum("nb").over(w_cum).alias("cb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    return cum.agg(
+        F.max("ta").cast("long").alias("n_click"),
+        F.max("tb").cast("long").alias("n_purchase"),
+        round4(F.max(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")))).alias(
+            "ks_d"
+        ),
+    )
+
+
+ORACLES["ks_test"] = f"""
+    WITH per_v AS (
+      SELECT value AS v,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), cum AS (
+      SELECT SUM(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(na) OVER () AS ta,
+             SUM(nb) OVER () AS tb
+      FROM per_v
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_click,
+           CAST(MAX(tb) AS BIGINT) AS n_purchase,
+           {R("MAX(ABS(ca / ta - cb / tb))")} AS ks_d
+    FROM cum
+"""
+QUERIES["ks_test"] = q_ks_test
+
+
+def q_mannwhitney_u(spark, sf):
+    """Mann-Whitney U rank-sum test (click vs purchase `value`), with
+    midrank tie handling and the tie-corrected normal approximation.
+    Same scale shape as ks_test: ranks are derived from a cumulative
+    window over DISTINCT values (midrank = run start + (run len + 1)/2),
+    never a global per-row sort, so the window input is value-cardinality
+    bounded. Output: group sizes, U for the click side, tie-corrected z."""
+    e = _events(spark, sf).where(F.col("event_type").isin("click", "purchase"))
+    per_v = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na_v"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.select(
+        "cnt",
+        "na_v",
+        (
+            (F.sum("cnt").over(w_cum) - F.col("cnt")).cast("double")
+            + (F.col("cnt").cast("double") + 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum("na_v").cast("double").alias("na"),
+        F.sum(F.col("na_v").cast("double") * F.col("avg_rank")).alias("sr_a"),
+        F.sum(
+            F.pow(F.col("cnt").cast("double"), F.lit(3.0))
+            - F.col("cnt").cast("double")
+        ).alias("ties"),
+    )
+    nb = F.col("n") - F.col("na")
+    u = F.col("sr_a") - F.col("na") * (F.col("na") + 1.0) / 2.0
+    mu = F.col("na") * nb / 2.0
+    sigma2 = (
+        F.col("na")
+        * nb
+        / 12.0
+        * ((F.col("n") + 1.0) - F.col("ties") / (F.col("n") * (F.col("n") - 1.0)))
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_click"),
+        nb.cast("long").alias("n_purchase"),
+        round4(u).alias("u_stat"),
+        round4((u - mu) / F.sqrt(sigma2)).alias("z_score"),
+    )
+
+
+ORACLES["mannwhitney_u"] = f"""
+    WITH per_v AS (
+      SELECT value AS v, COUNT(*) AS cnt,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na_v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), ranked AS (
+      SELECT cnt, na_v,
+             CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS avg_rank
+      FROM per_v
+    ), agg AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+             CAST(SUM(na_v) AS DOUBLE) AS na,
+             SUM(CAST(na_v AS DOUBLE) * avg_rank) AS sr_a,
+             SUM(POW(CAST(cnt AS DOUBLE), 3.0) - CAST(cnt AS DOUBLE)) AS ties
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_click,
+           CAST(n - na AS BIGINT) AS n_purchase,
+           {R("sr_a - na * (na + 1.0) / 2.0")} AS u_stat,
+           {R("(sr_a - na * (na + 1.0) / 2.0 - na * (n - na) / 2.0) / "
+              "SQRT(na * (n - na) / 12.0 * "
+              "((n + 1.0) - ties / (n * (n - 1.0))))")} AS z_score
+    FROM agg
+"""
+QUERIES["mannwhitney_u"] = q_mannwhitney_u
+
+
+def q_acf_daily(spark, sf):
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the standard biased estimator r_k = sum_t (x_t - x̄)(x_{t+k} - x̄) /
+    sum_t (x_t - x̄)². The raw log collapses to one row per day before
+    anything else runs, so the lag self-join and the mean broadcast touch
+    a series-length relation (30 rows here, ~36.5k rows even for a century
+    of days) — the 100-TB cost is the first groupBy, which is a plain
+    partial-aggregated count."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_num")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    stats = daily.agg(
+        F.avg("x").alias("xbar"),
+        F.sum(F.pow(F.col("x"), F.lit(2.0))).alias("sxx_raw"),
+        F.count(F.lit(1)).cast("double").alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day_num", (F.col("x") - F.col("xbar")).alias("d"), "xbar", "n_days"
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("denom"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        dev.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            dev.alias("b"),
+            F.col("b.day_num") == F.col("a.day_num") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("a.d") * F.col("b.d")).alias("num"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(denom))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            round4(F.col("num") / F.col("denom")).alias("acf"),
+        )
+    )
+
+
+ORACLES["acf_daily"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT AVG(x) AS xbar FROM daily
+    ), dev AS (
+      SELECT day_num, x - (SELECT xbar FROM stats) AS d FROM daily
+    ), denom AS (
+      SELECT SUM(d * d) AS denom FROM dev
+    ), lags AS (
+      SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag
+    )
+    SELECT CAST(l.lag AS BIGINT) AS lag,
+           {R("SUM(a.d * b.d) / (SELECT denom FROM denom)")} AS acf
+    FROM lags l
+    JOIN dev a ON TRUE
+    JOIN dev b ON b.day_num = a.day_num + l.lag
+    GROUP BY l.lag
+"""
+QUERIES["acf_daily"] = q_acf_daily
+
+
+def q_zipf_fit(spark, sf):
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency) on
+    ln(rank) — slope near -1 is the natural-text signature, a flat or
+    bimodal fit flags templated/synthetic corpora (a standard pretrain
+    curation diagnostic). Tokenize on the literal single space (the
+    portable split — regex whitespace classes drift between engines),
+    rank with a deterministic (count DESC, word ASC) tie-break, and
+    reduce the log-log cloud to the five OLS sums in one aggregate.
+    The only global window runs over the DISTINCT vocabulary."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        F.explode(F.split("text", " ", -1)).alias("w")
+    ).where(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    pts = freq.select(
+        F.log(F.row_number().over(w_rank).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vxy = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("m").cast("long").alias("n_types"),
+        round4(vxy / vxx).alias("slope"),
+        round4((F.col("sy") - (vxy / vxx) * F.col("sx")) / F.col("m")).alias(
+            "intercept"
+        ),
+        round4(vxy * vxy / (vxx * vyy)).alias("r2"),
+    )
+
+
+ORACLES["zipf_fit"] = f"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY w
+    ), pts AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM freq
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_types,
+           {R("(m * sxy - sx * sy) / (m * sxx - sx * sx)")} AS slope,
+           {R("(sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m")}
+               AS intercept,
+           {R("(m * sxy - sx * sy) * (m * sxy - sx * sy) / "
+              "((m * sxx - sx * sx) * (m * syy - sy * sy))")} AS r2
+    FROM agg
+"""
+QUERIES["zipf_fit"] = q_zipf_fit
