@@ -7892,3 +7892,404 @@ ORACLES["zipf_fit"] = f"""
     FROM agg
 """
 QUERIES["zipf_fit"] = q_zipf_fit
+
+
+# --------------------------------------------------------------------------
+# Survival / market-basket / information-theory / robust-regression surface.
+# Same charter extension as the statistics batch above: classic analytics a
+# query-log engine is asked for, each expressed as one declarative plan with
+# cardinality-bounded global windows and a DuckDB oracle twin.
+# --------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark, sf):
+    """Kaplan-Meier product-limit estimator of time-to-first-purchase with
+    a 7-day administrative censoring window (the standard "conversion
+    within the attribution window" survival curve). Per-user durations
+    collapse the raw log first (one groupBy), the risk-set recursion runs
+    over DISTINCT observed durations (<= 8 rows regardless of data size),
+    and the product-limit is exp(sum(ln(1 - d/n))) with an explicit
+    zero-factor guard so engines agree when the last risk set empties."""
+    tau = 7
+    e = _events(spark, sf)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("dp"),
+    )
+    dur = per_user.select(
+        F.when(
+            F.col("dp").isNotNull()
+            & (F.datediff("dp", "d0") <= tau),
+            F.datediff("dp", "d0"),
+        )
+        .otherwise(F.lit(tau))
+        .alias("t"),
+        F.when(
+            F.col("dp").isNotNull() & (F.datediff("dp", "d0") <= tau), 1
+        )
+        .otherwise(0)
+        .alias("event"),
+    )
+    grp = dur.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).alias("c"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    risk = grp.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_tot)
+            - F.sum(F.col("d") + F.col("c")).over(w_cum)
+            + F.col("d")
+            + F.col("c")
+        ).alias("n_risk"),
+    )
+    factor = 1.0 - F.col("d").cast("double") / F.col("n_risk").cast("double")
+    surv = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.max(F.when(factor <= 0.0, 1).otherwise(0)).over(w_cum).alias("hit0"),
+        F.sum(F.log(F.when(factor > 0.0, factor).otherwise(F.lit(1.0)))).over(
+            w_cum
+        ).alias("lnS"),
+    )
+    return surv.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        round4(
+            F.when(F.col("hit0") == 1, F.lit(0.0)).otherwise(F.exp("lnS"))
+        ).alias("km_survival"),
+    )
+
+
+ORACLES["kaplan_meier"] = f"""
+    WITH per_user AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS dp
+      FROM events GROUP BY user_id
+    ), dur AS (
+      SELECT CASE WHEN dp IS NOT NULL AND dp - d0 <= 7
+                  THEN CAST(dp - d0 AS BIGINT) ELSE 7 END AS t,
+             CASE WHEN dp IS NOT NULL AND dp - d0 <= 7 THEN 1 ELSE 0 END
+               AS event
+      FROM per_user
+    ), grp AS (
+      SELECT t, SUM(event) AS d, SUM(1 - event) AS c FROM dur GROUP BY t
+    ), risk AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER () - SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d + c
+               AS n_risk
+      FROM grp
+    ), surv AS (
+      SELECT t, d, c, n_risk,
+             MAX(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_risk <= 0.0
+                      THEN 1 ELSE 0 END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit0,
+             SUM(ln(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_risk > 0.0
+                         THEN 1.0 - CAST(d AS DOUBLE) / n_risk
+                         ELSE 1.0 END)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnS
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           {R("CASE WHEN hit0 = 1 THEN 0.0 ELSE EXP(lnS) END")} AS km_survival
+    FROM surv
+"""
+QUERIES["kaplan_meier"] = q_kaplan_meier
+
+
+def q_basket_lift(spark, sf):
+    """Market-basket association rules over order baskets: support,
+    confidence, and lift for co-purchased part pairs, top-20 by lift with
+    a deterministic tie-break. The pair generation is a within-order
+    self-join on the DISTINCT (order, part) relation — candidate count is
+    bounded by sum(basket_width²), never |parts|² — and the margins join
+    back on plain equi-keys; only the final bounded top-20 sorts
+    globally. min pair count 2 drops the rare-pair lift explosion."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= 2)
+    )
+    scored = (
+        pairs.join(item.withColumnRenamed("p", "pa").withColumnRenamed("cnt", "ca"), "pa")
+        .join(item.withColumnRenamed("p", "pb").withColumnRenamed("cnt", "cb"), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("pa").cast("long").alias("pa"),
+            F.col("pb").cast("long").alias("pb"),
+            F.col("pair_n").cast("long").alias("pair_n"),
+            round4(F.col("pair_n") / F.col("n_orders")).alias("support"),
+            round4(F.col("pair_n") / F.col("ca")).alias("confidence"),
+            round4(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(20)
+
+
+ORACLES["basket_lift"] = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_o AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+    ), item AS (
+      SELECT l_partkey AS p, COUNT(*) AS cnt FROM li GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS pair_n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+           CAST(pair_n AS BIGINT) AS pair_n,
+           {R("pair_n / (SELECT CAST(n_orders AS DOUBLE) FROM n_o)")}
+             AS support,
+           {R("pair_n / CAST(ia.cnt AS DOUBLE)")} AS confidence,
+           {R("CAST(pair_n AS DOUBLE) * (SELECT n_orders FROM n_o) / "
+              "(CAST(ia.cnt AS DOUBLE) * ib.cnt)")} AS lift
+    FROM pairs
+    JOIN item ia ON ia.p = pa
+    JOIN item ib ON ib.p = pb
+    ORDER BY lift DESC, pa ASC, pb ASC
+    LIMIT 20
+"""
+QUERIES["basket_lift"] = q_basket_lift
+
+
+def q_pareto_abc(spark, sf):
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    net revenue, take the cumulative revenue share (deterministic
+    revenue-desc, partkey-asc order), and bucket A (first 80% of
+    revenue), B (to 95%), C (tail); report each class's size, revenue,
+    and share. The global cumulative window runs over the per-part
+    aggregate — dimension-sized, not fact-sized; the fact-table pass is
+    one partial-aggregated groupBy."""
+    li = _t(spark, sf, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), F.col("p").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    classed = rev.select(
+        "p",
+        "revenue",
+        (
+            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot)
+        ).alias("cum_share"),
+    ).select(
+        "p",
+        "revenue",
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    tot = rev.agg(F.sum("revenue").alias("tot"))
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("revenue").alias("_rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            round4(F.col("_rev")).alias("class_revenue"),
+            round4(F.col("_rev") / F.col("tot")).alias("revenue_share"),
+        )
+    )
+
+
+ORACLES["pareto_abc"] = f"""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+      FROM lineitem GROUP BY 1
+    ), classed AS (
+      SELECT p, revenue,
+             CASE WHEN SUM(revenue) OVER (ORDER BY revenue DESC, p ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    / SUM(revenue) OVER () <= 0.80 THEN 'A'
+                  WHEN SUM(revenue) OVER (ORDER BY revenue DESC, p ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    / SUM(revenue) OVER () <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM rev
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {R("SUM(revenue)")} AS class_revenue,
+           {R("SUM(revenue) / (SELECT SUM(revenue) FROM rev)")}
+             AS revenue_share
+    FROM classed GROUP BY abc_class
+"""
+QUERIES["pareto_abc"] = q_pareto_abc
+
+
+def q_mutual_info(spark, sf):
+    """Mutual information (nats) between event_type and day-of-week,
+    with marginal entropies and the normalized MI — the standard
+    dependence audit between two categoricals. All probability terms are
+    windowed sums over the JOINT aggregate (<= |X|·|Y| rows), so after
+    the one fact-table groupBy everything is dimension-sized. Day-of-week
+    is epoch-day mod 7 (portable across engines; no locale/WEEKDAY
+    semantics)."""
+    e = _events(spark, sf)
+    joint = e.groupBy(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01")) % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    w_x = Window.partitionBy("event_type")
+    w_y = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    terms = joint.select(
+        "nxy",
+        F.sum("nxy").over(w_x).alias("nx"),
+        F.sum("nxy").over(w_y).alias("ny"),
+        F.sum("nxy").over(w_all).alias("n"),
+    )
+    p = F.col("nxy") / F.col("n")
+    px = F.col("nx") / F.col("n")
+    py = F.col("ny") / F.col("n")
+    agg = terms.agg(
+        F.sum(p * F.log(p / (px * py))).alias("mi"),
+        F.sum(-p * F.log(px)).alias("_hx_terms"),
+        F.sum(-p * F.log(py)).alias("_hy_terms"),
+    )
+    return agg.select(
+        round4(F.col("mi")).alias("mi_nats"),
+        round4(F.col("_hx_terms")).alias("h_event_type"),
+        round4(F.col("_hy_terms")).alias("h_dow"),
+        round4(
+            F.col("mi") / F.sqrt(F.col("_hx_terms") * F.col("_hy_terms"))
+        ).alias("nmi"),
+    )
+
+
+ORACLES["mutual_info"] = f"""
+    WITH joint AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) % 7 AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS nxy
+      FROM events GROUP BY 1, 2
+    ), terms AS (
+      SELECT nxy,
+             SUM(nxy) OVER (PARTITION BY event_type) AS nx,
+             SUM(nxy) OVER (PARTITION BY dow) AS ny,
+             SUM(nxy) OVER () AS n
+      FROM joint
+    ), agg AS (
+      SELECT SUM(nxy / n * ln((nxy / n) / ((nx / n) * (ny / n)))) AS mi,
+             SUM(-(nxy / n) * ln(nx / n)) AS hx,
+             SUM(-(nxy / n) * ln(ny / n)) AS hy
+      FROM terms
+    )
+    SELECT {R("mi")} AS mi_nats,
+           {R("hx")} AS h_event_type,
+           {R("hy")} AS h_dow,
+           {R("mi / SQRT(hx * hy)")} AS nmi
+    FROM agg
+"""
+QUERIES["mutual_info"] = q_mutual_info
+
+
+def q_theil_sen(spark, sf):
+    """Theil-Sen robust trend estimate of the daily event-count series:
+    the median of all pairwise slopes, with the median-residual
+    intercept. The raw log collapses to one row per day first, so the
+    pairwise self-join is series-length-bounded (O(365²/2) pairs even
+    for a year of days — a dimension-scale relation), never fact-sized;
+    both medians are exact interpolated percentiles."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope")
+    )
+    med_slope = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("m"),
+    )
+    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+        "n_pairs",
+        "m",
+        (F.col("x") - F.col("m") * F.col("d")).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.percentile("r", F.lit(0.5)).alias("_b"),
+    ).select(
+        "n_days",
+        "n_pairs",
+        round4(F.col("m")).alias("slope"),
+        round4(F.col("_b")).alias("intercept"),
+    )
+
+
+ORACLES["theil_sen"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), slopes AS (
+      SELECT (b.x - a.x) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    ), ms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_cont(slope, 0.5) AS m
+      FROM slopes
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           (SELECT n_pairs FROM ms) AS n_pairs,
+           {R("(SELECT m FROM ms)")} AS slope,
+           {R("quantile_cont(x - (SELECT m FROM ms) * d, 0.5)")} AS intercept
+    FROM daily
+"""
+QUERIES["theil_sen"] = q_theil_sen
