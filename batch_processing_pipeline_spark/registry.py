@@ -1832,9 +1832,13 @@ QUERIES["window_frames"] = q_window_frames
 def q_regexp_extract_all(spark, sf):
     """regexp_extract_all: every digit run per document as array<string>."""
     d = _t(spark, sf, "documents")
+    # nums is projected via to_json: the driver's pandas canonicalizer
+    # cannot sort/hash list cells, and JSON round-trips to the oracle
     return d.select(
         "doc_id",
-        F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), 0).alias("nums"),
+        F.to_json(F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), 0)).alias(
+            "nums"
+        ),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), 0))
         .cast("long")
         .alias("n_nums"),
@@ -1843,7 +1847,7 @@ def q_regexp_extract_all(spark, sf):
 
 ORACLES["regexp_extract_all"] = r"""
     SELECT doc_id,
-           regexp_extract_all(text, '\d+', 0) AS nums,
+           CAST(to_json(regexp_extract_all(text, '\d+', 0)) AS VARCHAR) AS nums,
            CAST(length(regexp_extract_all(text, '\d+', 0)) AS BIGINT) AS n_nums
     FROM documents
 """
@@ -3577,7 +3581,7 @@ ORACLES["bpe_merge_candidates"] = r"""
       SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n
       FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM words)
     ), counts AS (
-      SELECT pair, SUM(n) AS cnt FROM pairs GROUP BY pair
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM pairs GROUP BY pair
     )
     SELECT CAST(rk AS INTEGER) AS rk, pair, cnt FROM (
       SELECT pair, cnt,
@@ -4303,7 +4307,7 @@ def q_sql_pipe(spark, sf):
 
 ORACLES["sql_pipe"] = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS total_fl
+           CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS total_fl
     FROM orders
     WHERE o_totalprice > CAST(1000.0 AS DOUBLE)
     GROUP BY o_orderstatus, o_orderpriority
@@ -4338,7 +4342,7 @@ def q_lateral_join(spark, sf):
 
 
 ORACLES["lateral_join"] = """
-    SELECT c.c_custkey, l.n_orders, CAST(l.best_fl AS DOUBLE) AS best_fl
+    SELECT c.c_custkey, l.n_orders, CAST(l.best_fl AS BIGINT) AS best_fl
     FROM customer c,
     LATERAL (
       SELECT COUNT(*) AS n_orders, MAX(FLOOR(o.o_totalprice)) AS best_fl
@@ -4400,7 +4404,7 @@ def q_param_sql(spark, sf):
 
 ORACLES["param_sql"] = """
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS total_fl
+           CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS total_fl
     FROM orders
     WHERE o_totalprice BETWEEN CAST(500.0 AS DOUBLE) AND CAST(2000.0 AS DOUBLE)
       AND o_orderpriority <> '1-URGENT'
@@ -4482,7 +4486,7 @@ ORACLES["bitwise_funcs"] = """
            bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER)) AS seen_mask,
            bit_and((CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER)) + 1) AS and_mask,
            bit_xor(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER)) AS xor_mask,
-           SUM(bit_count(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER))) AS total_bits
+           CAST(SUM(bit_count(CAST(1 AS BIGINT) << CAST(o_orderkey % 7 AS INTEGER))) AS BIGINT) AS total_bits
     FROM orders
     GROUP BY o_orderstatus
 """
@@ -5147,7 +5151,8 @@ ORACLES["tokenizer_fertility"] = f"""
       FROM documents
       WHERE length(trim(text)) > 0
     )
-    SELECT lang, SUM(ws) AS ws_tokens, SUM(bpe) AS bpe_tokens,
+    SELECT lang, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
            {R("CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)")} AS fertility
     FROM t GROUP BY lang
 """
@@ -6141,9 +6146,18 @@ def q_inverted_index(spark, sf):
     # no broadcast hint: the vocabulary relation grows with Heaps' law at
     # corpus scale (typos, URLs, numbers) — let the planner pick broadcast
     # while it fits and fall back to a shuffle join when it doesn't
+    # positions is projected as a JSON string: the driver's pandas
+    # canonicalizer cannot sort/hash list cells (r4 harness error), and
+    # the JSON form is portable to the DuckDB oracle via to_json
     return (
         postings.join(df_counts.where(F.col("df") <= n_docs * 0.9), "word")
-        .select("word", "doc_id", "positions", "tf", "df")
+        .select(
+            "word",
+            "doc_id",
+            F.to_json(F.col("positions")).alias("positions"),
+            "tf",
+            "df",
+        )
     )
 
 
@@ -6167,7 +6181,9 @@ ORACLES["inverted_index"] = """
       SELECT COUNT(DISTINCT doc_id) AS n_docs
       FROM documents WHERE length(lower(trim(text))) > 0
     )
-    SELECT p.word, p.doc_id, p.positions, p.tf, d.df
+    SELECT p.word, p.doc_id,
+           CAST(to_json(p.positions) AS VARCHAR) AS positions,
+           p.tf, d.df
     FROM postings p JOIN dfc d USING (word) CROSS JOIN n
     WHERE d.df <= n.n_docs * 0.9
 """
@@ -6465,7 +6481,7 @@ ORACLES["chi2_independence"] = f"""
     SELECT {R("SUM((o - exp) * (o - exp) / exp)")} AS chi2,
            CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1)
                 AS BIGINT) AS dof,
-           SUM(o) AS n_events
+           CAST(SUM(o) AS BIGINT) AS n_events
     FROM cells
 """
 QUERIES["chi2_independence"] = q_chi2_independence
@@ -6609,9 +6625,9 @@ ORACLES["cumulative_reach"] = """
       FROM first_seen GROUP BY first_day
     )
     SELECT first_day AS day, new_users,
-           SUM(new_users) OVER (ORDER BY first_day
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cumulative_users
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cumulative_users
     FROM per_day
 """
 QUERIES["cumulative_reach"] = q_cumulative_reach
@@ -7639,8 +7655,17 @@ def q_ks_test(spark, sf):
     VALUE first (the window then runs over distinct values, not rows), so
     the cumulative-ECDF window's input is bounded by value cardinality;
     the two totals ride along as windowed sums instead of a collect.
-    D = max |F_a(v) - F_b(v)| over the pooled support."""
-    e = _events(spark, sf).where(F.col("event_type").isin("click", "purchase"))
+    D = max |F_a(v) - F_b(v)| over the pooled support.
+
+    NULL values are filtered on both sides (Spark windows sort NULLS
+    FIRST ascending, DuckDB NULLS LAST — an unguarded NULL row would
+    shift the running ECDF differently per engine), and the final ratio
+    is guarded so an empty group yields NULL in both engines instead of
+    Spark-NULL-vs-DuckDB-NaN."""
+    e = _events(spark, sf).where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
     per_v = e.groupBy(F.col("value").alias("v")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("nb"),
@@ -7656,9 +7681,14 @@ def q_ks_test(spark, sf):
     return cum.agg(
         F.max("ta").cast("long").alias("n_click"),
         F.max("tb").cast("long").alias("n_purchase"),
-        round4(F.max(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")))).alias(
-            "ks_d"
-        ),
+        round4(
+            F.max(
+                F.when(
+                    (F.col("ta") > 0) & (F.col("tb") > 0),
+                    F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")),
+                )
+            )
+        ).alias("ks_d"),
     )
 
 
@@ -7668,6 +7698,7 @@ ORACLES["ks_test"] = f"""
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
       FROM events WHERE event_type IN ('click', 'purchase')
+        AND value IS NOT NULL
       GROUP BY value
     ), cum AS (
       SELECT SUM(na) OVER (ORDER BY v
@@ -7680,7 +7711,8 @@ ORACLES["ks_test"] = f"""
     )
     SELECT CAST(MAX(ta) AS BIGINT) AS n_click,
            CAST(MAX(tb) AS BIGINT) AS n_purchase,
-           {R("MAX(ABS(ca / ta - cb / tb))")} AS ks_d
+           {R("MAX(CASE WHEN ta > 0 AND tb > 0 "
+              "THEN ABS(ca / ta - cb / tb) END)")} AS ks_d
     FROM cum
 """
 QUERIES["ks_test"] = q_ks_test
@@ -7692,8 +7724,15 @@ def q_mannwhitney_u(spark, sf):
     Same scale shape as ks_test: ranks are derived from a cumulative
     window over DISTINCT values (midrank = run start + (run len + 1)/2),
     never a global per-row sort, so the window input is value-cardinality
-    bounded. Output: group sizes, U for the click side, tie-corrected z."""
-    e = _events(spark, sf).where(F.col("event_type").isin("click", "purchase"))
+    bounded. Output: group sizes, U for the click side, tie-corrected z.
+
+    NULL values filtered on both sides (engine NULL-ordering divergence,
+    see ks_test) and the z denominator guarded so sigma2 = 0 (all values
+    tied, or an empty group) yields NULL in both engines."""
+    e = _events(spark, sf).where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
     per_v = e.groupBy(F.col("value").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na_v"),
@@ -7729,7 +7768,7 @@ def q_mannwhitney_u(spark, sf):
         F.col("na").cast("long").alias("n_click"),
         nb.cast("long").alias("n_purchase"),
         round4(u).alias("u_stat"),
-        round4((u - mu) / F.sqrt(sigma2)).alias("z_score"),
+        round4(F.when(sigma2 > 0, (u - mu) / F.sqrt(sigma2))).alias("z_score"),
     )
 
 
@@ -7738,6 +7777,7 @@ ORACLES["mannwhitney_u"] = f"""
       SELECT value AS v, COUNT(*) AS cnt,
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na_v
       FROM events WHERE event_type IN ('click', 'purchase')
+        AND value IS NOT NULL
       GROUP BY value
     ), ranked AS (
       SELECT cnt, na_v,
@@ -7755,9 +7795,11 @@ ORACLES["mannwhitney_u"] = f"""
     SELECT CAST(na AS BIGINT) AS n_click,
            CAST(n - na AS BIGINT) AS n_purchase,
            {R("sr_a - na * (na + 1.0) / 2.0")} AS u_stat,
-           {R("(sr_a - na * (na + 1.0) / 2.0 - na * (n - na) / 2.0) / "
+           {R("CASE WHEN na * (n - na) / 12.0 * "
+              "((n + 1.0) - ties / (n * (n - 1.0))) > 0 THEN "
+              "(sr_a - na * (na + 1.0) / 2.0 - na * (n - na) / 2.0) / "
               "SQRT(na * (n - na) / 12.0 * "
-              "((n + 1.0) - ties / (n * (n - 1.0))))")} AS z_score
+              "((n + 1.0) - ties / (n * (n - 1.0)))) END")} AS z_score
     FROM agg
 """
 QUERIES["mannwhitney_u"] = q_mannwhitney_u
@@ -7775,13 +7817,9 @@ def q_acf_daily(spark, sf):
     daily = e.groupBy(
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_num")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
-    stats = daily.agg(
-        F.avg("x").alias("xbar"),
-        F.sum(F.pow(F.col("x"), F.lit(2.0))).alias("sxx_raw"),
-        F.count(F.lit(1)).cast("double").alias("n_days"),
-    )
+    stats = daily.agg(F.avg("x").alias("xbar"))
     dev = daily.crossJoin(F.broadcast(stats)).select(
-        "day_num", (F.col("x") - F.col("xbar")).alias("d"), "xbar", "n_days"
+        "day_num", (F.col("x") - F.col("xbar")).alias("d")
     )
     denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("denom"))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
@@ -8111,10 +8149,14 @@ def q_pareto_abc(spark, sf):
         Window.unboundedPreceding, 0
     )
     w_tot = Window.partitionBy()
+    # the class boundary is tested on a round4-ed share: Spark's running
+    # window sum and DuckDB's segment-tree window aggregation can
+    # associate float additions differently, so a raw cum_share within
+    # ~1ulp of 0.80/0.95 could flip class between engines (ADVICE r4)
     classed = rev.select(
         "p",
         "revenue",
-        (
+        round4(
             F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot)
         ).alias("cum_share"),
     ).select(
@@ -8149,12 +8191,12 @@ ORACLES["pareto_abc"] = f"""
       FROM lineitem GROUP BY 1
     ), classed AS (
       SELECT p, revenue,
-             CASE WHEN SUM(revenue) OVER (ORDER BY revenue DESC, p ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    / SUM(revenue) OVER () <= 0.80 THEN 'A'
-                  WHEN SUM(revenue) OVER (ORDER BY revenue DESC, p ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    / SUM(revenue) OVER () <= 0.95 THEN 'B'
+             CASE WHEN {R("SUM(revenue) OVER (ORDER BY revenue DESC, p ASC "
+                          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                          " / SUM(revenue) OVER ()")} <= 0.80 THEN 'A'
+                  WHEN {R("SUM(revenue) OVER (ORDER BY revenue DESC, p ASC "
+                          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                          " / SUM(revenue) OVER ()")} <= 0.95 THEN 'B'
                   ELSE 'C' END AS abc_class
       FROM rev
     )

@@ -154,3 +154,175 @@ def test_stats_queries_have_no_python_udf_stage(spark):
         plan = QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    rows = QUERIES["kaplan_meier"](spark, SF_SMOKE).collect()
+    got = {r.t_days: (r.n_risk, r.n_events, r.n_censored, r.km_survival) for r in rows}
+
+    tau = 7
+    first_day = {}
+    first_purchase = {}
+    for e in _events_rows(spark):
+        d = e.ts.date()
+        uid = e.user_id
+        if uid not in first_day or d < first_day[uid]:
+            first_day[uid] = d
+        if e.event_type == "purchase" and (
+            uid not in first_purchase or d < first_purchase[uid]
+        ):
+            first_purchase[uid] = d
+    durs = []
+    for uid, d0 in first_day.items():
+        dp = first_purchase.get(uid)
+        if dp is not None and (dp - d0).days <= tau:
+            durs.append(((dp - d0).days, 1))
+        else:
+            durs.append((tau, 0))
+    grp = defaultdict(lambda: [0, 0])
+    for t, ev in durs:
+        grp[t][0] += ev
+        grp[t][1] += 1 - ev
+    assert set(got) == set(grp)
+    n_total = len(durs)
+    s = 1.0
+    consumed = 0
+    for t in sorted(grp):
+        d, c = grp[t]
+        n_risk = n_total - consumed
+        consumed += d + c
+        factor = 1.0 - d / n_risk
+        s = 0.0 if (s == 0.0 or factor <= 0.0) else s * factor
+        nr, nd, nc, km = got[t]
+        assert (nr, nd, nc) == (n_risk, d, c), t
+        assert abs(km - s) < 1e-3, t
+
+
+def test_basket_lift_matches_python_reference(spark):
+    rows = QUERIES["basket_lift"](spark, SF_SMOKE).collect()
+    li = {
+        (r.l_orderkey, r.l_partkey)
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    }
+    orders = defaultdict(set)
+    item = Counter()
+    for ok, pk in li:
+        orders[ok].add(pk)
+        item[pk] += 1
+    n_orders = len(orders)
+    pair_n = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    scored = []
+    for (pa, pb), n in pair_n.items():
+        if n < 2:
+            continue
+        lift = _round4(n * n_orders / (item[pa] * item[pb]))
+        scored.append(
+            (pa, pb, n, _round4(n / n_orders), _round4(n / item[pa]), lift)
+        )
+    scored.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = scored[:20]
+    assert len(rows) == len(want)
+    for r, w in zip(rows, want):
+        assert (r.pa, r.pb, r.pair_n) == (w[0], w[1], w[2])
+        assert abs(r.support - w[3]) < 1e-9
+        assert abs(r.confidence - w[4]) < 1e-9
+        assert abs(r.lift - w[5]) < 1e-9
+
+
+def test_pareto_abc_matches_python_reference(spark):
+    rows = QUERIES["pareto_abc"](spark, SF_SMOKE).collect()
+    got = {r.abc_class: (r.n_parts, r.class_revenue, r.revenue_share) for r in rows}
+
+    rev = defaultdict(float)
+    for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect():
+        rev[r.l_partkey] += r.l_extendedprice * (1.0 - r.l_discount)
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    cum = 0.0
+    agg = defaultdict(lambda: [0, 0.0])
+    for p, x in ordered:
+        cum += x
+        share = _round4(cum / total)
+        cls = "A" if share <= 0.80 else ("B" if share <= 0.95 else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += x
+    assert set(got) == set(agg)
+    for cls, (n, r_sum) in agg.items():
+        gn, grev, gshare = got[cls]
+        assert gn == n, cls
+        assert abs(grev - _round4(r_sum)) < 1e-2, cls
+        assert abs(gshare - r_sum / total) < 1e-3, cls
+
+
+def test_mutual_info_matches_python_reference(spark):
+    row = QUERIES["mutual_info"](spark, SF_SMOKE).first()
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    joint = Counter()
+    for e in _events_rows(spark):
+        joint[(e.event_type, (e.ts.date() - epoch).days % 7)] += 1
+    n = sum(joint.values())
+    nx = Counter()
+    ny = Counter()
+    for (x, y), c in joint.items():
+        nx[x] += c
+        ny[y] += c
+    mi = sum(
+        c / n * math.log((c / n) / ((nx[x] / n) * (ny[y] / n)))
+        for (x, y), c in joint.items()
+    )
+    hx = sum(-(c / n) * math.log(nx[x] / n) for (x, _), c in joint.items())
+    hy = sum(-(c / n) * math.log(ny[y] / n) for (_, y), c in joint.items())
+    assert abs(row.mi_nats - mi) < 1e-3
+    assert abs(row.h_event_type - hx) < 1e-3
+    assert abs(row.h_dow - hy) < 1e-3
+    assert abs(row.nmi - mi / math.sqrt(hx * hy)) < 1e-3
+    # information-theory invariants: 0 <= MI <= min(H(X), H(Y))
+    assert -1e-9 <= row.mi_nats <= min(row.h_event_type, row.h_dow) + 1e-9
+
+
+def test_theil_sen_matches_python_reference(spark):
+    row = QUERIES["theil_sen"](spark, SF_SMOKE).first()
+    import datetime
+    import statistics
+
+    epoch = datetime.date(2024, 1, 1)
+    daily = Counter()
+    for e in _events_rows(spark):
+        daily[(e.ts.date() - epoch).days] += 1
+    days = sorted(daily)
+    xs = {d: float(daily[d]) for d in days}
+    slopes = [
+        (xs[b] - xs[a]) / (b - a)
+        for i, a in enumerate(days)
+        for b in days[i + 1 :]
+    ]
+    m = statistics.median(slopes)  # == interpolated 0.5 quantile
+    intercept = statistics.median(xs[d] - m * d for d in days)
+    assert row.n_days == len(days)
+    assert row.n_pairs == len(slopes)
+    assert abs(row.slope - m) < 1e-3
+    assert abs(row.intercept - intercept) < 1e-3
+
+
+def test_second_stats_batch_has_no_python_udf_stage(spark):
+    for name in [
+        "kaplan_meier",
+        "basket_lift",
+        "pareto_abc",
+        "mutual_info",
+        "theil_sen",
+    ]:
+        plan = QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -8,39 +8,135 @@ order-insensitive value hash. Usage:
 
 ``--json`` additionally writes one record per query (status, rows, secs) —
 the committed ``ORACLE_r{N}.json`` evidence artifacts are this output.
+
+Dtype-faithful since round 5 (VERDICT r4 "What's wrong" #1/#4): the driver
+canonicalizes through pandas, where duckdb's ``.df()`` converts HUGEINT
+(DuckDB ``SUM(BIGINT)``) to float64 and Spark's ``toPandas()`` keeps int64 —
+an uncast integer aggregate therefore hash-mismatches at the driver even when
+every value is numerically equal.  The old replica fetched via ``fetchall()``
+(HUGEINT -> Python int) and normalized ``3.0`` and ``3`` to the same string,
+so it was structurally blind to that class.  This version:
+
+- fetches BOTH sides as pandas frames (``toPandas()`` / ``.df()``), the same
+  representations the driver hashes;
+- includes each column's normalized dtype *kind* (int / float / bool /
+  temporal / object) in the hash, so an int64-vs-float64 divergence fails
+  even though ``"{:.10g}"`` would format ``3.0`` and ``3`` identically;
+- treats DATE-vs-midnight-TIMESTAMP as equal (driver-green precedent:
+  ``retention`` and ``skipping_audit`` both return DATE finals and pass);
+- reports list/ndarray cells as a harness error, mirroring the driver's
+  ``TypeError: unhashable type: 'list'`` on array-valued final columns.
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
+import math
 import os
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from batch_processing_pipeline_spark.catalog import TABLES, table_path
 
 
-def canonical_hash(rows: list[tuple], cols: list[str]) -> str:
-    """Order-insensitive value hash with columns sorted by name."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+class UnhashableColumn(Exception):
+    """A final column holds list/array/dict cells — the driver's pandas
+    canonicalizer raises ``TypeError: unhashable type`` on these."""
 
-    def norm(v):
-        if v is None:
-            return "NULL"
+
+def _kind(series: pd.Series) -> str:
+    """Normalized dtype kind for the hash header.
+
+    int-family -> "i", float -> "f", bool -> "b", datetime -> "t",
+    everything else (strings, decimals, dates-as-objects) -> inspected.
+    Object columns of datetime.date are classed "t" so a Spark DATE
+    (object) hashes like a DuckDB DATE (datetime64) — the driver accepts
+    that pairing (retention / skipping_audit green precedent).
+    """
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    if k in ("M", "m"):
+        return "t"
+    # object column: inspect non-null cells
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (list, tuple, dict, np.ndarray)):
+            raise UnhashableColumn(str(series.name))
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return "t"
         if isinstance(v, bool):
-            return str(int(v))
+            return "b"
+        if isinstance(v, (int, np.integer)):
+            return "i"
         if isinstance(v, float):
-            if v != v:
-                return "NaN"
-            return f"{v:.10g}"
-        return str(v)
+            return "f"
+        return "O"
+    return "O"
 
-    lines = sorted("\x01".join(norm(r[i]) for i in order) for r in rows)
+
+def _norm(v, kind: str) -> str:
+    if v is None:
+        return "NULL"
+    if kind == "f" or isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "NULL" if kind != "f" else "NaN"
+        return f"{f:.10g}"
+    if v is pd.NaT:
+        return "NULL"
+    if kind == "b":
+        return str(int(bool(v)))
+    if kind == "i":
+        return str(int(v))
+    if kind == "t":
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        if isinstance(v, datetime.datetime):
+            s = v.isoformat(sep=" ")
+            # midnight timestamps hash like plain dates (driver precedent)
+            if s.endswith(" 00:00:00"):
+                s = s[:-9]
+            return s
+        return v.isoformat()
+    return str(v)
+
+
+def canonical_frame_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive, dtype-faithful hash of a pandas frame.
+
+    Columns sorted by (lowercased) name; a dtype-kind header line is part
+    of the hash so int64 ``3`` and float64 ``3.0`` frames differ even
+    though both values format as ``"3"``.
+    """
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    kinds = [_kind(df[c]) for c in df.columns]
     h = hashlib.sha256()
+    if len(df):
+        # dtype header only when rows exist: empty frames carry no values
+        # for dtypes to disagree about, and empty-frame dtype inference
+        # differs benignly between the two fetch paths.
+        h.update(("KINDS:" + "\x01".join(kinds)).encode())
+        h.update(b"\n")
+    cols = list(df.columns)
+    lines = sorted(
+        "\x01".join(_norm(row[i], kinds[i]) for i in range(len(cols)))
+        for row in df.itertuples(index=False, name=None)
+    )
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
@@ -79,9 +175,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = [c.lower() for c in sdf.columns]
-            srows = [tuple(r) for r in sdf.collect()]
+            sdf_ = fn(spark, sf_dir)
+            spdf = sdf_.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
@@ -90,41 +185,60 @@ def main() -> int:
         sql = ORACLES.get(name)
         if sql is None:
             secs = round(time.time() - t0, 1)
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {secs}s)")
+            print(f"ok   {name}: rows-only ({len(spdf)} rows, {secs}s)")
             records[name] = {
-                "status": "rows_only", "spark_rows": len(srows), "secs": secs,
+                "status": "rows_only", "spark_rows": len(spdf), "secs": secs,
             }
             continue
         try:
-            cur = con.execute(sql)
-            ocols = [d[0].lower() for d in cur.description]
-            orows = cur.fetchall()
+            odf = con.execute(sql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             records[name] = {"status": "fail", "err": f"duckdb: {exc}"}
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(spdf) != len(odf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(odf)}")
+        scols = sorted(c.lower() for c in spdf.columns)
+        ocols = sorted(c.lower() for c in odf.columns)
+        if scols != ocols:
+            problems.append(f"cols spark={scols} duck={ocols}")
         else:
-            hs = canonical_hash(srows, scols)
-            ho = canonical_hash(orows, ocols)
-            if hs != ho:
-                problems.append("value-hash mismatch")
+            try:
+                hs = canonical_frame_hash(spdf)
+                ho = canonical_frame_hash(odf)
+                if hs != ho:
+                    # pinpoint dtype divergence for actionable output
+                    detail = []
+                    for c in scols:
+                        try:
+                            a = _kind(spdf[[x for x in spdf.columns if x.lower() == c][0]])
+                            b = _kind(odf[[x for x in odf.columns if x.lower() == c][0]])
+                            if a != b:
+                                detail.append(f"{c}: spark-kind={a} duck-kind={b}")
+                        except UnhashableColumn:
+                            pass
+                    msg = "value-hash mismatch"
+                    if detail:
+                        msg += " (dtype: " + "; ".join(detail) + ")"
+                    problems.append(msg)
+            except UnhashableColumn as exc:
+                problems.append(
+                    f"unhashable array column '{exc}' — driver canonicalizer "
+                    "raises TypeError on list cells"
+                )
         secs = round(time.time() - t0, 1)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
             records[name] = {"status": "fail", "err": "; ".join(problems)}
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({secs}s)")
+            print(f"ok   {name}: {len(spdf)} rows match ({secs}s)")
             records[name] = {
                 "status": "hash_match",
-                "spark_rows": len(srows),
-                "oracle_rows": len(orows),
+                "spark_rows": len(spdf),
+                "oracle_rows": len(odf),
                 "secs": secs,
             }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
