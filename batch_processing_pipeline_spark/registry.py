@@ -8335,3 +8335,712 @@ ORACLES["theil_sen"] = f"""
     FROM daily
 """
 QUERIES["theil_sen"] = q_theil_sen
+
+
+# ---------------------------------------------------------- round-5 additions
+def q_holt_forecast(spark, sf):
+    """Holt linear-trend exponential smoothing over the daily event-count
+    series, with h-step-ahead forecasts — the classic capacity-planning
+    smoother (level + trend recurrences l_t = a*x_t + (1-a)(l+b),
+    b_t = g*(l_t - l) + (1-g)*b).
+
+    The recurrence is inherently sequential, so it runs as ONE
+    ``F.aggregate`` fold over the ordered day array — the H4
+    ordered-collect discipline bounds the array at series length (30 rows
+    here, ~36.5k for a century), never fact size: the 100-TB cost is the
+    per-day count, a plain partial-aggregated groupBy. The DuckDB oracle
+    replays the identical recurrence as a recursive CTE, so the fold's
+    operation ORDER is pinned cross-engine (same literals, same
+    association), not just its final rounding.
+    """
+    alpha, gamma = 0.5, 0.3
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+
+    def step(acc, p):
+        lvl = (
+            F.lit(alpha) * p["x"]
+            + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
+        )
+        return F.struct(
+            lvl.alias("l"),
+            (
+                F.lit(gamma) * (lvl - acc["l"]) + F.lit(1.0 - gamma) * acc["b"]
+            ).alias("b"),
+        )
+
+    folded = series.select(
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice("s", 2, F.size("s") - 1),
+            F.struct(
+                F.col("s")[0]["x"].alias("l"), F.lit(0.0).alias("b")
+            ),
+            step,
+        ).alias("hb"),
+    )
+    return folded.select(
+        "n_days",
+        round4(F.col("hb")["l"]).alias("level"),
+        round4(F.col("hb")["b"]).alias("trend"),
+        round4(F.col("hb")["l"] + F.col("hb")["b"]).alias("f1"),
+        round4(F.col("hb")["l"] + 7.0 * F.col("hb")["b"]).alias("f7"),
+    )
+
+
+ORACLES["holt_forecast"] = f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+    ), holt(i, l, b) AS (
+      -- CAST the seed: a bare 0.0 types the recursion's column DECIMAL(2,1)
+      -- and silently truncates every iteration
+      SELECT CAST(1 AS BIGINT), x, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i,
+             0.5 * idx.x + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * idx.x + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+      FROM holt h JOIN idx ON idx.i = h.i + 1
+    ), last AS (SELECT MAX(i) AS n FROM idx)
+    SELECT CAST(last.n AS BIGINT) AS n_days,
+           {R("h.l")} AS level,
+           {R("h.b")} AS trend,
+           {R("h.l + h.b")} AS f1,
+           {R("h.l + 7.0 * h.b")} AS f7
+    FROM holt h, last WHERE h.i = last.n
+"""
+QUERIES["holt_forecast"] = q_holt_forecast
+
+
+def q_unimax_alloc(spark, sf):
+    """UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): give every language up to ``c`` epochs of
+    its corpus, splitting the remaining token budget uniformly — the
+    capped water-filling alloc_l = min(c*N_l, s) where s solves
+    sum(min(c*N_l, s)) = B.
+
+    The threshold search is NOT an iterative loop: with languages sorted
+    by cap ascending, language k is capped iff giving its cap to every
+    remaining language still fits the leftover budget
+    (cap_k * (n-k+1) <= B - prefix_{{k-1}}), so one cumulative window over
+    the LANGUAGE relation (dimension-sized — a few hundred rows even for
+    a full web crawl) finds the split point and the closed-form s. The
+    fact-table cost is one partial-aggregated token count per language.
+    """
+    c_epochs = 4.0
+    budget_frac = 2.0  # B = 2x the corpus: forces a nontrivial split
+    d = _t(spark, sf, "documents").where(F.length(F.trim(F.col("text"))) > 0)
+    per_lang = d.groupBy("lang").agg(
+        F.sum(whitespace_token_count(F.lower(F.trim(F.col("text")))))
+        .cast("double")
+        .alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(
+        (F.col("n_tokens") * c_epochs).asc(), F.col("lang").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_lang.select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(c_epochs)).alias("cap"),
+        F.sum("n_tokens").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_langs"),
+        F.row_number()
+        .over(Window.orderBy((F.col("n_tokens") * c_epochs).asc(), F.col("lang").asc()))
+        .alias("k"),
+        F.sum(F.col("n_tokens") * c_epochs).over(w_cum).alias("prefix"),
+    )
+    b = F.col("total") * F.lit(budget_frac)
+    capped = (
+        F.col("cap") * (F.col("n_langs") - F.col("k") + 1)
+        <= b - (F.col("prefix") - F.col("cap"))
+    ).cast("int")
+    flagged = ranked.withColumn("capped", capped)
+    w_tot = Window.partitionBy()
+    solved = flagged.select(
+        "lang",
+        "n_tokens",
+        "cap",
+        "capped",
+        b.alias("budget"),
+        F.sum("capped").over(w_tot).alias("n_capped"),
+        F.sum(F.col("cap") * F.col("capped")).over(w_tot).alias("capped_sum"),
+        F.col("n_langs"),
+    )
+    s = (F.col("budget") - F.col("capped_sum")) / (
+        F.col("n_langs") - F.col("n_capped")
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap")).otherwise(s)
+    return solved.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        round4(F.col("cap")).alias("cap_tokens"),
+        round4(alloc).alias("alloc_tokens"),
+        round4(alloc / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+ORACLES["unimax_alloc"] = f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS DOUBLE) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+      GROUP BY lang
+    ), ranked AS (
+      SELECT lang, n_tokens, n_tokens * 4.0 AS cap,
+             SUM(n_tokens) OVER () AS total,
+             COUNT(*) OVER () AS n_langs,
+             ROW_NUMBER() OVER (ORDER BY n_tokens * 4.0 ASC, lang ASC) AS k,
+             SUM(n_tokens * 4.0) OVER (ORDER BY n_tokens * 4.0 ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM per_lang
+    ), flagged AS (
+      SELECT *, total * 2.0 AS budget,
+             CASE WHEN cap * (n_langs - k + 1)
+                       <= total * 2.0 - (prefix - cap)
+                  THEN 1 ELSE 0 END AS capped
+      FROM ranked
+    ), solved AS (
+      SELECT lang, n_tokens, cap, capped, budget, n_langs,
+             SUM(capped) OVER () AS n_capped,
+             SUM(cap * capped) OVER () AS capped_sum
+      FROM flagged
+    )
+    SELECT lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {R("cap")} AS cap_tokens,
+           {R("CASE WHEN capped = 1 THEN cap ELSE "
+              "(budget - capped_sum) / (n_langs - n_capped) END")}
+             AS alloc_tokens,
+           {R("CASE WHEN capped = 1 THEN cap ELSE "
+              "(budget - capped_sum) / (n_langs - n_capped) END / n_tokens")}
+             AS epochs
+    FROM solved
+"""
+QUERIES["unimax_alloc"] = q_unimax_alloc
+
+
+def q_geo_grid_hotspots(spark, sf):
+    """Spatial grid aggregation + neighborhood density + haversine — the
+    geo-bucketing pattern (grid cells are the LSH of space: all spatial
+    predicates become equi-joins on cell keys, no geometry shuffle).
+
+    Users get deterministic pseudo-coordinates (md5-derived, the
+    operators/sampling.py portable-hash discipline — no RNG, identical in
+    both engines) since the fixture has no geo columns; the *shape* under
+    test is real: 1-degree cell keys via floor(), per-cell user/event
+    rollup, a 3x3 neighbor-cell density via a 9-way offset equi-join
+    (bounded fan-out, no cross join), and great-circle distance from each
+    cell center to a reference point via the haversine formula. No
+    antimeridian wrap at the demo grid; a production grid uses a
+    hierarchical cell scheme (S2/H3) with the same equi-join shape.
+    """
+    e = _events(spark, sf)
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    h = lambda seed: F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pts = per_user.select(
+        "user_id",
+        "n_ev",
+        (F.pmod(h("glat:"), F.lit(1_800_000)) / 10000.0 - 90.0).alias("lat"),
+        (F.pmod(h("glon:"), F.lit(3_600_000)) / 10000.0 - 180.0).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor("lat").cast("long").alias("clat"),
+        F.floor("lon").cast("long").alias("clon"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+    )
+    offsets = spark.range(0, 9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dx"),
+        (F.col("id") / 3).cast("long").alias("dy_raw"),
+    ).select("dx", (F.col("dy_raw") - 1).alias("dy"))
+    neigh = (
+        cells.select(
+            F.col("clat").alias("nlat"),
+            F.col("clon").alias("nlon"),
+            F.col("n_events").alias("ne"),
+        )
+        .crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("nlat") + F.col("dx")).alias("clat"),
+            (F.col("nlon") + F.col("dy")).alias("clon"),
+            "ne",
+        )
+        .groupBy("clat", "clon")
+        .agg(F.sum("ne").alias("neigh_events"))
+    )
+    lat0, lon0 = 40.0, -74.0
+    clat_c = F.col("clat") + 0.5
+    clon_c = F.col("clon") + 0.5
+    dphi = F.radians(clat_c - F.lit(lat0))
+    dlmb = F.radians(clon_c - F.lit(lon0))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(F.lit(lat0)))
+        * F.cos(F.radians(clat_c))
+        * F.sin(dlmb / 2)
+        * F.sin(dlmb / 2)
+    )
+    km = 2.0 * 6371.0 * F.asin(F.sqrt(a))
+    return (
+        cells.join(neigh, ["clat", "clon"])
+        .select(
+            "clat",
+            "clon",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("neigh_events").cast("long").alias("neigh_events"),
+            round4(km).alias("ref_km"),
+        )
+    )
+
+
+ORACLES["geo_grid_hotspots"] = f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id
+    ), pts AS (
+      SELECT user_id, n_ev,
+             CAST(CAST('0x' || substr(md5('glat:' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1800000 AS DOUBLE) / 10000.0 - 90.0 AS lat,
+             CAST(CAST('0x' || substr(md5('glon:' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon
+      FROM per_user
+    ), cells AS (
+      SELECT CAST(FLOOR(lat) AS BIGINT) AS clat,
+             CAST(FLOOR(lon) AS BIGINT) AS clon,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events
+      FROM pts GROUP BY 1, 2
+    ), offsets AS (
+      SELECT dx, dy FROM (SELECT UNNEST([-1, 0, 1]) AS dx),
+                         (SELECT UNNEST([-1, 0, 1]) AS dy)
+    ), neigh AS (
+      SELECT c.clat + o.dx AS clat, c.clon + o.dy AS clon,
+             CAST(SUM(c.n_events) AS BIGINT) AS neigh_events
+      FROM cells c CROSS JOIN offsets o
+      GROUP BY 1, 2
+    )
+    SELECT c.clat, c.clon, c.n_users, c.n_events, n.neigh_events,
+           {R("2.0 * 6371.0 * ASIN(SQRT("
+              "SIN(RADIANS((c.clat + 0.5) - 40.0) / 2)"
+              " * SIN(RADIANS((c.clat + 0.5) - 40.0) / 2)"
+              " + COS(RADIANS(40.0)) * COS(RADIANS(c.clat + 0.5))"
+              " * SIN(RADIANS((c.clon + 0.5) - (-74.0)) / 2)"
+              " * SIN(RADIANS((c.clon + 0.5) - (-74.0)) / 2)))")} AS ref_km
+    FROM cells c JOIN neigh n ON n.clat = c.clat AND n.clon = c.clon
+"""
+QUERIES["geo_grid_hotspots"] = q_geo_grid_hotspots
+
+
+def q_entity_resolution(spark, sf):
+    """Composed entity-resolution funnel: normalize -> deletion-neighborhood
+    blocking -> bounded pairwise verification -> transitive closure ->
+    survivorship, as ONE plan (the record-linkage twin of the pretrain
+    funnel).
+
+    Records are customers keyed by an md5-derived 8-hex display name (the
+    fixture's sequential names are pathological for ER — every neighbor is
+    edit-distance 1 — so the name channel is re-keyed through the portable
+    hash discipline of operators/sampling.py); every third record is
+    re-ingested as a "dirty" duplicate with one character corrupted at a
+    key-derived position, the classic OCR/typo error model.
+
+    Blocking is SymSpell-style deletion neighborhoods (Garbe's symmetric
+    delete algorithm, public domain): each record emits its 8
+    single-deletion variants, and records sharing a (position, variant)
+    bucket become candidates — a plain equi-join on 7-char keys, never an
+    all-pairs scan; for an edit-distance-1 error model the neighborhood is
+    exhaustive (recall 1.0 by construction), and bucket sizes are bounded
+    by hash uniformity (collision P ~ n^2 * 8 / 16^8). Verification runs
+    levenshtein <= 1 ONLY on bucket collisions; closure is the
+    pointer-doubling connected components of operators/components.py (the
+    DuckDB oracle replays it as a recursive reachability CTE — candidate
+    graphs are pair-dominated, so the CTE stays bounded); survivorship
+    keeps the min-id record per entity with its member count.
+    """
+    c = _t(spark, sf, "customer").select("c_custkey")
+    name = F.substring(
+        F.md5(F.concat(F.lit("ent:"), F.col("c_custkey").cast("string"))), 1, 8
+    )
+    clean = c.select(F.col("c_custkey").alias("rid"), name.alias("name"))
+    # corruption position derives from the ORIGINAL rid; 10^7 is a multiple
+    # of 8, so the oracle's (rid + 10^7) % 8 lands on the same position
+    dirty = (
+        clean.where(F.col("rid") % 3 == 0)
+        .select(
+            (F.col("rid") + F.lit(10_000_000)).alias("rid"),
+            F.concat(
+                F.expr("substring(name, 1, (CAST(rid % 8 AS INT) + 1) - 1)"),
+                F.lit("x"),
+                F.expr("substring(name, (CAST(rid % 8 AS INT) + 1) + 1, 8)"),
+            ).alias("name"),
+        )
+    )
+    records = clean.unionByName(dirty)
+    keys = records.select(
+        "rid",
+        "name",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("p"),
+    ).select(
+        "rid",
+        "name",
+        "p",
+        F.concat(
+            F.expr("substring(name, 1, p - 1)"), F.expr("substring(name, p + 1, 8)")
+        ).alias("bkey"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    edges = cand.where(F.levenshtein("name_a", "name_b") <= 1).select(
+        "id_a", "id_b"
+    )
+    from batch_processing_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(edges)
+    labeled = records.join(
+        comp.withColumnRenamed("node", "rid"), "rid", "left"
+    ).select(
+        "rid", "name", F.coalesce("component", F.col("rid")).alias("entity_id")
+    )
+    canon = labeled.where(F.col("rid") == F.col("entity_id")).select(
+        "entity_id", F.col("name").alias("canonical_name")
+    )
+    return (
+        labeled.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+        .join(canon, "entity_id")
+        .select("entity_id", "n_records", "canonical_name")
+    )
+
+
+ORACLES["entity_resolution"] = """
+    WITH RECURSIVE clean AS (
+      SELECT c_custkey AS rid,
+             substr(md5('ent:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS name
+      FROM customer
+    ), dirty AS (
+      SELECT rid + 10000000 AS rid,
+             substr(name, 1, (CAST((rid + 10000000) % 8 AS INTEGER) + 1) - 1)
+               || 'x'
+               || substr(name, (CAST((rid + 10000000) % 8 AS INTEGER) + 1) + 1, 8)
+               AS name
+      FROM clean WHERE rid % 3 = 0
+    ), records AS (
+      SELECT * FROM clean UNION ALL SELECT * FROM dirty
+    ), keys AS (
+      SELECT rid, name, CAST(p AS INTEGER) AS p,
+             substr(name, 1, CAST(p AS INTEGER) - 1)
+               || substr(name, CAST(p AS INTEGER) + 1, 8) AS bkey
+      FROM records, UNNEST(range(1, 9)) AS u(p)
+    ), cand AS (
+      SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+             a.name AS name_a, b.name AS name_b
+      FROM keys a JOIN keys b
+        ON a.p = b.p AND a.bkey = b.bkey AND a.rid < b.rid
+    ), edges AS (
+      SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach(src, dst) AS (
+      SELECT rid, rid FROM records
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst
+    ), labeled AS (
+      SELECT rec.rid, rec.name, cc.entity_id
+      FROM records rec JOIN (
+        SELECT src AS rid, MIN(dst) AS entity_id FROM reach GROUP BY src
+      ) cc ON cc.rid = rec.rid
+    )
+    SELECT l.entity_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+           c.canonical_name
+    FROM labeled l
+    JOIN (SELECT rid AS entity_id, name AS canonical_name FROM records) c
+      ON c.entity_id = l.entity_id
+    GROUP BY l.entity_id, c.canonical_name
+"""
+QUERIES["entity_resolution"] = q_entity_resolution
+
+
+def q_mm_audio(spark, sf):
+    """REAL audio frame analysis: synthesize an 8-bit mono PCM WAV per
+    document (stdlib RIFF/WAVE encoder; sample count and sawtooth step
+    derived from text length), decode it inside mapInPandas, frame at 16
+    samples, and emit RMS energy + zero-crossing counts — the audio twin
+    of ``mm_frames``'s GIF path. The oracle regenerates the sawtooth
+    arithmetically, so any chunk-walk/PCM/framing/feature bug breaks the
+    match."""
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        audio_frame_features,
+        synthesize_wav,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    feats = audio_frame_features(synthesize_wav(d), frame_len=16)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        "sum_amp",
+        round4(F.col("rms")).alias("rms"),
+        "zero_cross",
+    )
+
+
+ORACLES["mm_audio"] = f"""
+    WITH base AS (
+      SELECT doc_id, length(COALESCE(text, '')) AS L FROM documents
+    ), par AS (
+      SELECT doc_id, L % 50 + 20 AS n, L % 7 + 2 AS step FROM base
+    ), samp AS (
+      SELECT doc_id,
+             CAST(i // 16 AS INTEGER) AS frame_idx,
+             CAST(i % 16 AS BIGINT) AS j,
+             CAST((i * step) % 256 AS DOUBLE) AS v,
+             CAST(((i + 1) * step) % 256 AS DOUBLE) AS v2
+      FROM par, UNNEST(range(0, (n // 16) * 16)) AS u(i)
+    )
+    SELECT doc_id,
+           frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_amp,
+           {R("SQRT(SUM((v - 128.0) * (v - 128.0)) / 16.0)")} AS rms,
+           CAST(SUM(CASE WHEN j < 15 AND ((v < 128.0) <> (v2 < 128.0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM samp GROUP BY doc_id, frame_idx
+"""
+QUERIES["mm_audio"] = q_mm_audio
+
+
+def q_vocab_coverage(spark, sf):
+    """Good-Turing unseen-mass estimate + bias-corrected Chao1 vocabulary
+    richness over the corpus — the standard "how much vocabulary has this
+    crawl NOT seen yet" audit before committing to a tokenizer (singleton
+    mass n1/N is the Good-Turing probability of a novel type; Chao1
+    V + n1(n1-1)/(2(n2+1)) lower-bounds the true vocabulary).
+
+    Two partial-aggregated groupBys (word counts, then
+    frequency-of-frequency counts) and a 1-row reduce — nothing but
+    (word, count) pairs ever shuffles. Tokenization is the portable
+    single-space split (the zipf_fit discipline)."""
+    d = _t(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ", -1)).alias("w")).where(
+        F.col("w") != ""
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    agg = freq.agg(
+        F.sum("n").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("double").alias("n2"),
+    )
+    return agg.select(
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("n1").cast("long").alias("n_singletons"),
+        F.col("n2").cast("long").alias("n_doubletons"),
+        round4(F.col("n1") / F.col("n_tok")).alias("p_unseen"),
+        round4(
+            F.col("v")
+            + F.col("n1") * (F.col("n1") - 1.0) / (2.0 * (F.col("n2") + 1.0))
+        ).alias("chao1_vocab"),
+    )
+
+
+ORACLES["vocab_coverage"] = f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY w
+    ), agg AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS n_tok,
+             CAST(COUNT(*) AS DOUBLE) AS v,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+      FROM freq
+    )
+    SELECT CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           CAST(n1 AS BIGINT) AS n_singletons,
+           CAST(n2 AS BIGINT) AS n_doubletons,
+           {R("n1 / n_tok")} AS p_unseen,
+           {R("v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0))")} AS chao1_vocab
+    FROM agg
+"""
+QUERIES["vocab_coverage"] = q_vocab_coverage
+
+
+def q_term_burstiness(spark, sf):
+    """Term burstiness (variance-to-mean ratio of per-document counts,
+    zeros included): bursty terms (VMR >> 1) concentrate in few documents
+    — topical or boilerplate — while VMR ~ 1 is Poisson background; a
+    standard dispersion screen that catches template terms the df/cf
+    ratios miss.
+
+    The zero rows are never materialized: with per-doc counts c over D
+    docs, sum((c - cf/D)^2) over ALL docs = sum(c^2) - cf^2/D, so the
+    whole statistic folds into the (word, doc) partial aggregation plus a
+    scalar doc count. Output bounded by the cf >= 20 support cut."""
+    d = _t(spark, sf, "documents")
+    n_docs = d.where(F.length(F.trim(F.col("text"))) > 0).count()
+    per_doc = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    per_word = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    mean = F.col("cf") / F.lit(float(n_docs))
+    var = (F.col("c2") - F.col("cf") * F.col("cf") / F.lit(float(n_docs))) / F.lit(
+        float(n_docs)
+    )
+    return (
+        per_word.where(F.col("cf") >= 20)
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            F.col("cf").cast("long").alias("cf"),
+            round4(var / mean).alias("vmr"),
+        )
+    )
+
+
+ORACLES["term_burstiness"] = f"""
+    WITH nd AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS d
+      FROM documents WHERE length(trim(text)) > 0
+    ), per_doc AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w, doc_id
+    ), per_word AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df, SUM(c) AS cf,
+             SUM(c * c) AS c2
+      FROM per_doc GROUP BY w
+    )
+    SELECT w AS word, df, CAST(cf AS BIGINT) AS cf,
+           {R("((c2 - cf * cf / nd.d) / nd.d) / (cf / nd.d)")} AS vmr
+    FROM per_word, nd
+    WHERE cf >= 20
+"""
+QUERIES["term_burstiness"] = q_term_burstiness
+
+
+def q_stl_decompose(spark, sf):
+    """Seasonal-trend decomposition of the daily event-count series
+    (moving-average STL: trend = centered 7-day mean, seasonal = per-
+    day-of-week mean of the detrended series, remainder = the rest) — the
+    classic pre-anomaly-detection split.
+
+    Exact-arithmetic discipline: the detrended value is carried as the
+    INTEGER 7*x - sum7 (counts are exact in double), so every aggregation
+    is order-independent and the only inexact steps are final divisions
+    in a fixed expression order — the per-dow mean cannot drift with
+    partial-aggregation order between engines. All windows run over the
+    dimension-sized daily relation."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    ).select(
+        "d",
+        "x",
+        F.when(F.col("c7") == 7, F.col("s7")).alias("s7"),
+        (7.0 * F.col("x") - F.col("s7")).alias("detr7"),
+        (F.col("d") % 7).alias("dow"),
+    )
+    w_dow = Window.partitionBy("dow")
+    out = t.select(
+        "d",
+        "x",
+        "s7",
+        "dow",
+        F.sum(F.when(F.col("s7").isNotNull(), F.col("detr7"))).over(w_dow).alias("sd"),
+        F.count(F.when(F.col("s7").isNotNull(), 1)).over(w_dow).alias("nd"),
+    )
+    trend = F.col("s7") / 7.0
+    seasonal = F.col("sd") / (7.0 * F.col("nd"))
+    return out.select(
+        F.col("d").cast("long").alias("day_num"),
+        F.col("x").cast("long").alias("n_events"),
+        round4(trend).alias("trend"),
+        round4(seasonal).alias("seasonal"),
+        round4(F.col("x") - trend - seasonal).alias("remainder"),
+    )
+
+
+ORACLES["stl_decompose"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT d, x,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN SUM(x) OVER w END AS s7,
+             d % 7 AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), t2 AS (
+      SELECT d, x, s7, dow, 7.0 * x - s7 AS detr7 FROM t
+    ), out AS (
+      SELECT d, x, s7, dow,
+             SUM(CASE WHEN s7 IS NOT NULL THEN detr7 END)
+               OVER (PARTITION BY dow) AS sd,
+             COUNT(CASE WHEN s7 IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY dow) AS nd
+      FROM t2
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(x AS BIGINT) AS n_events,
+           {R("s7 / 7.0")} AS trend,
+           {R("sd / (7.0 * nd)")} AS seasonal,
+           {R("x - s7 / 7.0 - sd / (7.0 * nd)")} AS remainder
+    FROM out
+"""
+QUERIES["stl_decompose"] = q_stl_decompose

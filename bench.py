@@ -85,12 +85,19 @@ HEADLINE = [
     "quantile_normalize",
     "ngram_novelty",
     "event_pattern",
+    # round-5 additions: the recursive-smoother fold, the UniMax window
+    # solve, the spatial 9-way offset join, and the real WAV decode path
+    "holt_forecast",
+    "unimax_alloc",
+    "geo_grid_hotspots",
+    "mm_audio",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
     # regression in the components loop gets caught here, not at 100 TB
     "text_fingerprint",
     "pretrain_pipeline",
+    "entity_resolution",
     "pagerank",
     "sim_topk_pq",
     "dedup_clusters",
