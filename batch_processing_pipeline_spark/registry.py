@@ -9044,3 +9044,204 @@ ORACLES["stl_decompose"] = f"""
     FROM out
 """
 QUERIES["stl_decompose"] = q_stl_decompose
+
+
+def q_rolling_dau(spark, sf):
+    """7-day rolling distinct active users per day (the DAU/WAU family).
+
+    Window COUNT(DISTINCT) doesn't exist in either engine, and the naive
+    per-day reaggregation rescans the fact table 7x. The scale shape:
+    dedup to (user, active_day) once, explode each active day into the <=7
+    future report days it contributes to, dedup (user, report_day), count
+    — a fixed 7x amplification of the already-collapsed user-day relation,
+    never of raw events, and every step is a partial-aggregated groupBy.
+    Report days are clamped to the observed range so trailing windows
+    don't invent empty days."""
+    e = _events(spark, sf)
+    user_days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).distinct()
+    max_day = user_days.agg(F.max("d").alias("m"))
+    contrib = (
+        user_days.crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.least(F.col("d") + 6, F.col("m")))
+            ).alias("report_day"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("report_day").cast("long").alias("report_day"), "wau")
+    )
+
+
+ORACLES["rolling_dau"] = """
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+      FROM events
+    ), mx AS (
+      SELECT MAX(d) AS m FROM user_days
+    ), contrib AS (
+      SELECT DISTINCT user_id, d + off AS report_day
+      FROM user_days, mx, UNNEST(range(0, 7)) AS u(off)
+      WHERE d + off <= mx.m
+    )
+    SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib GROUP BY report_day
+"""
+QUERIES["rolling_dau"] = q_rolling_dau
+
+
+def q_attribution(spark, sf):
+    """Last-touch conversion attribution: every purchase credits the most
+    recent click by the same user within a 3-day lookback (ties broken by
+    event_id — the determinism contract), then credit aggregates per
+    attributed day. The marketing twin of the as-of join: a range
+    predicate narrowed to an equi-join on user plus a bounded window.
+
+    Scale shape: clicks and purchases partition on user_id (one shuffle
+    each); the per-user range join's fan-out is bounded by the lookback;
+    max_by picks the winning touch without a window sort."""
+    e = _events(spark, sf)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("revenue"),
+    )
+    joined = purchases.join(clicks, "user_id").where(
+        (F.col("click_ts") <= F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    won = joined.groupBy("p_id", "p_ts", "revenue").agg(
+        F.max_by(
+            F.struct("click_ts", "click_id"),
+            F.struct("click_ts", "click_id"),
+        ).alias("touch")
+    )
+    return (
+        won.select(
+            F.to_date(F.col("touch")["click_ts"]).alias("touch_day"),
+            "revenue",
+        )
+        .groupBy("touch_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            round4(F.sum("revenue")).alias("attributed_revenue"),
+        )
+        .select(
+            F.date_format("touch_day", "yyyy-MM-dd").alias("touch_day"),
+            "n_conversions",
+            "attributed_revenue",
+        )
+    )
+
+
+ORACLES["attribution"] = f"""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id, value AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT p.p_id, p.revenue, c.click_ts, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+               ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+      FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+      WHERE c.click_ts <= p.p_ts
+        AND c.click_ts >= p.p_ts - INTERVAL 3 DAY
+    )
+    SELECT strftime(CAST(click_ts AS DATE), '%Y-%m-%d') AS touch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           {R("SUM(revenue)")} AS attributed_revenue
+    FROM joined WHERE rk = 1
+    GROUP BY 1
+"""
+QUERIES["attribution"] = q_attribution
+
+
+def q_k_core(spark, sf):
+    """k-core decomposition (k=2) of the co-purchase part graph: the
+    maximal subgraph where every node keeps >= k neighbors — the standard
+    "dense backbone" extraction before community detection, and the
+    iterative-PEEL pattern (contrast with the pointer-doubling closure):
+    each round drops nodes whose CURRENT degree is below k, which can
+    cascade.
+
+    Driver-looped with a convergence check and per-round localCheckpoint
+    (the components.py discipline); each round is one degree aggregation
+    + two semi-joins on the shrinking edge relation, so the 100-TB cost
+    decays with the peel. Output is the surviving node set with its final
+    in-core degree. The fixpoint is unique (the k-core is order-
+    independent) but the peel is iterative-stateful, so there is no SQL
+    oracle (rows-only driver check); pytest pins the result against a
+    brute-force peel, the kcenter_coreset precedent.
+    """
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    k = 2
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(30):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionByName(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("n").persist()
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    edges.unpersist()
+    deg = (
+        cur.select(F.col("u").alias("part"))
+        .unionByName(cur.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return deg.select(F.col("part").cast("long").alias("part"), "core_degree")
+
+
+# k=2 peel is iterative-stateful (each round's degree depends on the
+# previous round's survivor set); a SQL twin needs aggregation over the
+# recursive reference, which neither engine's recursive CTE allows — so
+# the oracle is omitted (rows-only driver check) and the fixpoint is
+# pinned in pytest against a brute-force peel (the kcenter_coreset
+# precedent for inherently iterative ops).
+ORACLES["k_core"] = None
+QUERIES["k_core"] = q_k_core

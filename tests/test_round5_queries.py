@@ -253,3 +253,94 @@ def test_stl_decompose_matches_python_reference(spark):
         r = got[d]
         if r.trend is not None:
             assert abs((r.trend + r.seasonal + r.remainder) - xs[d]) < 2e-4, d
+
+
+def test_rolling_dau_matches_python_reference(spark):
+    rows = QUERIES["rolling_dau"](spark, SF_SMOKE).collect()
+    got = {r.report_day: r.wau for r in rows}
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    user_days = set()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        user_days.add((e.user_id, (e.ts.date() - epoch).days))
+    max_day = max(d for _, d in user_days)
+    want = defaultdict(set)
+    for uid, d in user_days:
+        for rd in range(d, min(d + 7, max_day + 1)):
+            want[rd].add(uid)
+    assert got == {rd: len(us) for rd, us in want.items()}
+    # a trailing window is a superset of its own day's actives
+    day_active = defaultdict(set)
+    for uid, d in user_days:
+        day_active[d].add(uid)
+    for rd, us in want.items():
+        assert len(us) >= len(day_active.get(rd, set()))
+
+
+def test_attribution_matches_python_reference(spark):
+    rows = QUERIES["attribution"](spark, SF_SMOKE).collect()
+    got = {r.touch_day: (r.n_conversions, r.attributed_revenue) for r in rows}
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    clicks = defaultdict(list)
+    for e in events:
+        if e.event_type == "click":
+            clicks[e.user_id].append((e.ts, e.event_id))
+    agg = defaultdict(lambda: [0, 0.0])
+    lookback = 3 * 24 * 3600
+    for e in events:
+        if e.event_type != "purchase":
+            continue
+        cands = [
+            (ts, cid)
+            for ts, cid in clicks.get(e.user_id, [])
+            if ts <= e.ts and (e.ts - ts).total_seconds() <= lookback
+        ]
+        if not cands:
+            continue
+        ts, _cid = max(cands)
+        day = ts.date().isoformat()
+        agg[day][0] += 1
+        agg[day][1] += e.value
+    assert set(got) == set(agg)
+    for day, (n, rev) in agg.items():
+        assert got[day][0] == n, day
+        assert abs(got[day][1] - rev) < 1e-2, day
+
+
+def test_k_core_matches_bruteforce_peel(spark):
+    rows = QUERIES["k_core"](spark, SF_SMOKE).collect()
+    got = {r.part: r.core_degree for r in rows}
+
+    li = {
+        (r.l_orderkey, r.l_partkey)
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    }
+    orders = defaultdict(set)
+    for ok, pk in li:
+        orders[ok].add(pk)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    # brute-force 2-core peel
+    alive = {n for e in edges for n in e}
+    while True:
+        deg = Counter()
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        drop = {n for n in alive if deg[n] < 2}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: deg[n] for n in alive}
+    assert got == want
+    # every survivor keeps >= 2 in-core neighbors (the k-core invariant)
+    for n, d in got.items():
+        assert d >= 2, n
