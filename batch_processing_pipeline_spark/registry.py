@@ -9245,3 +9245,288 @@ def q_k_core(spark, sf):
 # precedent for inherently iterative ops).
 ORACLES["k_core"] = None
 QUERIES["k_core"] = q_k_core
+
+
+def q_cohort_ltv(spark, sf):
+    """Cohort LTV curves: cumulative purchase revenue per user by cohort
+    age — the revenue twin of the retention matrix (the payback-period
+    readout). Revenue rolls up to (cohort, age) first, so the cumulative
+    window runs over the dimension-sized cohort x age grid; cohort sizes
+    come from one user-level aggregate, and the division is a broadcast
+    join back. Ages with activity but no purchases still appear (zero
+    revenue, via the retention-grid left join) so the curve is dense."""
+    e = _events(spark, sf)
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    act = (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .join(first, "user_id")
+        .select("cohort", F.datediff(F.col("d"), F.col("cohort")).alias("age"))
+        .distinct()
+    )
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("age"),
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    grid = act.join(rev, ["cohort", "age"], "left").select(
+        "cohort", "age", F.coalesce("rev", F.lit(0.0)).alias("rev")
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "cohort", "age", F.sum("rev").over(w_cum).alias("cum_rev")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("age").cast("long").alias("age"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            round4(F.col("cum_rev")).alias("cum_revenue"),
+            round4(F.col("cum_rev") / F.col("cohort_users")).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+ORACLES["cohort_ltv"] = f"""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY 1
+    ), sizes AS (
+      SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users
+      FROM first GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT f.cohort,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age
+      FROM events e JOIN first f ON f.user_id = e.user_id
+    ), rev AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age,
+             SUM(e.value) AS rev
+      FROM events e JOIN first f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT a.cohort, a.age, COALESCE(r.rev, 0.0) AS rev
+      FROM act a LEFT JOIN rev r ON r.cohort = a.cohort AND r.age = a.age
+    ), cum AS (
+      SELECT cohort, age,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM grid
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+           CAST(c.age AS BIGINT) AS age,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           {R("c.cum_rev")} AS cum_revenue,
+           {R("c.cum_rev / s.cohort_users")} AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort = c.cohort
+"""
+QUERIES["cohort_ltv"] = q_cohort_ltv
+
+
+def q_readability(spark, sf):
+    """Flesch reading-ease per language — the classic prose-difficulty
+    quality signal (pretrain curation uses it to screen keyword-stuffed
+    or machine-generated text). Portable heuristics only: sentences =
+    [.!?]+ runs, words = whitespace runs, syllables = vowel GROUPS
+    ([aeiouy]+ runs, the standard approximation) — all three are
+    regexp_extract_all counts, identical in both engines; no UDF, no
+    dictionary. Per-doc counts partial-aggregate per language."""
+    d = _t(spark, sf, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = F.lower(F.trim(F.col("text")))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("double")
+    n_word = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\s]+"), 0)), F.lit(1)
+    ).cast("double")
+    n_syl = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), 0)), F.lit(1)
+    ).cast("double")
+    per_doc = d.select(
+        "lang",
+        n_sent.alias("s"),
+        n_word.alias("w"),
+        n_syl.alias("y"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("s").alias("ts"),
+        F.sum("w").alias("tw"),
+        F.sum("y").alias("ty"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("tw") / F.col("ts"))
+        - F.lit(84.6) * (F.col("ty") / F.col("tw"))
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        round4(F.col("tw") / F.col("ts")).alias("words_per_sentence"),
+        round4(F.col("ty") / F.col("tw")).alias("syllables_per_word"),
+        round4(flesch).alias("flesch"),
+    )
+
+
+ORACLES["readability"] = f"""
+    WITH per_doc AS (
+      SELECT lang,
+             GREATEST(len(regexp_extract_all(lower(trim(text)), '[.!?]+')), 1) AS s,
+             GREATEST(len(regexp_extract_all(lower(trim(text)), '[^\\s]+')), 1) AS w,
+             GREATEST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')), 1) AS y
+      FROM documents WHERE length(trim(text)) > 0
+    ), agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(s) AS DOUBLE) AS ts,
+             CAST(SUM(w) AS DOUBLE) AS tw,
+             CAST(SUM(y) AS DOUBLE) AS ty
+      FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           {R("tw / ts")} AS words_per_sentence,
+           {R("ty / tw")} AS syllables_per_word,
+           {R("206.835 - 1.015 * (tw / ts) - 84.6 * (ty / tw)")} AS flesch
+    FROM agg
+"""
+QUERIES["readability"] = q_readability
+
+
+def _roundtrip_store(spark, sf, kind: str) -> str:
+    """Per-(app, sf) temp path for format round-trip stores, registered
+    for atexit cleanup (the continuous_aggregate/smb_join discipline)."""
+    import atexit
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = f"{app}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}"
+    store = f"/tmp/bpps_{kind}/{tag}"
+    if store not in _SMB_CLEANUP_DIRS:
+        _SMB_CLEANUP_DIRS.add(store)
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+    return store
+
+
+def q_csv_roundtrip(spark, sf):
+    """CSV sink + source round trip on the WORST text: documents whose
+    bodies embed the delimiter, quotes, and (at scale) newlines. Written
+    RFC-4180 style (quote doubling via escape='"', header) and read back
+    with an explicit schema + multiLine — the only safe way to re-ingest
+    quoted newlines. The query output is a per-language checksum relation
+    (row count, char total, md5-prefix sum) computed from the RE-READ
+    copy; the oracle computes the same from the original parquet, so ANY
+    quoting/escaping/type-inference loss breaks the hash.
+
+    Scale note: multiLine CSV is not splittable (a reader cannot seek
+    into a quoted region) — files stay bounded by the writer's
+    partitioning, which is the real-world mitigation; columnar formats
+    remain the scale path (see orc_roundtrip)."""
+    import os
+
+    store = _roundtrip_store(spark, sf, "csv")
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (
+            d.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(store)
+        )
+    back = (
+        spark.read.schema("doc_id long, text string, lang string")
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(store)
+    )
+    # explicit concat + coalesce (NOT concat_ws, which SKIPS nulls while
+    # the oracle's || would null out — a silent checksum divergence on
+    # null text)
+    ck = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("\x01"),
+                    F.coalesce("text", F.lit("")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("total_chars"),
+        F.sum(ck).alias("checksum"),
+    )
+
+
+ORACLES["csv_roundtrip"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST('0x' || substr(
+                 md5(CAST(doc_id AS VARCHAR) || chr(1) || COALESCE(text, '')),
+                 1, 8)
+               AS BIGINT)) AS BIGINT) AS checksum
+    FROM documents GROUP BY lang
+"""
+QUERIES["csv_roundtrip"] = q_csv_roundtrip
+
+
+def q_orc_roundtrip(spark, sf):
+    """ORC sink + source round trip (the second columnar format a Spark
+    shop runs beside parquet): orders written to ORC, re-read, and rolled
+    up per status — counts, price total, and the date span as strings.
+    The oracle computes the identical rollup from the original parquet,
+    so the pinned contract is losslessness of the columnar round trip
+    (types, nulls, date encoding). ORC stays splittable and
+    predicate-pushdown-capable at scale, unlike the CSV path."""
+    import os
+
+    store = _roundtrip_store(spark, sf, "orc")
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        o.write.mode("overwrite").orc(store)
+    back = spark.read.orc(store)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.sum("o_totalprice")).alias("total_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+ORACLES["orc_roundtrip"] = f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {R("SUM(o_totalprice)")} AS total_price,
+           strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS first_date,
+           strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS last_date
+    FROM orders GROUP BY o_orderstatus
+"""
+QUERIES["orc_roundtrip"] = q_orc_roundtrip

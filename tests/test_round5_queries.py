@@ -344,3 +344,114 @@ def test_k_core_matches_bruteforce_peel(spark):
     # every survivor keeps >= 2 in-core neighbors (the k-core invariant)
     for n, d in got.items():
         assert d >= 2, n
+
+
+def test_cohort_ltv_matches_python_reference(spark):
+    rows = QUERIES["cohort_ltv"](spark, SF_SMOKE).collect()
+    got = {(r.cohort, r.age): r for r in rows}
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    first = {}
+    for e in events:
+        d = e.ts.date()
+        if e.user_id not in first or d < first[e.user_id]:
+            first[e.user_id] = d
+    sizes = Counter(first.values())
+    ages = defaultdict(set)
+    rev = defaultdict(float)
+    for e in events:
+        cohort = first[e.user_id]
+        age = (e.ts.date() - cohort).days
+        ages[cohort].add(age)
+        if e.event_type == "purchase":
+            rev[(cohort, age)] += e.value
+    n_rows = 0
+    for cohort, ag in ages.items():
+        cum = 0.0
+        for age in sorted(ag):
+            cum += rev.get((cohort, age), 0.0)
+            r = got[(cohort.isoformat(), age)]
+            n_rows += 1
+            assert r.cohort_users == sizes[cohort]
+            assert abs(r.cum_revenue - cum) < 1e-2, (cohort, age)
+            assert abs(r.ltv_per_user - cum / sizes[cohort]) < 1e-3
+    assert len(rows) == n_rows
+    # LTV curves are monotone non-decreasing in age
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort].append((r.age, r.cum_revenue))
+    for pts in by_cohort.values():
+        pts.sort()
+        for (_a, x), (_b, y) in zip(pts, pts[1:]):
+            assert y >= x - 1e-9
+
+
+def test_readability_matches_python_reference(spark):
+    import re
+
+    rows = QUERIES["readability"](spark, SF_SMOKE).collect()
+    got = {r.lang: r for r in rows}
+    agg = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        t = (d.text or "").strip()
+        if not t:
+            continue
+        t = t.lower()
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        w = max(len(re.findall(r"[^\s]+", t)), 1)
+        y = max(len(re.findall(r"[aeiouy]+", t)), 1)
+        a = agg[d.lang]
+        a[0] += 1
+        a[1] += s
+        a[2] += w
+        a[3] += y
+    assert set(got) == set(agg)
+    for lang, (n, ts, tw, ty) in agg.items():
+        r = got[lang]
+        assert r.n_docs == n
+        assert abs(r.words_per_sentence - tw / ts) < 1e-3
+        assert abs(r.syllables_per_word - ty / tw) < 1e-3
+        flesch = 206.835 - 1.015 * (tw / ts) - 84.6 * (ty / tw)
+        assert abs(r.flesch - flesch) < 1e-2
+
+
+def test_csv_roundtrip_is_lossless(spark):
+    """The re-read CSV checksum relation equals the same relation computed
+    directly from parquet — quoting/escaping/newline handling verified."""
+    got = {
+        r.lang: (r.n_docs, r.total_chars, r.checksum)
+        for r in QUERIES["csv_roundtrip"](spark, SF_SMOKE).collect()
+    }
+    import hashlib
+
+    want = defaultdict(lambda: [0, 0, 0])
+    for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        text = d.text or ""
+        h = hashlib.md5(f"{d.doc_id}\x01{text}".encode()).hexdigest()[:8]
+        a = want[d.lang]
+        a[0] += 1
+        a[1] += len(text)
+        a[2] += int(h, 16)
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_orc_roundtrip_is_lossless(spark):
+    got = {
+        r.o_orderstatus: (r.n, r.total_price, r.first_date, r.last_date)
+        for r in QUERIES["orc_roundtrip"](spark, SF_SMOKE).collect()
+    }
+    want = defaultdict(lambda: [0, 0.0, None, None])
+    for o in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect():
+        a = want[o.o_orderstatus]
+        a[0] += 1
+        a[1] += o.o_totalprice
+        d = o.o_orderdate
+        a[2] = d if a[2] is None or d < a[2] else a[2]
+        a[3] = d if a[3] is None or d > a[3] else a[3]
+    assert set(got) == set(want)
+    for k, (n, tp, lo, hi) in want.items():
+        g = got[k]
+        assert g[0] == n
+        assert abs(g[1] - tp) < 1e-2
+        # o_orderdate is stored as a timestamp; compare the date part
+        assert (g[2], g[3]) == (str(lo)[:10], str(hi)[:10])
