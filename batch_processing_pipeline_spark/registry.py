@@ -9530,3 +9530,244 @@ ORACLES["orc_roundtrip"] = f"""
     FROM orders GROUP BY o_orderstatus
 """
 QUERIES["orc_roundtrip"] = q_orc_roundtrip
+
+
+def q_suggest_mrr(spark, sf):
+    """Ranking-quality readout for the flagship autocomplete pipeline:
+    MRR and hit@k of the top-3 suggestion table against a deterministic
+    per-prefix "clicked" query (min-md5 over the prefix's full candidate
+    set — the portable pseudo-relevance-judgment discipline). This is the
+    offline eval every suggestion service runs: if a ranking change
+    regresses MRR, this query moves.
+
+    The suggestion side IS the dq28 plan (normalize -> prefix fan-out ->
+    frequency -> deterministic top-K); the judgment side is one more
+    window over the same frequency relation; the final join is
+    prefix-equi + left, aggregated to a single row."""
+    d = _t(spark, sf, "documents")
+    queries_df = normalize_queries(d, text_col="text")
+    freq = prefix_frequencies(queries_df, max_len=8)
+    sugg = top_k_per_group(
+        freq,
+        group_cols=["prefix"],
+        order_by=[F.desc("frequency"), F.asc("query")],
+        k=3,
+    ).select("prefix", F.col("query").alias("sq"), "rk")
+    w = Window.partitionBy("prefix").orderBy(F.md5("query").asc())
+    clicked = (
+        freq.select("prefix", "query")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("prefix", "query")
+    )
+    joined = clicked.join(
+        sugg,
+        (clicked["prefix"] == sugg["prefix"]) & (clicked["query"] == sugg["sq"]),
+        "left",
+    ).select(clicked["prefix"], "rk")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        round4(
+            F.avg(F.coalesce(1.0 / F.col("rk"), F.lit(0.0)))
+        ).alias("mrr"),
+        round4(
+            F.avg(F.when(F.col("rk") == 1, 1.0).otherwise(0.0))
+        ).alias("hit1"),
+        round4(
+            F.avg(F.when(F.col("rk").isNotNull(), 1.0).otherwise(0.0))
+        ).alias("hit3"),
+    )
+
+
+ORACLES["suggest_mrr"] = f"""
+    WITH q AS (
+      SELECT substring(lower(trim(text)), 1, 500) AS query
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) >= 2
+    ), pairs AS (
+      SELECT substring(query, 1, k.k) AS prefix, query
+      FROM q CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+      WHERE length(query) >= k.k
+    ), freq AS (
+      SELECT prefix, query, COUNT(*) AS frequency FROM pairs GROUP BY prefix, query
+    ), ranked AS (
+      SELECT prefix, query,
+             ROW_NUMBER() OVER (PARTITION BY prefix
+                                ORDER BY frequency DESC, query ASC) AS rk
+      FROM freq
+    ), sugg AS (
+      SELECT prefix, query, rk FROM ranked WHERE rk <= 3
+    ), clicked AS (
+      SELECT prefix, query FROM (
+        SELECT prefix, query,
+               ROW_NUMBER() OVER (PARTITION BY prefix ORDER BY md5(query) ASC) AS rn
+        FROM freq
+      ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           {R("AVG(CASE WHEN s.rk IS NOT NULL THEN 1.0 / s.rk ELSE 0.0 END)")} AS mrr,
+           {R("AVG(CASE WHEN s.rk = 1 THEN 1.0 ELSE 0.0 END)")} AS hit1,
+           {R("AVG(CASE WHEN s.rk IS NOT NULL THEN 1.0 ELSE 0.0 END)")} AS hit3
+    FROM clicked c
+    LEFT JOIN sugg s ON s.prefix = c.prefix AND s.query = c.query
+"""
+QUERIES["suggest_mrr"] = q_suggest_mrr
+
+
+def q_skyline_2d(spark, sf):
+    """2-D skyline (Pareto frontier) of DISTINCT (price, date) order
+    points — minimize price, maximize recency; a point survives iff no
+    other is at-most-as-expensive AND at-least-as-recent with one strict.
+
+    The classic sort-filter skyline: order by (price asc, date desc) and
+    keep a point iff its date strictly exceeds the running max over all
+    STRICTLY preceding points — one dimension-ordered window over the
+    distinct-pair relation, no pairwise dominance join (the O(n²) trap).
+    Distinct-pair collapse first makes equal-point handling exact:
+    duplicates are one point, and the window needs no tie rules."""
+    o = _t(spark, sf, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.to_date("o_orderdate").alias("d"),
+    ).distinct()
+    w = Window.orderBy(F.col("price").asc(), F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = pts.select(
+        "price",
+        "d",
+        F.max("d").over(w).alias("best_prev"),
+    )
+    return (
+        flagged.where(
+            F.col("best_prev").isNull() | (F.col("d") > F.col("best_prev"))
+        )
+        .select(
+            round4(F.col("price")).alias("price"),
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+ORACLES["skyline_2d"] = f"""
+    WITH pts AS (
+      SELECT DISTINCT o_totalprice AS price, CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ), flagged AS (
+      SELECT price, d,
+             MAX(d) OVER (ORDER BY price ASC, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      FROM pts
+    )
+    SELECT {R("price")} AS price,
+           strftime(d, '%Y-%m-%d') AS order_date
+    FROM flagged
+    WHERE best_prev IS NULL OR d > best_prev
+"""
+QUERIES["skyline_2d"] = q_skyline_2d
+
+
+def q_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap confidence interval for mean purchase value —
+    THE distributed bootstrap (per-row independent Poisson(1) weights
+    instead of a global with-replacement resample, so it needs no shuffle
+    of the resample assignment and partial-aggregates map-side).
+
+    Determinism discipline: the Poisson draw is the inverse CDF applied
+    to the portable md5-uniform (operators/sampling.py), keyed on
+    (event_id, replicate) — no RNG, identical in both engines. B = 100
+    replicates amplify the FILTERED fact relation 100x into (replicate,
+    w·x, w) partials; the CI is an exact interpolated percentile over
+    the 100 replicate means."""
+    B = 100
+    e = _events(spark, sf).where(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    reps = spark.range(0, B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    # Poisson(1) inverse CDF ladder (cumulative probs to 6, tail -> 6)
+    w = (
+        F.when(u < 0.3678794412, 0)
+        .when(u < 0.7357588823, 1)
+        .when(u < 0.9196986029, 2)
+        .when(u < 0.9810118431, 3)
+        .when(u < 0.9963401532, 4)
+        .when(u < 0.9994058152, 5)
+        .otherwise(6)
+        .cast("double")
+    )
+    weighted = e.crossJoin(F.broadcast(reps)).select(
+        "b", w.alias("w"), (w * F.col("value")).alias("wx")
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum("wx") / F.sum("w")).alias("m")
+    )
+    base = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg("value").alias("mean_v"),
+    )
+    ci = means.agg(
+        F.percentile("m", F.lit(0.025)).alias("lo"),
+        F.percentile("m", F.lit(0.975)).alias("hi"),
+    )
+    return base.crossJoin(ci).select(
+        "n_events",
+        round4(F.col("mean_v")).alias("mean_value"),
+        round4(F.col("lo")).alias("ci_lo"),
+        round4(F.col("hi")).alias("ci_hi"),
+    )
+
+
+ORACLES["bootstrap_ci"] = f"""
+    WITH e AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ), reps AS (
+      SELECT CAST(b AS INTEGER) AS b FROM UNNEST(range(0, 100)) AS t(b)
+    ), draws AS (
+      SELECT b,
+             CAST(CAST('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)
+                    || ':' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS u,
+             value
+      FROM e CROSS JOIN reps
+    ), weighted AS (
+      SELECT b,
+             CAST(CASE WHEN u < 0.3678794412 THEN 0
+                       WHEN u < 0.7357588823 THEN 1
+                       WHEN u < 0.9196986029 THEN 2
+                       WHEN u < 0.9810118431 THEN 3
+                       WHEN u < 0.9963401532 THEN 4
+                       WHEN u < 0.9994058152 THEN 5
+                       ELSE 6 END AS DOUBLE) AS w,
+             value
+      FROM draws
+    ), means AS (
+      SELECT b, SUM(w * value) / SUM(w) AS m FROM weighted GROUP BY b
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events, AVG(value) AS mean_v
+      FROM e
+    )
+    SELECT base.n_events,
+           {R("base.mean_v")} AS mean_value,
+           {R("(SELECT quantile_cont(m, 0.025) FROM means)")} AS ci_lo,
+           {R("(SELECT quantile_cont(m, 0.975) FROM means)")} AS ci_hi
+    FROM base
+"""
+QUERIES["bootstrap_ci"] = q_bootstrap_ci

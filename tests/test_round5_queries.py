@@ -455,3 +455,74 @@ def test_orc_roundtrip_is_lossless(spark):
         assert abs(g[1] - tp) < 1e-2
         # o_orderdate is stored as a timestamp; compare the date part
         assert (g[2], g[3]) == (str(lo)[:10], str(hi)[:10])
+
+
+def test_suggest_mrr_matches_python_reference(spark):
+    row = QUERIES["suggest_mrr"](spark, SF_SMOKE).first()
+
+    freq = Counter()
+    for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        t = (d.text or "").strip().lower()[:500]
+        if len(t) < 2:
+            continue
+        for k in range(2, 9):
+            if len(t) >= k:
+                freq[(t[:k], t)] += 1
+    by_prefix = defaultdict(dict)
+    for (p, q), n in freq.items():
+        by_prefix[p][q] = n
+    mrr = hit1 = hit3 = 0.0
+    for p, cands in by_prefix.items():
+        top3 = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        clicked = min(cands, key=lambda q: hashlib.md5(q.encode()).hexdigest())
+        rank = next(
+            (i + 1 for i, (q, _n) in enumerate(top3) if q == clicked), None
+        )
+        if rank is not None:
+            mrr += 1.0 / rank
+            hit3 += 1.0
+            if rank == 1:
+                hit1 += 1.0
+    n = len(by_prefix)
+    assert row.n_prefixes == n
+    assert abs(row.mrr - mrr / n) < 1e-3
+    assert abs(row.hit1 - hit1 / n) < 1e-3
+    assert abs(row.hit3 - hit3 / n) < 1e-3
+    # metric sanity: hit1 <= mrr <= hit3 <= 1
+    assert row.hit1 - 1e-9 <= row.mrr <= row.hit3 + 1e-9 <= 1.0 + 1e-9
+
+
+def test_skyline_2d_is_the_pareto_frontier(spark):
+    rows = QUERIES["skyline_2d"](spark, SF_SMOKE).collect()
+    got = {(r.price, r.order_date) for r in rows}
+
+    pts = {
+        (o.o_totalprice, str(o.o_orderdate)[:10])
+        for o in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    }
+
+    def round4(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def dominated(p, d, others):
+        return any(
+            (p2 <= p and d2 >= d) and (p2 < p or d2 > d) for p2, d2 in others
+        )
+
+    want = {
+        (round4(p), d) for p, d in pts if not dominated(p, d, pts - {(p, d)})
+    }
+    assert got == want
+    # frontier is an antichain: strictly increasing date as price rises
+    ordered = sorted(rows, key=lambda r: r.price)
+    for a, b in zip(ordered, ordered[1:]):
+        assert b.order_date > a.order_date
+
+
+def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark):
+    r1 = QUERIES["bootstrap_ci"](spark, SF_SMOKE).first()
+    r2 = QUERIES["bootstrap_ci"](spark, SF_SMOKE).first()
+    assert r1 == r2  # hash-seeded draws: no RNG, rerun-stable
+    assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
+    # CI is nondegenerate but sane (< 50% of the mean wide on this fixture)
+    assert 0 < r1.ci_hi - r1.ci_lo < r1.mean_value * 0.5
