@@ -9771,3 +9771,130 @@ ORACLES["bootstrap_ci"] = f"""
     FROM base
 """
 QUERIES["bootstrap_ci"] = q_bootstrap_ci
+
+
+def q_partitioned_write(spark, sf):
+    """Hive-style partitioned sink + partition-pruned source round trip:
+    documents written ``partitionBy(lang)``, re-read with a lang
+    predicate. At 100 TB the partition column IS the primary pruning
+    axis — the filtered read must open only the matching directories
+    (asserted via inputFiles in test_round5_queries), and the partition
+    column must round-trip losslessly through the directory encoding.
+    Output is the per-source rollup of the pruned read; the oracle
+    computes it from the original table with the same predicate."""
+    import os
+
+    store = _roundtrip_store(spark, sf, "pwrite")
+    d = _t(spark, sf, "documents")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        d.write.mode("overwrite").partitionBy("lang").parquet(store)
+    back = spark.read.parquet(store).where(F.col("lang").isin("en", "de"))
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLES["partitioned_write"] = """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+"""
+QUERIES["partitioned_write"] = q_partitioned_write
+
+
+def q_csv_badrows(spark, sf):
+    """Malformed-row quarantine on CSV ingest (PERMISSIVE +
+    columnNameOfCorruptRecord): the ingestion reality at 100 TB is that
+    some rows are garbage, and one bad row must neither abort the job
+    (FAILFAST) nor silently vanish (DROPMALFORMED) — it lands in the
+    corrupt-record column for audit. The query writes a deterministic
+    CSV with planted malformed lines (every 7th doc_id emits a
+    non-numeric id), re-reads it PERMISSIVE, and reports good/bad counts
+    plus the recoverable char total; the oracle derives all three
+    arithmetically from the original table."""
+    import os
+
+    store = _roundtrip_store(spark, sf, "badcsv")
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("not-a-number,"), F.col("lang"), F.lit(",x")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        d.select(line.alias("value")).write.mode("overwrite").text(store)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(store)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_bad"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias(
+            "good_chars"
+        ),
+    )
+
+
+ORACLES["csv_badrows"] = """
+    SELECT CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+             AS good_chars
+    FROM documents
+"""
+QUERIES["csv_badrows"] = q_csv_badrows
+
+
+def q_schema_evolution(spark, sf):
+    """Schema evolution across parquet batches (mergeSchema): an early
+    batch without the ``quality`` column and a later batch with it land
+    in one store; the merged read surfaces the union schema with NULLs
+    for the pre-evolution rows — the append-only data-lake reality
+    (new extraction fields appear mid-corpus; old files are never
+    rewritten). The rollup pins NULL semantics of the evolved column;
+    the oracle reconstructs both batches from the original table."""
+    import os
+
+    store = _roundtrip_store(spark, sf, "evolve")
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", (F.col("n_chars") % 100).alias("quality")
+    )
+    if not os.path.exists(os.path.join(store, "b1", "_SUCCESS")):
+        old.write.mode("overwrite").parquet(os.path.join(store, "b1"))
+        new.write.mode("overwrite").parquet(os.path.join(store, "b2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(store, "b1"), os.path.join(store, "b2")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum("quality").alias("quality_sum"),
+    )
+
+
+ORACLES["schema_evolution"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT)
+             AS quality_sum
+    FROM documents GROUP BY lang
+"""
+QUERIES["schema_evolution"] = q_schema_evolution

@@ -526,3 +526,43 @@ def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark):
     assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
     # CI is nondegenerate but sane (< 50% of the mean wide on this fixture)
     assert 0 < r1.ci_hi - r1.ci_lo < r1.mean_value * 0.5
+
+
+def test_partitioned_write_actually_prunes(spark):
+    """The lang-filtered read of the partitioned store must touch ONLY the
+    matching partition directories — directory pruning is the point."""
+    df = QUERIES["partitioned_write"](spark, SF_SMOKE)
+    assert df.count() > 0
+    from batch_processing_pipeline_spark.registry import _roundtrip_store
+
+    store = _roundtrip_store(spark, SF_SMOKE, "pwrite")
+    pruned = spark.read.parquet(store).where(F.col("lang").isin("en", "de"))
+    # inputFiles() reflects the pre-filter relation; the pruning proof is
+    # the physical scan's PartitionFilters clause carrying the predicate
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "lang" in pf and ("IN (de,en" in pf or "in(lang" in pf.lower() or "en" in pf), pf
+
+
+def test_csv_badrows_quarantines_not_drops(spark):
+    row = QUERIES["csv_badrows"](spark, SF_SMOKE).first()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    n_bad = sum(1 for d in docs if d.doc_id % 7 == 0)
+    assert row.n_bad == n_bad
+    assert row.n_good == len(docs) - n_bad
+    assert row.n_good + row.n_bad == len(docs)  # nothing dropped
+
+
+def test_schema_evolution_null_semantics(spark):
+    rows = QUERIES["schema_evolution"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    want = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        a = want[d.lang]
+        a[0] += 1
+        if d.doc_id % 2 == 1:
+            a[1] += 1
+            a[2] += d.n_chars % 100
+    got = {r.lang: (r.n_docs, r.n_with_quality, r.quality_sum) for r in rows}
+    assert got == {k: tuple(v) for k, v in want.items()}
