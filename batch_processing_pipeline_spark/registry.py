@@ -9898,3 +9898,163 @@ ORACLES["schema_evolution"] = """
     FROM documents GROUP BY lang
 """
 QUERIES["schema_evolution"] = q_schema_evolution
+
+
+def q_group_split(spark, sf):
+    """GROUP-aware train/val/test split: the split key is the USER, not
+    the row, so every event of a user lands in one split — the
+    leak-free boundary for behavioral training data (a per-row split
+    leaks user identity across train/test; group splitting is the
+    standard fix). Same cumulative-hash CASE ladder as split_assign,
+    keyed on user_id; the output pins both the per-split rollup AND the
+    no-straddle invariant (max splits per user, which must be 1)."""
+    from batch_processing_pipeline_spark.operators.sampling import assign_split
+
+    e = _events(spark, sf).select("user_id", "event_id")
+    s = assign_split(e, _SPLIT_WEIGHTS, key_col="user_id", seed="gsp")
+    per_user = s.groupBy("user_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    straddle = per_user.agg(
+        F.max("n_splits").cast("long").alias("max_splits_per_user")
+    )
+    rollup = s.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return rollup.crossJoin(F.broadcast(straddle)).select(
+        "split", "n_users", "n_events", "max_splits_per_user"
+    )
+
+
+def _group_split_case_sql() -> str:
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = list(_SPLIT_WEIGHTS)
+    acc = 0.0
+    branches = []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        branches.append(
+            "WHEN substr(md5('gsp:' || CAST(user_id AS VARCHAR)), 1, 8)"
+            f" < '{hex_threshold(acc)}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+ORACLES["group_split"] = f"""
+    WITH s AS (
+      SELECT user_id, event_id, {_group_split_case_sql()} AS split
+      FROM events
+    ), straddle AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_splits_per_user FROM (
+        SELECT user_id, COUNT(DISTINCT split) AS n FROM s GROUP BY user_id
+      )
+    )
+    SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (SELECT max_splits_per_user FROM straddle) AS max_splits_per_user
+    FROM s GROUP BY split
+"""
+QUERIES["group_split"] = q_group_split
+
+
+def q_woe_iv(spark, sf):
+    """Weight-of-evidence binning + information value of order price
+    against the 'F' status outcome — the credit-scoring feature audit
+    (WOE_i = ln(%good_i / %bad_i), IV = sum (%good_i - %bad_i) * WOE_i;
+    IV < 0.02 means the feature is useless, > 0.5 suspicious). Fixed-
+    width bins (quantile cut points would hinge on interpolated ulps —
+    the psi_drift lesson) and Laplace +0.5 cell smoothing so empty cells
+    stay finite in both engines. Everything after the one fact-table
+    groupBy is window math over the bin relation."""
+    o = _t(spark, sf, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(7)
+        ).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("double").alias("g"),
+        F.sum("bad").cast("double").alias("b"),
+    )
+    w = Window.partitionBy()
+    t = per_bin.select(
+        "bin",
+        "g",
+        "b",
+        F.sum("g").over(w).alias("tg"),
+        F.sum("b").over(w).alias("tb"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    pg = (F.col("g") + 0.5) / (F.col("tg") + 0.5 * F.col("nb"))
+    pb = (F.col("b") + 0.5) / (F.col("tb") + 0.5 * F.col("nb"))
+    woe = F.log(pg / pb)
+    return t.select(
+        "bin",
+        (F.col("g") + F.col("b")).cast("long").alias("n_orders"),
+        round4(woe).alias("woe"),
+        round4(F.sum((pg - pb) * woe).over(w)).alias("iv_total"),
+    )
+
+
+ORACLES["woe_iv"] = f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 7) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ), per_bin AS (
+      SELECT bin, CAST(SUM(1 - bad) AS DOUBLE) AS g,
+             CAST(SUM(bad) AS DOUBLE) AS b
+      FROM binned GROUP BY bin
+    ), t AS (
+      SELECT bin, g, b,
+             SUM(g) OVER () AS tg, SUM(b) OVER () AS tb,
+             COUNT(*) OVER () AS nb
+      FROM per_bin
+    )
+    SELECT bin,
+           CAST(g + b AS BIGINT) AS n_orders,
+           {R("ln(((g + 0.5) / (tg + 0.5 * nb)) / ((b + 0.5) / (tb + 0.5 * nb)))")} AS woe,
+           {R("SUM(((g + 0.5) / (tg + 0.5 * nb) - (b + 0.5) / (tb + 0.5 * nb))"
+              " * ln(((g + 0.5) / (tg + 0.5 * nb)) / ((b + 0.5) / (tb + 0.5 * nb))))"
+              " OVER ()")} AS iv_total
+    FROM t
+"""
+QUERIES["woe_iv"] = q_woe_iv
+
+
+def q_mm_image_phash(spark, sf):
+    """Perceptual image near-dup groups over REAL decode: synthesize a
+    PNG per document, re-ingest every fifth one under a new id (the
+    re-crawled-image scenario), dHash all payloads (decode -> grayscale
+    -> 9x8 resample -> 64 comparison bits), and group by hash — the
+    image twin of exact_dedup: after the Arrow decode stage only
+    (id, 16-hex) rows shuffle, never pixels.
+
+    Hash-dependent output (dHash collisions are by design — that's what
+    makes it NEAR-dup) -> rows-only; pytest pins planted-copy recovery
+    and rerun stability."""
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        dhash_images,
+        synthesize_png,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    recrawl = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(recrawl)
+    hashes = dhash_images(synthesize_png(corpus))
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").alias("first_id"),
+        )
+        .where(F.col("n_images") > 1)
+    )
+
+
+ORACLES["mm_image_phash"] = None
+QUERIES["mm_image_phash"] = q_mm_image_phash

@@ -566,3 +566,73 @@ def test_schema_evolution_null_semantics(spark):
             a[2] += d.n_chars % 100
     got = {r.lang: (r.n_docs, r.n_with_quality, r.quality_sum) for r in rows}
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_group_split_has_no_straddlers(spark):
+    rows = QUERIES["group_split"](spark, SF_SMOKE).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    for r in rows:
+        assert r.max_splits_per_user == 1  # the leak-free invariant
+    total_events = sum(r.n_events for r in rows)
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert total_events == n_events  # exhaustive assignment
+
+
+def test_woe_iv_matches_python_reference(spark):
+    rows = QUERIES["woe_iv"](spark, SF_SMOKE).collect()
+    got = {r.bin: r for r in rows}
+
+    bins = defaultdict(lambda: [0.0, 0.0])
+    for o in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect():
+        b = min(int(o.o_totalprice // 50000), 7)
+        if o.o_orderstatus == "F":
+            bins[b][1] += 1
+        else:
+            bins[b][0] += 1
+    tg = sum(g for g, _ in bins.values())
+    tb = sum(b for _, b in bins.values())
+    nb = len(bins)
+    iv = 0.0
+    woes = {}
+    for k, (g, b) in bins.items():
+        pg = (g + 0.5) / (tg + 0.5 * nb)
+        pb = (b + 0.5) / (tb + 0.5 * nb)
+        woes[k] = math.log(pg / pb)
+        iv += (pg - pb) * woes[k]
+    assert set(got) == set(bins)
+    for k, w in woes.items():
+        assert abs(got[k].woe - w) < 1e-3, k
+        assert abs(got[k].iv_total - iv) < 1e-3
+        assert got[k].n_orders == int(sum(bins[k]))
+    assert iv >= 0  # IV is nonnegative by construction
+
+
+def test_mm_image_phash_recovers_planted_recrawls(spark):
+    rows = QUERIES["mm_image_phash"](spark, SF_SMOKE).collect()
+    rows2 = QUERIES["mm_image_phash"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))  # rerun-stable
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    planted = {d.doc_id for d in docs if d.doc_id % 5 == 0}
+    # every planted recrawl produced an identical image, so each planted id
+    # must appear in some >1 group whose first_id <= it
+    # at minimum, the duplicate-group members cover every planted pair
+    assert sum(r.n_images for r in rows) >= 2 * len(planted)
+    # direct pin: recompute hashes for a sample of planted pairs
+    from batch_processing_pipeline_spark.multimodal.binary_ops import (
+        dhash_images,
+        synthesize_png,
+    )
+
+    sample = spark.createDataFrame(
+        [(d.doc_id, d.text) for d in docs if d.doc_id % 5 == 0][:20]
+        + [
+            (d.doc_id + 10_000_000, d.text)
+            for d in docs
+            if d.doc_id % 5 == 0
+        ][:20],
+        "doc_id long, text string",
+    )
+    hs = {r.doc_id: r.dhash for r in dhash_images(synthesize_png(sample)).collect()}
+    for d in sorted(planted)[:20]:
+        assert hs[d] == hs[d + 10_000_000], d
