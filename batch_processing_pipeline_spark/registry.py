@@ -10058,3 +10058,150 @@ def q_mm_image_phash(spark, sf):
 
 ORACLES["mm_image_phash"] = None
 QUERIES["mm_image_phash"] = q_mm_image_phash
+
+
+def q_spell_correct(spark, sf):
+    """Query-log spell correction ("did you mean"): rare tokens are
+    corrected to the highest-frequency vocabulary word within edit
+    distance 1, found by the same SymSpell deletion-neighborhood
+    equi-join as entity_resolution — never an all-pairs edit-distance
+    scan. The reference's serving domain (autocomplete over query logs)
+    is exactly where this runs: head terms form the vocabulary, tail
+    typos map onto it.
+
+    Determinism contract: candidate ranking is (frequency DESC, word
+    ASC); vocabulary = tokens with count >= 10, correction targets =
+    tokens with count <= 2 and length >= 4 (short tokens are too
+    ambiguous to correct — standard practice). The fixture corpus has no
+    organic typos, so the query PLANTS them (the dedup_minhash
+    discipline): every 17th document contributes one corrupted copy of
+    its first word (char at a key-derived position dropped) to the token
+    stream."""
+    d = _t(spark, sf, "documents")
+    base_tokens = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ", -1)).alias("w")
+    ).where(F.col("w") != "")
+    fw = F.split(F.lower(F.trim(F.col("text"))), " ", -1)[0]
+    typo_pos = F.pmod(F.col("doc_id"), F.length(fw) - 1) + 2
+    typos = (
+        d.where((F.col("doc_id") % 17 == 0) & (F.length(fw) >= 5))
+        .select(fw.alias("fw"), typo_pos.alias("p"))
+        .select(
+            F.concat(
+                F.expr("substring(fw, 1, p - 1)"),
+                F.expr("substring(fw, p + 1, length(fw))"),
+            ).alias("w")
+        )
+    )
+    words = (
+        base_tokens.unionByName(typos)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.where(F.col("n") >= 10)
+    rare = words.where((F.col("n") <= 2) & (F.length("w") >= 4))
+
+    def del_keys(df, wcol, ncol, out_n):
+        return df.select(
+            F.col(wcol).alias("w"),
+            F.col(ncol).alias(out_n),
+            F.explode(
+                F.sequence(F.lit(1), F.length(wcol))
+            ).alias("p"),
+        ).select(
+            "w",
+            out_n,
+            "p",
+            F.concat(
+                F.expr("substring(w, 1, p - 1)"),
+                F.expr("substring(w, p + 1, length(w))"),
+            ).alias("bkey"),
+        )
+
+    # deletion neighborhoods joined on the VARIANT STRING alone (not the
+    # position): deletes/inserts shift positions, so unlike the pure-
+    # substitution ER model the key must be position-free; all edit-1
+    # pairs (sub/del/ins) then share >= 1 variant — including the word
+    # itself for deletions (variant of rare == vocab word) — so recall
+    # needs the word unioned into its own neighborhood
+    rk = del_keys(rare, "w", "n", "rn").select("w", "rn", "bkey").unionByName(
+        rare.select("w", F.col("n").alias("rn"), F.col("w").alias("bkey"))
+    )
+    vk = del_keys(vocab, "w", "n", "vn").select(
+        F.col("w").alias("vw"), "vn", "bkey"
+    ).unionByName(
+        vocab.select(F.col("w").alias("vw"), F.col("n").alias("vn"), F.col("w").alias("bkey"))
+    )
+    cand = (
+        rk.join(vk, "bkey")
+        .select("w", "rn", "vw", "vn")
+        .distinct()
+        .where(F.levenshtein(F.col("w"), F.col("vw")) == 1)
+    )
+    w_rank = Window.partitionBy("w").orderBy(
+        F.col("vn").desc(), F.col("vw").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("w").alias("typo"),
+            F.col("rn").cast("long").alias("typo_count"),
+            F.col("vw").alias("correction"),
+            F.col("vn").cast("long").alias("correction_count"),
+        )
+    )
+
+
+ORACLES["spell_correct"] = """
+    WITH toks AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+      UNION ALL
+      SELECT substr(fw, 1, CAST(p AS INTEGER) - 1)
+               || substr(fw, CAST(p AS INTEGER) + 1, length(fw)) AS w
+      FROM (
+        SELECT string_split(lower(trim(text)), ' ')[1] AS fw,
+               doc_id % (length(string_split(lower(trim(text)), ' ')[1]) - 1)
+                 + 2 AS p
+        FROM documents
+        WHERE doc_id % 17 = 0
+          AND length(string_split(lower(trim(text)), ' ')[1]) >= 5
+      )
+    ), words AS (
+      SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+    ), vocab AS (
+      SELECT w, n FROM words WHERE n >= 10
+    ), rare AS (
+      SELECT w, n FROM words WHERE n <= 2 AND length(w) >= 4
+    ), rk AS (
+      SELECT w, n AS rn,
+             substr(w, 1, CAST(p AS INTEGER) - 1)
+               || substr(w, CAST(p AS INTEGER) + 1, length(w)) AS bkey
+      FROM rare, UNNEST(range(1, length(w) + 1)) AS u(p)
+      UNION
+      SELECT w, n, w FROM rare
+    ), vk AS (
+      SELECT w AS vw, n AS vn,
+             substr(w, 1, CAST(p AS INTEGER) - 1)
+               || substr(w, CAST(p AS INTEGER) + 1, length(w)) AS bkey
+      FROM vocab, UNNEST(range(1, length(w) + 1)) AS u(p)
+      UNION
+      SELECT w, n, w FROM vocab
+    ), cand AS (
+      SELECT DISTINCT r.w, r.rn, v.vw, v.vn
+      FROM rk r JOIN vk v USING (bkey)
+      WHERE levenshtein(r.w, v.vw) = 1
+    )
+    SELECT w AS typo, CAST(rn AS BIGINT) AS typo_count,
+           vw AS correction, CAST(vn AS BIGINT) AS correction_count
+    FROM (
+      SELECT w, rn, vw, vn,
+             ROW_NUMBER() OVER (PARTITION BY w
+               ORDER BY vn DESC, vw ASC) AS rk
+      FROM cand
+    ) WHERE rk = 1
+"""
+QUERIES["spell_correct"] = q_spell_correct

@@ -636,3 +636,48 @@ def test_mm_image_phash_recovers_planted_recrawls(spark):
     hs = {r.doc_id: r.dhash for r in dhash_images(synthesize_png(sample)).collect()}
     for d in sorted(planted)[:20]:
         assert hs[d] == hs[d + 10_000_000], d
+
+
+def test_spell_correct_matches_python_reference(spark):
+    rows = QUERIES["spell_correct"](spark, SF_SMOKE).collect()
+    got = {r.typo: (r.correction, r.typo_count, r.correction_count) for r in rows}
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    toks = []
+    for d in docs:
+        ws = [w for w in (d.text or "").strip().lower().split(" ") if w]
+        toks.extend(ws)
+        if d.doc_id % 17 == 0 and ws and len(ws[0]) >= 5:
+            fw = ws[0]
+            p = d.doc_id % (len(fw) - 1) + 2
+            toks.append(fw[: p - 1] + fw[p:])
+    cnt = Counter(toks)
+    vocab = {w: n for w, n in cnt.items() if n >= 10}
+    rare = {w: n for w, n in cnt.items() if n <= 2 and len(w) >= 4}
+
+    def edit1(a, b):
+        # levenshtein(a,b) == 1 check via length cases
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if la < lb else (b, a)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1 :] == s:
+                return True
+        return False
+
+    want = {}
+    for w, rn in rare.items():
+        cands = [(vn, vw) for vw, vn in vocab.items() if edit1(w, vw)]
+        if cands:
+            # rank: frequency desc, word asc
+            best = sorted(cands, key=lambda c: (-c[0], c[1]))[0]
+            want[w] = (best[1], rn, best[0])
+    assert got == want
+    assert len(got) > 0  # planted typos actually exercised the path
+    for typo, (corr, _tn, cn) in got.items():
+        assert cn >= 10 and edit1(typo, corr)
