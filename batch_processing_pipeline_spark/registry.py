@@ -10205,3 +10205,57 @@ ORACLES["spell_correct"] = """
     ) WHERE rk = 1
 """
 QUERIES["spell_correct"] = q_spell_correct
+
+
+def q_mm_curation_pipeline(spark, sf):
+    """The composed MULTIMODAL curation funnel (plans/mm_curation.py):
+    text quality -> image dimension gate (REAL PNG decode) -> audio
+    energy gate (REAL WAV decode) -> exact dedup, with per-stage
+    accounting — the pretrain_pipeline twin for (text, image, audio)
+    triples. The DuckDB oracle re-derives every gate arithmetically from
+    the deterministic payload generators, so the decode stages are
+    differentially pinned end to end."""
+    from batch_processing_pipeline_spark.plans.mm_curation import (
+        mm_curation_pipeline,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return mm_curation_pipeline(spark, d)
+
+
+ORACLES["mm_curation_pipeline"] = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+    ), s1 AS (
+      SELECT * FROM corpus
+      WHERE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / length(text) >= 0.5
+    ), s2 AS (
+      SELECT * FROM s1
+      WHERE length(text) % 13 + 1 >= 3 AND length(text) % 7 + 1 >= 3
+    ), rms AS (
+      SELECT doc_id,
+             SQRT(SUM((CAST((i * step) % 256 AS DOUBLE) - 128.0)
+                      * (CAST((i * step) % 256 AS DOUBLE) - 128.0))
+                  / COUNT(*)) AS rms
+      FROM (
+        SELECT doc_id, length(text) % 50 + 20 AS n,
+               length(text) % 7 + 2 AS step
+        FROM s2
+      ), UNNEST(range(0, (n // 16) * 16)) AS u(i)
+      GROUP BY doc_id
+    ), s3 AS (
+      SELECT s2.* FROM s2 JOIN rms USING (doc_id) WHERE rms.rms >= 70.0
+    ), s4 AS (
+      SELECT * FROM s3 WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM s3 GROUP BY md5(lower(trim(text)))
+      )
+    )
+    SELECT CAST(0 AS INTEGER) AS stage_idx, 'corpus' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs FROM corpus
+    UNION ALL SELECT 1, 'text_quality', COUNT(*) FROM s1
+    UNION ALL SELECT 2, 'image_dims', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'audio_energy', COUNT(*) FROM s3
+    UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s4
+"""
+QUERIES["mm_curation_pipeline"] = q_mm_curation_pipeline

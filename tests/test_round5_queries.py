@@ -681,3 +681,22 @@ def test_spell_correct_matches_python_reference(spark):
     assert len(got) > 0  # planted typos actually exercised the path
     for typo, (corr, _tn, cn) in got.items():
         assert cn >= 10 and edit1(typo, corr)
+
+
+def test_mm_curation_pipeline_monotone_and_calibrated(spark):
+    rows = sorted(
+        QUERIES["mm_curation_pipeline"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    stages = [r.stage for r in rows]
+    assert stages == [
+        "corpus", "text_quality", "image_dims", "audio_energy", "exact_dedup",
+    ]
+    counts = [r.n_docs for r in rows]
+    # funnel contract: each stage sees only the previous stage's survivors
+    for a, b in zip(counts, counts[1:]):
+        assert b <= a, counts
+    # calibration: every gate actually discriminates on this fixture
+    # (a funnel of no-op stages would pass monotonicity vacuously)
+    assert counts[0] > counts[2] and counts[2] > counts[3], counts
+    assert counts[-1] > 0
