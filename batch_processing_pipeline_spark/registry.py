@@ -10259,3 +10259,112 @@ ORACLES["mm_curation_pipeline"] = """
     UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s4
 """
 QUERIES["mm_curation_pipeline"] = q_mm_curation_pipeline
+
+
+def q_jsonl_roundtrip(spark, sf):
+    """JSON-lines sink + source round trip with NESTED structure — the
+    pretraining-corpus interchange format (every public text dataset
+    ships as JSONL with a metadata object). Documents are written with a
+    nested meta struct and a tag array, re-read against an explicit
+    schema (never inference at scale — schema drift in file N+1 silently
+    retypes a column), and rolled up including a nested field and an
+    array length; the oracle computes the same from the original table,
+    so struct/array/unicode round-tripping is hash-pinned."""
+    import os
+
+    store = _roundtrip_store(spark, sf, "jsonl")
+    d = _t(spark, sf, "documents")
+    enriched = d.select(
+        "doc_id",
+        "text",
+        F.struct(
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").alias("chars"),
+        ).alias("meta"),
+        F.array(F.col("lang"), F.col("source")).alias("tags"),
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        enriched.write.mode("overwrite").json(store)
+    back = spark.read.schema(
+        "doc_id long, text string, "
+        "meta struct<lang:string, source:string, chars:long>, "
+        "tags array<string>"
+    ).json(store)
+    return back.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("meta.chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.sum(F.size("tags")).cast("long").alias("tag_count"),
+        F.countDistinct("meta.source").alias("n_sources"),
+    )
+
+
+ORACLES["jsonl_roundtrip"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+           CAST(COUNT(*) * 2 AS BIGINT) AS tag_count,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+"""
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+
+
+def q_managed_table(spark, sf):
+    """Catalog / managed-table DDL surface: CREATE TABLE ... USING
+    PARQUET AS SELECT, INSERT INTO, then query the managed table — the
+    warehouse path (saveAsTable / metastore) as opposed to path-based
+    reads. The table is created from the first 20 days of events and the
+    tail is INSERTed, so the query also pins append semantics; the
+    oracle recomputes the union from raw events.
+
+    The table name is keyed by the sf fixture (the warehouse directory
+    persists across sessions — a fixed name would serve a stale table
+    from a different scale factor) and dropped at exit."""
+    import atexit
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    tbl = f"events_rollup_{tag}"
+    e = _events(spark, sf).select(
+        F.to_date("ts").alias("d"), "event_type", "value"
+    )
+    cutoff = "2024-01-21"
+    if tbl not in _SMB_CLEANUP_DIRS:
+        _SMB_CLEANUP_DIRS.add(tbl)
+        # remove the warehouse DIRECTORY at exit: the in-memory catalog
+        # forgets the table across sessions, but a leftover directory
+        # makes the next session's saveAsTable fail with path-exists
+        import shutil
+
+        wh = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            tbl,
+        )
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    if not spark.catalog.tableExists(tbl):
+        e.where(F.col("d") < F.lit(cutoff)).groupBy("d", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        ).write.format("parquet").saveAsTable(tbl)
+        tail = (
+            e.where(F.col("d") >= F.lit(cutoff))
+            .groupBy("d", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        )
+        tail.write.insertInto(tbl)
+    return spark.table(tbl).groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.countDistinct("d").alias("n_days"),
+        round4(F.sum("sv")).alias("total_value"),
+    )
+
+
+ORACLES["managed_table"] = f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           {R("SUM(value)")} AS total_value
+    FROM events GROUP BY event_type
+"""
+QUERIES["managed_table"] = q_managed_table

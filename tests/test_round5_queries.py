@@ -700,3 +700,30 @@ def test_mm_curation_pipeline_monotone_and_calibrated(spark):
     # (a funnel of no-op stages would pass monotonicity vacuously)
     assert counts[0] > counts[2] and counts[2] > counts[3], counts
     assert counts[-1] > 0
+
+
+def test_jsonl_roundtrip_preserves_nested_structure(spark):
+    rows = QUERIES["jsonl_roundtrip"](spark, SF_SMOKE).collect()
+    got = {r.lang: (r.n_docs, r.total_chars, r.text_chars, r.tag_count, r.n_sources) for r in rows}
+    want = defaultdict(lambda: [0, 0, 0, 0, set()])
+    for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        a = want[d.lang]
+        a[0] += 1
+        a[1] += d.n_chars
+        a[2] += len(d.text or "")
+        a[3] += 2
+        a[4].add(d.source)
+    assert got == {
+        k: (v[0], v[1], v[2], v[3], len(v[4])) for k, v in want.items()
+    }
+
+
+def test_managed_table_append_semantics(spark):
+    rows = QUERIES["managed_table"](spark, SF_SMOKE).collect()
+    got = {r.event_type: (r.n_events, r.n_days) for r in rows}
+    want = defaultdict(lambda: [0, set()])
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        a = want[e.event_type]
+        a[0] += 1
+        a[1].add(e.ts.date())
+    assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
