@@ -10368,3 +10368,196 @@ ORACLES["managed_table"] = f"""
     FROM events GROUP BY event_type
 """
 QUERIES["managed_table"] = q_managed_table
+
+
+def q_forecast_eval(spark, sf):
+    """Forecast backtest scoreboard: three standard baselines (naive-1,
+    seasonal-naive-7, trailing 7-day mean) evaluated in-sample with
+    MAE / RMSE / MAPE over the daily series — the model-selection
+    readout that decides whether anything fancier than a baseline is
+    worth running. Every prediction is a lag/window expression over the
+    dimension-sized daily relation; each method scores only days where
+    its prediction is defined (the standard backtest convention), so
+    method rows have different n_days by design."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.orderBy("d")
+    w7 = Window.orderBy("d").rowsBetween(-7, -1)
+    preds = daily.select(
+        "d",
+        "x",
+        F.lag("x", 1).over(w).alias("naive1"),
+        F.lag("x", 7).over(w).alias("snaive7"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.avg("x").over(w7)
+        ).alias("ma7"),
+    )
+    methods = []
+    for name in ("naive1", "snaive7", "ma7"):
+        p = F.col(name)
+        err = F.col("x") - p
+        methods.append(
+            preds.where(p.isNotNull()).agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).cast("long").alias("n_days"),
+                round4(F.avg(F.abs(err))).alias("mae"),
+                round4(F.sqrt(F.avg(err * err))).alias("rmse"),
+                round4(F.avg(F.abs(err) / F.col("x"))).alias("mape"),
+            )
+        )
+    out = methods[0]
+    for m in methods[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+ORACLES["forecast_eval"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), preds AS (
+      SELECT d, x,
+             LAG(x, 1) OVER (ORDER BY d) AS naive1,
+             LAG(x, 7) OVER (ORDER BY d) AS snaive7,
+             CASE WHEN COUNT(*) OVER w7 = 7 THEN AVG(x) OVER w7 END AS ma7
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT 'naive1' AS method, CAST(COUNT(*) AS BIGINT) AS n_days,
+           {R("AVG(ABS(x - naive1))")} AS mae,
+           {R("SQRT(AVG((x - naive1) * (x - naive1)))")} AS rmse,
+           {R("AVG(ABS(x - naive1) / x)")} AS mape
+    FROM preds WHERE naive1 IS NOT NULL
+    UNION ALL
+    SELECT 'snaive7', COUNT(*),
+           {R("AVG(ABS(x - snaive7))")},
+           {R("SQRT(AVG((x - snaive7) * (x - snaive7)))")},
+           {R("AVG(ABS(x - snaive7) / x)")}
+    FROM preds WHERE snaive7 IS NOT NULL
+    UNION ALL
+    SELECT 'ma7', COUNT(*),
+           {R("AVG(ABS(x - ma7))")},
+           {R("SQRT(AVG((x - ma7) * (x - ma7)))")},
+           {R("AVG(ABS(x - ma7) / x)")}
+    FROM preds WHERE ma7 IS NOT NULL
+"""
+QUERIES["forecast_eval"] = q_forecast_eval
+
+
+def q_auc_eval(spark, sf):
+    """Binary-classifier evaluation without a single threshold sweep:
+    ROC AUC via the rank-sum identity (AUC = (sum of positive ranks -
+    n_pos(n_pos+1)/2) / (n_pos * n_neg), midranks for score ties — the
+    Mann-Whitney correspondence), plus precision/recall/F1 at the fixed
+    0.5 operating point. Scores and labels are deterministic functions
+    of the events fixture (score = the portable md5-uniform blended with
+    the label so AUC lands strictly between 0.5 and 1 — a degenerate
+    0.5 or 1.0 AUC would not exercise the rank math).
+
+    Scale shape: ranks come from one cumulative window over DISTINCT
+    scores (value-cardinality bounded, the ks_test discipline), never a
+    global per-row sort."""
+    e = _events(spark, sf)
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("auc:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    # label-shifted score: positives drawn from [0.3, 1), negatives
+    # [0, 0.7); bucketed to 6 decimals via the PORTABLE floor formula
+    # (engine-native ROUND drifts at half-way doubles — rounding.py) so
+    # score ties exist and the midrank path is exercised
+    raw = F.when(label == 1, 0.3 + 0.7 * u).otherwise(0.7 * u)
+    score = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    scored = e.select(score.alias("s"), label.alias("y"))
+    per_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("pos"),
+    )
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_s.select(
+        "s",
+        "cnt",
+        "pos",
+        (
+            (F.sum("cnt").over(w_cum) - F.col("cnt")).cast("double")
+            + (F.col("cnt").cast("double") + 1.0) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum("pos").cast("double").alias("np"),
+        F.sum(F.col("pos").cast("double") * F.col("midrank")).alias("sr_pos"),
+        F.sum(
+            F.when(F.col("s") >= 0.5, F.col("pos")).otherwise(0)
+        ).cast("double").alias("tp"),
+        F.sum(
+            F.when(F.col("s") >= 0.5, F.col("cnt") - F.col("pos")).otherwise(0)
+        ).cast("double").alias("fp"),
+    )
+    nn = F.col("n") - F.col("np")
+    auc = (F.col("sr_pos") - F.col("np") * (F.col("np") + 1.0) / 2.0) / (
+        F.col("np") * nn
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / F.col("np")
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        round4(auc).alias("auc"),
+        round4(prec).alias("precision_at_half"),
+        round4(rec).alias("recall_at_half"),
+        round4(2.0 * prec * rec / (prec + rec)).alias("f1_at_half"),
+    )
+
+
+ORACLES["auc_eval"] = f"""
+    WITH scored AS (
+      SELECT floor((CASE WHEN event_type = 'purchase'
+                    THEN 0.3 + 0.7 * u ELSE 0.7 * u END)
+                   * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(1000000.0 AS DOUBLE) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT event_type,
+               CAST(CAST('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM events
+      )
+    ), per_s AS (
+      SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM scored GROUP BY s
+    ), ranked AS (
+      SELECT s, cnt, pos,
+             CAST(SUM(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank
+      FROM per_s
+    ), agg AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+             CAST(SUM(pos) AS DOUBLE) AS np,
+             SUM(CAST(pos AS DOUBLE) * midrank) AS sr_pos,
+             CAST(SUM(CASE WHEN s >= 0.5 THEN pos ELSE 0 END) AS DOUBLE) AS tp,
+             CAST(SUM(CASE WHEN s >= 0.5 THEN cnt - pos ELSE 0 END) AS DOUBLE) AS fp
+      FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(n - np AS BIGINT) AS n_neg,
+           {R("(sr_pos - np * (np + 1.0) / 2.0) / (np * (n - np))")} AS auc,
+           {R("tp / (tp + fp)")} AS precision_at_half,
+           {R("tp / np")} AS recall_at_half,
+           {R("2.0 * (tp / (tp + fp)) * (tp / np) / "
+              "(tp / (tp + fp) + tp / np)")} AS f1_at_half
+    FROM agg
+"""
+QUERIES["auc_eval"] = q_auc_eval

@@ -727,3 +727,77 @@ def test_managed_table_append_semantics(spark):
         a[0] += 1
         a[1].add(e.ts.date())
     assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
+
+
+def test_forecast_eval_matches_python_reference(spark):
+    rows = {r.method: r for r in QUERIES["forecast_eval"](spark, SF_SMOKE).collect()}
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    daily = Counter()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        daily[(e.ts.date() - epoch).days] += 1
+    days = sorted(daily)
+    xs = {d: float(daily[d]) for d in days}
+
+    def metrics(pairs):
+        n = len(pairs)
+        mae = sum(abs(x - p) for x, p in pairs) / n
+        rmse = math.sqrt(sum((x - p) ** 2 for x, p in pairs) / n)
+        mape = sum(abs(x - p) / x for x, p in pairs) / n
+        return n, mae, rmse, mape
+
+    idx = {d: i for i, d in enumerate(days)}
+    preds = {
+        "naive1": [(xs[d], xs[days[idx[d] - 1]]) for d in days if idx[d] >= 1],
+        "snaive7": [(xs[d], xs[days[idx[d] - 7]]) for d in days if idx[d] >= 7],
+        "ma7": [
+            (xs[d], sum(xs[days[j]] for j in range(idx[d] - 7, idx[d])) / 7.0)
+            for d in days
+            if idx[d] >= 7
+        ],
+    }
+    for method, pairs in preds.items():
+        n, mae, rmse, mape = metrics(pairs)
+        r = rows[method]
+        assert r.n_days == n, method
+        assert abs(r.mae - mae) < 1e-3, method
+        assert abs(r.rmse - rmse) < 1e-3, method
+        assert abs(r.mape - mape) < 1e-4, method
+
+
+def test_auc_eval_matches_python_reference(spark):
+    row = QUERIES["auc_eval"](spark, SF_SMOKE).first()
+    pts = []
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        y = 1 if e.event_type == "purchase" else 0
+        u = int(
+            hashlib.md5(f"auc:{e.event_id}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        raw = 0.3 + 0.7 * u if y else 0.7 * u
+        s = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+        pts.append((s, y))
+    n_pos = sum(y for _, y in pts)
+    n_neg = len(pts) - n_pos
+    # midrank AUC
+    by_s = sorted(pts)
+    ranks = {}
+    i = 0
+    while i < len(by_s):
+        j = i
+        while j < len(by_s) and by_s[j][0] == by_s[i][0]:
+            j += 1
+        ranks[by_s[i][0]] = (i + j + 1) / 2.0
+        i = j
+    sr_pos = sum(ranks[s] for s, y in pts if y)
+    auc = (sr_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    tp = sum(1 for s, y in pts if y and s >= 0.5)
+    fp = sum(1 for s, y in pts if not y and s >= 0.5)
+    prec, rec = tp / (tp + fp), tp / n_pos
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert abs(row.auc - auc) < 1e-3
+    assert abs(row.precision_at_half - prec) < 1e-3
+    assert abs(row.recall_at_half - rec) < 1e-3
+    assert abs(row.f1_at_half - 2 * prec * rec / (prec + rec)) < 1e-3
+    # the label-shifted construction must land strictly inside (0.5, 1)
+    assert 0.55 < row.auc < 0.99
