@@ -10561,3 +10561,109 @@ ORACLES["auc_eval"] = f"""
     FROM agg
 """
 QUERIES["auc_eval"] = q_auc_eval
+
+
+def q_winnowing_dup_pairs(spark, sf):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): per k-gram hash sequence, select the RIGHTMOST
+    MINIMUM of every w-length window; the guarantee MinHash lacks is
+    POSITIONAL — every match of length >= w+k-1 shares at least one
+    selected fingerprint, so near-dup detection has a provable no-miss
+    window.
+
+    Engine shape: the rightmost-min-per-window argmin is encoded into
+    one BIGINT key (hash * 4096 + (4096 - pos): min picks the smallest
+    hash, ties the largest pos) so window selection is a plain MIN over
+    a per-doc ordered frame — portable to the oracle verbatim, no
+    argmin/struct-window support needed. Fingerprints dedup per doc,
+    stopgram-class fingerprints (df > 10% of docs) drop exactly as the
+    inverted-index path drops them (the skew hazard at corpus scale),
+    and candidate pairs come from the fingerprint-bucket self-join —
+    never an all-pairs scan. Pairs sharing >= 3 fingerprints emit."""
+    k, w, cap = 5, 8, 0.10
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 1000).alias("t"),
+    ).where(F.length("t") >= k + w - 1)
+    n_docs = d.count()
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))
+        ).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "p",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(t, p, {k})")), 1, 10
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1 << 40),
+        ).alias("hs"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(w - 1), 0)
+    key = F.col("hs") * 4096 + (F.lit(4096) - F.col("p"))
+    sel = grams.select(
+        "doc_id",
+        "p",
+        F.min(key).over(win).alias("sel_key"),
+    ).where(F.col("p") >= w)
+    fps = sel.select(
+        "doc_id", (F.col("sel_key") / 4096).cast("bigint").alias("fh")
+    ).distinct()
+    hot = fps.groupBy("fh").agg(F.countDistinct("doc_id").alias("df")).where(
+        F.col("df") > n_docs * cap
+    )
+    kept = fps.join(hot.select("fh"), "fh", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+ORACLES["winnowing_dup_pairs"] = """
+    WITH d AS (
+      SELECT doc_id, substr(lower(trim(text)), 1, 1000) AS t
+      FROM documents WHERE length(substr(lower(trim(text)), 1, 1000)) >= 12
+    ), nd AS (SELECT COUNT(*) AS n FROM d),
+    grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             CAST('0x' || substr(md5(substr(t, CAST(p AS INTEGER), 5)), 1, 10)
+                  AS BIGINT) % (CAST(1 AS BIGINT) << 40) AS hs
+      FROM d, UNNEST(range(1, length(t) - 3)) AS u(p)
+    ), sel AS (
+      SELECT doc_id, p,
+             MIN(hs * 4096 + (4096 - p)) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel_key
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel_key // 4096 AS fh
+      FROM sel WHERE p >= 8
+    ), hot AS (
+      SELECT fh FROM fps, nd GROUP BY fh, nd.n
+      HAVING COUNT(DISTINCT doc_id) > nd.n * 0.10
+    ), kept AS (
+      SELECT * FROM fps WHERE fh NOT IN (SELECT fh FROM hot)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+"""
+QUERIES["winnowing_dup_pairs"] = q_winnowing_dup_pairs

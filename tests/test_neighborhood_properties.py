@@ -68,3 +68,52 @@ def test_neighborhood_size_is_linear(w):
     """Bucket fan-out is len+1 keys per record — the scale contract
     (an edit-2 neighborhood would be quadratic; we deliberately don't)."""
     assert len(deletion_variants(w)) <= len(w) + 1
+
+
+# ---------------------------------------------------------------- winnowing
+import hashlib
+
+K, W = 5, 8
+
+
+def _gram_hash(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:10], 16) % (1 << 40)
+
+
+def winnow(text: str) -> set[int]:
+    """Python mirror of q_winnowing_dup_pairs' selection: rightmost min
+    of every W-window over K-gram hashes, via the same integer key
+    encoding (hash * 4096 + (4096 - pos))."""
+    hs = [
+        _gram_hash(text[i : i + K]) for i in range(len(text) - K + 1)
+    ]  # pos = i+1 (1-based)
+    out = set()
+    for end in range(W - 1, len(hs)):
+        window = [
+            hs[p] * 4096 + (4096 - (p + 1)) for p in range(end - W + 1, end + 1)
+        ]
+        out.add(min(window) // 4096)
+    return out
+
+
+@given(
+    st.text(alphabet="abcdefgh ", min_size=12, max_size=40),
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=20),
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=20),
+)
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(common, pre, post):
+    """The Schleimer et al. guarantee: any common substring of length
+    >= W + K - 1 (= 12) yields at least one shared fingerprint,
+    REGARDLESS of how the substring is embedded in each document."""
+    a = pre + common
+    b = common + post
+    assert winnow(a) & winnow(b)
+
+
+@given(st.text(alphabet="abcdefgh ", min_size=12, max_size=60))
+def test_winnowing_density_bound(text):
+    """Selection density: at most one NEW fingerprint per window step,
+    and at least one fingerprint overall (coverage)."""
+    fps = winnow(text)
+    n_windows = (len(text) - K + 1) - W + 1
+    assert 1 <= len(fps) <= n_windows
