@@ -10667,3 +10667,137 @@ ORACLES["winnowing_dup_pairs"] = """
     HAVING COUNT(*) >= 3
 """
 QUERIES["winnowing_dup_pairs"] = q_winnowing_dup_pairs
+
+
+def q_url_normalize(spark, sf):
+    """URL parsing + canonicalization — the first step of every web-crawl
+    curation pipeline (per-host quotas, tracking-param stripping, dedup
+    on canonical URLs). URLs are synthesized deterministically from the
+    fixture; the ENGINE side exercises the real ``parse_url`` builtin
+    (HOST / PATH / QUERY parts) and strips ``utm_*`` tracking params by
+    rebuilding the kept query string; the oracle mirrors with regexes.
+    Output: per-host rollup with distinct canonical URLs — the quota
+    relation a politeness-aware crawler consumes."""
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.col("source"),
+        F.lit("/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed&utm_campaign=c"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&ref=r"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    parsed = u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("q"),
+    )
+    kept_params = F.filter(
+        F.split("q", "&", -1), lambda kv: ~kv.startswith("utm_")
+    )
+    canon = parsed.select(
+        "doc_id",
+        "host",
+        F.concat(
+            F.col("host"), F.col("path"),
+            F.lit("?"), F.array_join(kept_params, "&"),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canonical").alias("n_canonical"),
+    )
+
+
+ORACLES["url_normalize"] = """
+    WITH u AS (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/' || source || '/p'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+               || '&utm_source=feed&utm_campaign=c'
+               || CAST(doc_id % 3 AS VARCHAR)
+               || '&ref=r' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, 'https://([^/]+)', 1) AS host,
+             regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '\\?(.*)$', 1) AS q
+      FROM u
+    ), canon AS (
+      SELECT doc_id, host,
+             host || path || '?' ||
+             array_to_string(
+               list_filter(string_split(q, '&'),
+                           kv -> NOT starts_with(kv, 'utm_')), '&')
+               AS canonical
+      FROM parsed
+    )
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical
+    FROM canon GROUP BY host
+"""
+QUERIES["url_normalize"] = q_url_normalize
+
+
+def q_neyman_alloc(spark, sf):
+    """Neyman optimal allocation for stratified sampling: per-stratum
+    sample sizes n_h proportional to N_h * sigma_h (minimum-variance
+    allocation for a fixed total budget n) — the survey-statistics
+    answer to "which strata deserve the sample". Strata are event
+    types, the measured variable is `value`, budget n = 500. One
+    fact-table moment pass, then window math over the stratum relation;
+    the realized sample would use the hash-threshold filter at rate
+    n_h / N_h (sampling.py), so the allocation composes with the
+    deterministic-sampling discipline."""
+    budget = 500.0
+    e = _events(spark, sf).where(F.col("value").isNotNull())
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.stddev_pop("value").alias("sh"),
+    )
+    w = Window.partitionBy()
+    t = per.select(
+        "event_type",
+        "nh",
+        "sh",
+        (F.col("nh") * F.col("sh")).alias("wt"),
+        F.sum(F.col("nh") * F.col("sh")).over(w).alias("tot_wt"),
+    )
+    alloc = F.lit(budget) * F.col("wt") / F.col("tot_wt")
+    return t.select(
+        "event_type",
+        F.col("nh").cast("long").alias("n_stratum"),
+        round4(F.col("sh")).alias("sigma"),
+        round4(alloc).alias("n_alloc"),
+        round4(alloc / F.col("nh")).alias("rate"),
+    )
+
+
+ORACLES["neyman_alloc"] = f"""
+    WITH per AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nh,
+             stddev_pop(value) AS sh
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), t AS (
+      SELECT event_type, nh, sh, nh * sh AS wt,
+             SUM(nh * sh) OVER () AS tot_wt
+      FROM per
+    )
+    SELECT event_type, CAST(nh AS BIGINT) AS n_stratum,
+           {R("sh")} AS sigma,
+           {R("500.0 * wt / tot_wt")} AS n_alloc,
+           {R("500.0 * wt / tot_wt / nh")} AS rate
+    FROM t
+"""
+QUERIES["neyman_alloc"] = q_neyman_alloc

@@ -801,3 +801,45 @@ def test_auc_eval_matches_python_reference(spark):
     assert abs(row.f1_at_half - 2 * prec * rec / (prec + rec)) < 1e-3
     # the label-shifted construction must land strictly inside (0.5, 1)
     assert 0.55 < row.auc < 0.99
+
+
+def test_url_normalize_strips_tracking_params(spark):
+    rows = QUERIES["url_normalize"](spark, SF_SMOKE).collect()
+    got = {r.host: (r.n_urls, r.n_canonical) for r in rows}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    want = defaultdict(lambda: [0, set()])
+    for d in docs:
+        host = f"site{d.doc_id % 20}.example.com"
+        canonical = (
+            f"{host}/{d.source}/p{d.doc_id % 7}"
+            f"?id={d.doc_id}&ref=r{d.doc_id % 5}"
+        )
+        a = want[host]
+        a[0] += 1
+        a[1].add(canonical)
+    assert got == {h: (v[0], len(v[1])) for h, v in want.items()}
+    # tracking params actually stripped: canonicals differing only in
+    # utm_campaign collapse (doc_id%3 varies while id fixes the URL)
+    assert all("utm_" not in c for v in want.values() for c in v[1])
+
+
+def test_neyman_alloc_matches_python_reference(spark):
+    rows = QUERIES["neyman_alloc"](spark, SF_SMOKE).collect()
+    got = {r.event_type: r for r in rows}
+    vals = defaultdict(list)
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        if e.value is not None:
+            vals[e.event_type].append(e.value)
+    wt = {}
+    for t, xs in vals.items():
+        m = sum(xs) / len(xs)
+        sh = math.sqrt(sum((x - m) ** 2 for x in xs) / len(xs))
+        wt[t] = len(xs) * sh
+    tot = sum(wt.values())
+    assert set(got) == set(vals)
+    for t, xs in vals.items():
+        r = got[t]
+        assert r.n_stratum == len(xs)
+        assert abs(r.n_alloc - 500.0 * wt[t] / tot) < 0.51
+    # budget conservation
+    assert abs(sum(r.n_alloc for r in rows) - 500.0) < 0.01
