@@ -10801,3 +10801,232 @@ ORACLES["neyman_alloc"] = f"""
     FROM t
 """
 QUERIES["neyman_alloc"] = q_neyman_alloc
+
+
+def q_dq_expectations(spark, sf):
+    """Data-contract expectation suite (the Great-Expectations pattern):
+    a fixed panel of typed expectations — null rate, key uniqueness,
+    value range, set membership, referential integrity, freshness — each
+    evaluated to (violations, checked, passed) in ONE pass per table.
+    This is the governance artifact a 100-TB ingest gates on: every
+    expectation folds into conditional aggregates (map-side combine),
+    and the only join is the referential anti-probe.
+
+    Output: one row per expectation with its violation count and a
+    boolean verdict — the shape a CI gate or a freshness monitor
+    consumes."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
+
+    o_checks = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_key"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.to_date("o_orderdate") < F.lit("1992-01-01"))
+                | (F.to_date("o_orderdate") > F.lit("2003-12-31")),
+                1,
+            ).otherwise(0)
+        ).alias("stale_date"),
+    )
+    orphan = (
+        o.join(
+            c.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    li_neg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1
+            ).otherwise(0)
+        ).alias("bad_disc"),
+    )
+
+    def row(name, checked, violations):
+        return F.struct(
+            F.lit(name).alias("expectation"),
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+            (violations == 0).alias("passed"),
+        )
+
+    packed = (
+        o_checks.crossJoin(F.broadcast(orphan))
+        .crossJoin(F.broadcast(li_neg.select(F.col("_n").alias("_nl"), "bad_disc")))
+        .select(
+            F.explode(
+                F.array(
+                    row("orders.o_orderkey not_null", F.col("_n"), F.col("null_key")),
+                    row("orders.o_orderkey unique", F.col("_n"), F.col("dup_key")),
+                    row("orders.o_totalprice positive", F.col("_n"), F.col("bad_price")),
+                    row("orders.o_orderstatus in_set", F.col("_n"), F.col("bad_status")),
+                    row("orders.o_orderdate fresh_range", F.col("_n"), F.col("stale_date")),
+                    row("orders.o_custkey references customer", F.col("_n"), F.col("orphans")),
+                    row("lineitem.l_discount in [0,1]", F.col("_nl"), F.col("bad_disc")),
+                )
+            ).alias("r")
+        )
+        .select("r.expectation", "r.n_checked", "r.n_violations", "r.passed")
+    )
+    return packed
+
+
+ORACLES["dq_expectations"] = """
+    WITH o AS (SELECT COUNT(*) AS n FROM orders),
+    l AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT 'orders.o_orderkey not_null' AS expectation,
+           CAST(o.n AS BIGINT) AS n_checked,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+                AS BIGINT) AS n_violations,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS passed
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_orderkey unique', o.n,
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_totalprice positive', o.n,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0.0),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0.0) = 0
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_orderstatus in_set', o.n,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_orderdate fresh_range', o.n,
+           (SELECT COUNT(*) FROM orders
+            WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+               OR CAST(o_orderdate AS DATE) > DATE '2003-12-31'),
+           (SELECT COUNT(*) FROM orders
+            WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+               OR CAST(o_orderdate AS DATE) > DATE '2003-12-31') = 0
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_custkey references customer', o.n,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    FROM o
+    UNION ALL
+    SELECT 'lineitem.l_discount in [0,1]', l.n,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 1.0),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 1.0) = 0
+    FROM l
+"""
+QUERIES["dq_expectations"] = q_dq_expectations
+
+
+def q_moments_merge(spark, sf):
+    """Mergeable-moments aggregation made EXPLICIT: per-day partial
+    states (n, mean, M2) pairwise-merge to the global variance via the
+    Chan/Golub/LeVeque parallel-update formula — the algebra every
+    distributed variance already uses internally, surfaced as a query so
+    the merge path itself is differentially pinned (an incremental
+    statistics store persists exactly these partials and merges on
+    read; getting M2's cross-term wrong matches on small data and
+    silently diverges at scale).
+
+    The merge runs as one ordered F.aggregate fold over the day-state
+    array (series-length bounded); the oracle folds the same states in
+    a recursive CTE in the same order, and the direct single-pass
+    variance rides along so merged == direct is part of the hash."""
+    e = _events(spark, sf)
+    per_day = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mean"),
+        (F.var_pop("value") * F.count(F.lit(1))).alias("m2"),
+    )
+    states = per_day.agg(
+        F.array_sort(F.collect_list(F.struct("d", "n", "mean", "m2"))).alias(
+            "s"
+        )
+    )
+
+    def merge(acc, st):
+        na, nb = acc["n"], st["n"]
+        n = na + nb
+        delta = st["mean"] - acc["mean"]
+        return F.struct(
+            n.alias("n"),
+            (acc["mean"] + delta * nb / n).alias("mean"),
+            (acc["m2"] + st["m2"] + delta * delta * na * nb / n).alias("m2"),
+        )
+
+    folded = states.select(
+        F.aggregate(
+            F.slice("s", 2, F.size("s") - 1),
+            F.struct(
+                F.col("s")[0]["n"].alias("n"),
+                F.col("s")[0]["mean"].alias("mean"),
+                F.col("s")[0]["m2"].alias("m2"),
+            ),
+            merge,
+        ).alias("g"),
+        F.size("s").cast("long").alias("n_partials"),
+    )
+    direct = e.agg(
+        F.avg("value").alias("dmean"), F.var_pop("value").alias("dvar")
+    )
+    return folded.crossJoin(F.broadcast(direct)).select(
+        "n_partials",
+        F.col("g")["n"].cast("long").alias("n_rows"),
+        round4(F.col("g")["mean"]).alias("merged_mean"),
+        round4(F.col("g")["m2"] / F.col("g")["n"]).alias("merged_var"),
+        round4(F.col("dmean")).alias("direct_mean"),
+        round4(F.col("dvar")).alias("direct_var"),
+    )
+
+
+ORACLES["moments_merge"] = f"""
+    WITH RECURSIVE per_day AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS mean, var_pop(value) * COUNT(*) AS m2
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT n, mean, m2, ROW_NUMBER() OVER (ORDER BY d) AS i FROM per_day
+    ), fold(i, n, mean, m2) AS (
+      SELECT CAST(1 AS BIGINT), n, mean, m2 FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i,
+             f.n + idx.n,
+             f.mean + (idx.mean - f.mean) * idx.n / (f.n + idx.n),
+             f.m2 + idx.m2 + (idx.mean - f.mean) * (idx.mean - f.mean)
+               * f.n * idx.n / (f.n + idx.n)
+      FROM fold f JOIN idx ON idx.i = f.i + 1
+    ), last AS (SELECT MAX(i) AS k FROM idx),
+    direct AS (
+      SELECT AVG(value) AS dmean, var_pop(value) AS dvar FROM events
+    )
+    SELECT CAST(last.k AS BIGINT) AS n_partials,
+           CAST(f.n AS BIGINT) AS n_rows,
+           {R("f.mean")} AS merged_mean,
+           {R("f.m2 / f.n")} AS merged_var,
+           {R("direct.dmean")} AS direct_mean,
+           {R("direct.dvar")} AS direct_var
+    FROM fold f, last, direct WHERE f.i = last.k
+"""
+QUERIES["moments_merge"] = q_moments_merge

@@ -843,3 +843,31 @@ def test_neyman_alloc_matches_python_reference(spark):
         assert abs(r.n_alloc - 500.0 * wt[t] / tot) < 0.51
     # budget conservation
     assert abs(sum(r.n_alloc for r in rows) - 500.0) < 0.01
+
+
+def test_dq_expectations_all_pass_on_clean_fixture(spark):
+    rows = QUERIES["dq_expectations"](spark, SF_SMOKE).collect()
+    assert len(rows) == 7
+    for r in rows:
+        # the fixture is clean by construction — the suite's value is
+        # that ANY violation flips a row and breaks the oracle hash
+        assert r.passed and r.n_violations == 0, r.expectation
+        assert r.n_checked > 0
+
+
+def test_moments_merge_equals_direct_variance(spark):
+    row = QUERIES["moments_merge"](spark, SF_SMOKE).first()
+    assert row.n_partials >= 2  # the merge path actually merged
+    assert abs(row.merged_mean - row.direct_mean) < 1e-6
+    assert abs(row.merged_var - row.direct_var) < 1e-6
+    # python reference for the direct side
+    vals = [
+        e.value
+        for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+        if e.value is not None
+    ]
+    m = sum(vals) / len(vals)
+    var = sum((x - m) ** 2 for x in vals) / len(vals)
+    assert row.n_rows == len(vals)
+    assert abs(row.direct_mean - m) < 1e-3
+    assert abs(row.direct_var - var) < 1e-2
