@@ -11030,3 +11030,259 @@ ORACLES["moments_merge"] = f"""
     FROM fold f, last, direct WHERE f.i = last.k
 """
 QUERIES["moments_merge"] = q_moments_merge
+
+
+def q_full_outer_recon(spark, sf):
+    """FULL OUTER reconciliation — the ledger-vs-ledger audit shape (two
+    systems' daily rollups joined so rows missing on EITHER side surface
+    with a typed status). Sides: EXTREME-value purchases per day vs
+    extreme-value clicks per day (the rare-transaction audit — both
+    sides are sparse, so days genuinely missing one side exist at every
+    scale factor and all three status arms fire). Completes the
+    join-type matrix (inner/left/semi/anti/theta/cross elsewhere; this
+    is the outer-both case with its NULL-handling contract pinned)."""
+    e = _events(spark, sf)
+    purchases = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > 200.0))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_purch"), round4(F.sum("value")).alias("rev"))
+    )
+    clicks = (
+        e.where((F.col("event_type") == "click") & (F.col("value") > 200.0))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    j = purchases.join(clicks, "d", "full_outer")
+    status = (
+        F.when(F.col("n_purch").isNull(), "click_only")
+        .when(F.col("n_click").isNull(), "purchase_only")
+        .otherwise("both")
+    )
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_purch", F.lit(0)).cast("long").alias("n_purch"),
+        F.coalesce("rev", F.lit(0.0)).alias("rev"),
+        F.coalesce("n_click", F.lit(0)).cast("long").alias("n_click"),
+        status.alias("status"),
+    )
+
+
+ORACLES["full_outer_recon"] = f"""
+    WITH purchases AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_purch,
+             {R("SUM(value)")} AS rev
+      FROM events WHERE event_type = 'purchase' AND value > 200.0 GROUP BY 1
+    ), clicks AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_click
+      FROM events WHERE event_type = 'click' AND value > 200.0 GROUP BY 1
+    )
+    SELECT strftime(COALESCE(p.d, c.d), '%Y-%m-%d') AS day,
+           CAST(COALESCE(p.n_purch, 0) AS BIGINT) AS n_purch,
+           COALESCE(p.rev, 0.0) AS rev,
+           CAST(COALESCE(c.n_click, 0) AS BIGINT) AS n_click,
+           CASE WHEN p.d IS NULL THEN 'click_only'
+                WHEN c.d IS NULL THEN 'purchase_only'
+                ELSE 'both' END AS status
+    FROM purchases p FULL OUTER JOIN clicks c ON p.d = c.d
+"""
+QUERIES["full_outer_recon"] = q_full_outer_recon
+
+
+def q_suggest_rbo(spark, sf):
+    """Ranking churn between two suggestion builds via truncated
+    Rank-Biased Overlap (Webber, Moffat & Zobel 2010): the autocomplete
+    top-3 from the FULL corpus vs the build with a 10% slice removed
+    (doc_id % 10 == 0 — the "one shard was late" release scenario),
+    RBO@3 with p = 0.9 per shared prefix, then the churn distribution —
+    the release-gate metric for "how much did the ranking move between
+    builds"; most prefixes should hold stable and the late shard's
+    prefixes churn. Truncated RBO@k = (1-p)/(1-p^k) * sum_{{d=1..k}}
+    p^(d-1) * |A_d ∩ B_d| / d (normalized so identical lists score 1),
+    computed from rank-position joins — no list collection."""
+    k, p = 3, 0.9
+    d = _t(spark, sf, "documents")
+
+    def sugg(side):
+        half = d if side == 0 else d.where(F.col("doc_id") % 10 != 0)
+        q = normalize_queries(half, text_col="text")
+        fr = prefix_frequencies(q, max_len=8)
+        return top_k_per_group(
+            fr,
+            group_cols=["prefix"],
+            order_by=[F.desc("frequency"), F.asc("query")],
+            k=k,
+        ).select("prefix", "query", "rk")
+
+    a, b = sugg(0).alias("a"), sugg(1).alias("b")
+    # overlap@d for d=1..k: pairs agreeing on query with both ranks <= d
+    pair = a.join(
+        b,
+        (F.col("a.prefix") == F.col("b.prefix"))
+        & (F.col("a.query") == F.col("b.query")),
+    ).select(
+        F.col("a.prefix").alias("prefix"),
+        F.greatest("a.rk", "b.rk").alias("meet_rk"),
+    )
+    weights = {
+        dd: (1.0 - p) / (1.0 - p**k) * (p ** (dd - 1)) / dd
+        for dd in range(1, k + 1)
+    }
+    contrib = pair.groupBy("prefix").agg(
+        sum(
+            (
+                F.sum(
+                    F.when(F.col("meet_rk") <= dd, 1).otherwise(0)
+                ).cast("double")
+                * F.lit(w)
+                for dd, w in weights.items()
+            ),
+            start=F.lit(0.0),
+        ).alias("rbo_raw")
+    )
+    shared = (
+        a.select("prefix").distinct().join(b.select("prefix").distinct(), "prefix")
+    )
+    scored = shared.join(contrib, "prefix", "left").select(
+        "prefix", F.coalesce("rbo_raw", F.lit(0.0)).alias("rbo")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_prefixes"),
+        round4(F.avg("rbo")).alias("mean_rbo"),
+        F.sum(F.when(F.col("rbo") >= 0.9999, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stable"),
+        F.sum(F.when(F.col("rbo") <= 0.0001, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fully_churned"),
+    )
+
+
+ORACLES["suggest_rbo"] = f"""
+    WITH q0 AS (
+      SELECT substring(lower(trim(text)), 1, 500) AS query FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) >= 2
+    ), q1 AS (
+      SELECT substring(lower(trim(text)), 1, 500) AS query FROM documents
+      WHERE doc_id % 10 <> 0 AND text IS NOT NULL AND length(trim(text)) >= 2
+    ), f0 AS (
+      SELECT substring(query, 1, k.k) AS prefix, query, COUNT(*) AS frequency
+      FROM q0 CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+      WHERE length(query) >= k.k GROUP BY 1, 2
+    ), f1 AS (
+      SELECT substring(query, 1, k.k) AS prefix, query, COUNT(*) AS frequency
+      FROM q1 CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+      WHERE length(query) >= k.k GROUP BY 1, 2
+    ), a AS (
+      SELECT prefix, query, rk FROM (
+        SELECT prefix, query, ROW_NUMBER() OVER (PARTITION BY prefix
+          ORDER BY frequency DESC, query ASC) AS rk FROM f0
+      ) WHERE rk <= 3
+    ), b AS (
+      SELECT prefix, query, rk FROM (
+        SELECT prefix, query, ROW_NUMBER() OVER (PARTITION BY prefix
+          ORDER BY frequency DESC, query ASC) AS rk FROM f1
+      ) WHERE rk <= 3
+    ), pair AS (
+      SELECT a.prefix, GREATEST(a.rk, b.rk) AS meet_rk
+      FROM a JOIN b ON a.prefix = b.prefix AND a.query = b.query
+    ), contrib AS (
+      SELECT prefix,
+             SUM(CASE WHEN meet_rk <= 1 THEN 1 ELSE 0 END)
+               * (1.0 - 0.9) / (1.0 - 0.9 * 0.9 * 0.9) * 1.0 / 1
+             + SUM(CASE WHEN meet_rk <= 2 THEN 1 ELSE 0 END)
+               * (1.0 - 0.9) / (1.0 - 0.9 * 0.9 * 0.9) * 0.9 / 2
+             + SUM(CASE WHEN meet_rk <= 3 THEN 1 ELSE 0 END)
+               * (1.0 - 0.9) / (1.0 - 0.9 * 0.9 * 0.9) * (0.9 * 0.9) / 3
+               AS rbo_raw
+      FROM pair GROUP BY prefix
+    ), shared AS (
+      SELECT DISTINCT a.prefix FROM a JOIN b ON a.prefix = b.prefix
+    ), scored AS (
+      SELECT s.prefix, COALESCE(c.rbo_raw, 0.0) AS rbo
+      FROM shared s LEFT JOIN contrib c ON c.prefix = s.prefix
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_prefixes,
+           {R("AVG(rbo)")} AS mean_rbo,
+           CAST(SUM(CASE WHEN rbo >= 0.9999 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stable,
+           CAST(SUM(CASE WHEN rbo <= 0.0001 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_churned
+    FROM scored
+"""
+QUERIES["suggest_rbo"] = q_suggest_rbo
+
+
+def q_ece_eval(spark, sf):
+    """Expected Calibration Error over 10 fixed-width confidence bins —
+    the companion readout to auc_eval (a model can rank perfectly and
+    still be badly calibrated): ECE = sum_b (n_b/N) * |acc_b - conf_b|,
+    on the same deterministic label-shifted score construction. Fixed
+    bins (not quantile bins — the psi_drift lesson); one conditional
+    aggregation over the scored relation."""
+    e = _events(spark, sf)
+    label = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("auc:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    raw = F.when(label == 1.0, 0.3 + 0.7 * u).otherwise(0.7 * u)
+    s = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    binned = e.select(
+        F.least(F.floor(s * 10).cast("int"), F.lit(9)).alias("bin"),
+        s.alias("s"),
+        label.alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.avg("s").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    w = Window.partitionBy()
+    return per_bin.select(
+        "bin",
+        F.col("nb").cast("long").alias("n"),
+        round4(F.col("conf")).alias("mean_confidence"),
+        round4(F.col("acc")).alias("empirical_rate"),
+        round4(
+            F.sum(
+                F.col("nb") * F.abs(F.col("acc") - F.col("conf"))
+            ).over(w)
+            / F.sum("nb").over(w)
+        ).alias("ece"),
+    )
+
+
+ORACLES["ece_eval"] = f"""
+    WITH scored AS (
+      SELECT floor((CASE WHEN event_type = 'purchase'
+                    THEN 0.3 + 0.7 * u ELSE 0.7 * u END)
+                   * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(1000000.0 AS DOUBLE) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM (
+        SELECT event_type,
+               CAST(CAST('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM events
+      )
+    ), per_bin AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS nb,
+             AVG(s) AS conf, AVG(y) AS acc
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, CAST(nb AS BIGINT) AS n,
+           {R("conf")} AS mean_confidence,
+           {R("acc")} AS empirical_rate,
+           {R("SUM(nb * ABS(acc - conf)) OVER () / SUM(nb) OVER ()")} AS ece
+    FROM per_bin
+"""
+QUERIES["ece_eval"] = q_ece_eval

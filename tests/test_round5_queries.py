@@ -871,3 +871,105 @@ def test_moments_merge_equals_direct_variance(spark):
     assert row.n_rows == len(vals)
     assert abs(row.direct_mean - m) < 1e-3
     assert abs(row.direct_var - var) < 1e-2
+
+
+def test_full_outer_recon_exercises_all_three_arms(spark):
+    rows = QUERIES["full_outer_recon"](spark, SF_SMOKE).collect()
+    statuses = Counter(r.status for r in rows)
+    # the rare-transaction framing must actually produce one-sided days
+    assert statuses["purchase_only"] > 0 and statuses["click_only"] > 0
+    for r in rows:
+        if r.status == "click_only":
+            assert r.n_purch == 0 and r.rev == 0.0 and r.n_click > 0
+        elif r.status == "purchase_only":
+            assert r.n_click == 0 and r.n_purch > 0
+        else:
+            assert r.n_purch > 0 and r.n_click > 0
+    # reference recompute
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days = defaultdict(lambda: [0, 0])
+    for e in events:
+        if e.value is not None and e.value > 200.0:
+            d = e.ts.date().isoformat()
+            if e.event_type == "purchase":
+                days[d][0] += 1
+            elif e.event_type == "click":
+                days[d][1] += 1
+    want = {d: (p, c) for d, (p, c) in days.items() if p or c}
+    got = {r.day: (r.n_purch, r.n_click) for r in rows}
+    assert got == want
+
+
+def test_suggest_rbo_matches_python_reference(spark):
+    row = QUERIES["suggest_rbo"](spark, SF_SMOKE).first()
+
+    def build(skip_slice):
+        freq = Counter()
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+            if skip_slice and d.doc_id % 10 == 0:
+                continue
+            t = (d.text or "").strip().lower()[:500]
+            if len(t) < 2:
+                continue
+            for k in range(2, 9):
+                if len(t) >= k:
+                    freq[(t[:k], t)] += 1
+        by_p = defaultdict(dict)
+        for (p, q), n in freq.items():
+            by_p[p][q] = n
+        return {
+            p: [q for q, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+            for p, c in by_p.items()
+        }
+
+    a, b = build(False), build(True)
+    shared = set(a) & set(b)
+    k, p = 3, 0.9
+    norm = (1 - p) / (1 - p**k)
+    total = 0.0
+    stable = churned = 0
+    for pref in shared:
+        la, lb = a[pref], b[pref]
+        rbo = norm * sum(
+            (p ** (d - 1)) * len(set(la[:d]) & set(lb[:d])) / d
+            for d in range(1, k + 1)
+        )
+        total += rbo
+        if rbo >= 0.9999:
+            stable += 1
+        if rbo <= 0.0001:
+            churned += 1
+    assert row.n_shared_prefixes == len(shared)
+    assert abs(row.mean_rbo - total / len(shared)) < 1e-3
+    assert (row.n_stable, row.n_fully_churned) == (stable, churned)
+    # the 90%-slice scenario: mostly stable rankings, nonzero churn signal
+    assert row.mean_rbo > 0.5
+    assert row.n_stable > 0
+
+
+def test_ece_eval_matches_python_reference(spark):
+    rows = QUERIES["ece_eval"](spark, SF_SMOKE).collect()
+    got = {r.bin: r for r in rows}
+    bins = defaultdict(lambda: [0, 0.0, 0.0])
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        y = 1.0 if e.event_type == "purchase" else 0.0
+        u = int(
+            hashlib.md5(f"auc:{e.event_id}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        raw = 0.3 + 0.7 * u if y else 0.7 * u
+        s = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+        b = min(int(s * 10), 9)
+        bins[b][0] += 1
+        bins[b][1] += s
+        bins[b][2] += y
+    n_total = sum(v[0] for v in bins.values())
+    ece = sum(
+        v[0] / n_total * abs(v[2] / v[0] - v[1] / v[0]) for v in bins.values()
+    )
+    assert set(got) == set(bins)
+    for b, (n, ssum, ysum) in bins.items():
+        r = got[b]
+        assert r.n == n
+        assert abs(r.mean_confidence - ssum / n) < 1e-3
+        assert abs(r.empirical_rate - ysum / n) < 1e-3
+        assert abs(r.ece - ece) < 1e-3
