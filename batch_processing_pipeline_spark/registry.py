@@ -11286,3 +11286,147 @@ ORACLES["ece_eval"] = f"""
     FROM per_bin
 """
 QUERIES["ece_eval"] = q_ece_eval
+
+
+def q_shapley_attribution(spark, sf):
+    """Exact Shapley-value channel attribution (the game-theoretic
+    multi-touch model): each non-purchase channel's credit for
+    conversions is its average marginal contribution across all
+    coalition orderings — phi_i = sum over coalitions S not containing i
+    of |S|!(n-|S|-1)!/n! * (v(S+i) - v(S)), with the standard
+    counting characteristic v(S) = conversions among users whose entire
+    touchset lies inside S. Efficiency (sum phi_i == total conversions)
+    is part of the output, so the identity is hash-pinned.
+
+    Scale shape: ONE fact pass builds the per-user (touchset bitmask,
+    converted) pair — bit_or of channel bits over events before the
+    user's first purchase; everything after runs on the 2^n = 16-row
+    mask relation (subset-sum join, coalition-weight join) — the whole
+    game solves in dimension space, exactly like the reference funnel
+    queries."""
+    channels = ["view", "click", "signup", "error"]
+    n = len(channels)
+    e = _events(spark, sf)
+    first_p = e.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("p_ts"))
+    touches = (
+        e.join(first_p, "user_id", "left")
+        .where(
+            F.col("event_type").isin(channels)
+            & (F.col("p_ts").isNull() | (F.col("ts") < F.col("p_ts")))
+        )
+        .select(
+            "user_id",
+            # shiftleft needs a literal bit count — the channel bit is a
+            # CASE ladder instead (identical to the oracle's)
+            sum(
+                (
+                    F.when(F.col("event_type") == c, 1 << i).otherwise(0)
+                    for i, c in enumerate(channels)
+                ),
+                start=F.lit(0),
+            ).alias("bit"),
+            F.col("p_ts").isNotNull().alias("conv"),
+        )
+    )
+    per_user = touches.groupBy("user_id").agg(
+        F.bit_or("bit").alias("mask"),
+        F.max(F.col("conv").cast("int")).alias("conv"),
+    )
+    mask_conv = per_user.groupBy("mask").agg(
+        F.sum("conv").cast("double").alias("c")
+    )
+    coalitions = spark.range(0, 1 << n).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coalitions.join(
+            mask_conv,
+            F.expr("(mask & ~s) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("v"))
+    )
+    # factorial weights |S|!(n-1-|S|)!/n! for n = 4
+    fact = [1, 1, 2, 6, 24]
+    weight_arr = F.array(
+        *[F.lit(fact[k] * fact[n - 1 - k] / fact[n]) for k in range(n)]
+    )
+    ch = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(channels)], "idx int, channel string"
+    )
+    va, vb = v.alias("va"), v.alias("vb")
+    marginals = (
+        ch.crossJoin(va)
+        .where(F.expr("(va.s & shiftleft(1, idx - 1)) = 0"))
+        .join(
+            vb,
+            F.expr("vb.s = va.s | shiftleft(1, idx - 1)"),
+        )
+        .select(
+            "channel",
+            (
+                F.element_at(
+                    weight_arr, F.bit_count(F.col("va.s")).cast("int") + 1
+                )
+                * (F.col("vb.v") - F.col("va.v"))
+            ).alias("contrib"),
+        )
+    )
+    phi = marginals.groupBy("channel").agg(F.sum("contrib").alias("phi"))
+    total = per_user.agg(F.sum("conv").cast("double").alias("total_conv"))
+    return phi.crossJoin(F.broadcast(total)).select(
+        "channel",
+        round4(F.col("phi")).alias("shapley_credit"),
+        round4(F.col("phi") / F.col("total_conv")).alias("credit_share"),
+        F.col("total_conv").cast("long").alias("total_conversions"),
+    )
+
+
+ORACLES["shapley_attribution"] = f"""
+    WITH first_p AS (
+      SELECT user_id, MIN(ts) AS p_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id,
+             CASE e.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                               WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END AS bit,
+             CASE WHEN f.p_ts IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM events e LEFT JOIN first_p f ON f.user_id = e.user_id
+      WHERE e.event_type IN ('view', 'click', 'signup', 'error')
+        AND (f.p_ts IS NULL OR e.ts < f.p_ts)
+    ), per_user AS (
+      SELECT user_id, bit_or(bit) AS mask, MAX(conv) AS conv
+      FROM touches GROUP BY user_id
+    ), mask_conv AS (
+      SELECT mask, CAST(SUM(conv) AS DOUBLE) AS c FROM per_user GROUP BY mask
+    ), coalitions AS (
+      SELECT CAST(s AS INTEGER) AS s FROM UNNEST(range(0, 16)) AS t(s)
+    ), v AS (
+      SELECT co.s, COALESCE(SUM(m.c), 0.0) AS v
+      FROM coalitions co LEFT JOIN mask_conv m ON (m.mask & ~co.s) = 0
+      GROUP BY co.s
+    ), ch(idx, channel) AS (
+      VALUES (1, 'view'), (2, 'click'), (3, 'signup'), (4, 'error')
+    ), weights(k, w) AS (
+      VALUES (0, 0.25), (1, CAST(1.0 AS DOUBLE) / 12.0),
+             (2, CAST(1.0 AS DOUBLE) / 12.0), (3, 0.25)
+    ), marginals AS (
+      SELECT ch.channel,
+             w.w * (vb.v - va.v) AS contrib
+      FROM ch
+      JOIN v va ON (va.s & (1 << (ch.idx - 1))) = 0
+      JOIN v vb ON vb.s = va.s | (1 << (ch.idx - 1))
+      JOIN weights w ON w.k = bit_count(va.s)
+    ), phi AS (
+      SELECT channel, SUM(contrib) AS phi FROM marginals GROUP BY channel
+    ), total AS (
+      SELECT CAST(SUM(conv) AS DOUBLE) AS total_conv FROM per_user
+    )
+    SELECT channel,
+           {R("phi")} AS shapley_credit,
+           {R("phi / total.total_conv")} AS credit_share,
+           CAST(total.total_conv AS BIGINT) AS total_conversions
+    FROM phi, total
+"""
+QUERIES["shapley_attribution"] = q_shapley_attribution

@@ -973,3 +973,47 @@ def test_ece_eval_matches_python_reference(spark):
         assert abs(r.mean_confidence - ssum / n) < 1e-3
         assert abs(r.empirical_rate - ysum / n) < 1e-3
         assert abs(r.ece - ece) < 1e-3
+
+
+def test_shapley_attribution_matches_bruteforce_permutations(spark):
+    rows = {r.channel: r for r in QUERIES["shapley_attribution"](spark, SF_SMOKE).collect()}
+    channels = ["view", "click", "signup", "error"]
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    first_p = {}
+    for e in events:
+        if e.event_type == "purchase":
+            if e.user_id not in first_p or e.ts < first_p[e.user_id]:
+                first_p[e.user_id] = e.ts
+    masks = defaultdict(int)
+    conv = defaultdict(int)
+    for e in events:
+        if e.event_type in channels and (
+            e.user_id not in first_p or e.ts < first_p[e.user_id]
+        ):
+            masks[e.user_id] |= 1 << channels.index(e.event_type)
+            conv[e.user_id] = 1 if e.user_id in first_p else 0
+    mask_conv = Counter()
+    for uid, m in masks.items():
+        mask_conv[m] += conv[uid]
+
+    def v(s):
+        return sum(c for m, c in mask_conv.items() if (m & ~s) == 0)
+
+    import itertools
+
+    phi = Counter()
+    perms = list(itertools.permutations(range(4)))
+    for order in perms:
+        s = 0
+        for i in order:
+            gain = v(s | (1 << i)) - v(s)
+            phi[channels[i]] += gain / len(perms)
+            s |= 1 << i
+    total = sum(conv.values())
+    assert abs(sum(phi.values()) - total) < 1e-9  # efficiency (reference)
+    for c in channels:
+        assert abs(rows[c].shapley_credit - phi[c]) < 1e-3, c
+        assert rows[c].total_conversions == total
+    # efficiency on the engine side too
+    assert abs(sum(r.shapley_credit for r in rows.values()) - total) < 1e-2
