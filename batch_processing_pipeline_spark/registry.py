@@ -11430,3 +11430,207 @@ ORACLES["shapley_attribution"] = f"""
     FROM phi, total
 """
 QUERIES["shapley_attribution"] = q_shapley_attribution
+
+
+def q_did_estimate(spark, sf):
+    """Difference-in-differences estimator on the classic 2x2 panel:
+    treatment = deterministic user-hash bit (the portable-hash
+    discipline — the assignment an experiment platform would persist),
+    post = second half of the observation window, outcome = purchase
+    value. DiD = (T,post - T,pre) - (C,post - C,pre), reported with the
+    four cell means, cell sizes, and the large-sample standard error
+    sqrt(sum s_c^2/n_c) — one conditional-aggregation pass over the
+    fact table, everything else scalar."""
+    e = _events(spark, sf).where(F.col("event_type") == "purchase")
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    post = F.to_date("ts") >= F.lit("2024-01-16")
+    cells = e.select(
+        treat.cast("int").alias("t"),
+        post.cast("int").alias("p"),
+        F.col("value").alias("y"),
+    ).groupBy("t", "p").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("m"),
+        F.var_pop("y").alias("v"),
+    )
+    w = Window.partitionBy()
+    pick = lambda t, p, col: F.max(
+        F.when((F.col("t") == t) & (F.col("p") == p), F.col(col))
+    ).over(w)
+    out = cells.select(
+        pick(1, 1, "m").alias("t_post"),
+        pick(1, 0, "m").alias("t_pre"),
+        pick(0, 1, "m").alias("c_post"),
+        pick(0, 0, "m").alias("c_pre"),
+        (
+            pick(1, 1, "v") / pick(1, 1, "n")
+            + pick(1, 0, "v") / pick(1, 0, "n")
+            + pick(0, 1, "v") / pick(0, 1, "n")
+            + pick(0, 0, "v") / pick(0, 0, "n")
+        ).alias("var_did"),
+        (
+            pick(1, 1, "n") + pick(1, 0, "n") + pick(0, 1, "n") + pick(0, 0, "n")
+        ).alias("n_total"),
+    ).limit(1)
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    return out.select(
+        F.col("n_total").cast("long").alias("n_obs"),
+        round4(F.col("t_pre")).alias("treat_pre"),
+        round4(F.col("t_post")).alias("treat_post"),
+        round4(F.col("c_pre")).alias("control_pre"),
+        round4(F.col("c_post")).alias("control_post"),
+        round4(did).alias("did"),
+        round4(F.sqrt(F.col("var_did"))).alias("se"),
+    )
+
+
+ORACLES["did_estimate"] = f"""
+    WITH cells AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)),
+                    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS t,
+             CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END AS p,
+             value AS y
+      FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT t, p, CAST(COUNT(*) AS DOUBLE) AS n, AVG(y) AS m,
+             var_pop(y) AS v
+      FROM cells GROUP BY t, p
+    ), pv AS (
+      SELECT MAX(CASE WHEN t = 1 AND p = 1 THEN m END) AS t_post,
+             MAX(CASE WHEN t = 1 AND p = 0 THEN m END) AS t_pre,
+             MAX(CASE WHEN t = 0 AND p = 1 THEN m END) AS c_post,
+             MAX(CASE WHEN t = 0 AND p = 0 THEN m END) AS c_pre,
+             MAX(CASE WHEN t = 1 AND p = 1 THEN v / n END)
+               + MAX(CASE WHEN t = 1 AND p = 0 THEN v / n END)
+               + MAX(CASE WHEN t = 0 AND p = 1 THEN v / n END)
+               + MAX(CASE WHEN t = 0 AND p = 0 THEN v / n END) AS var_did,
+             SUM(n) AS n_total
+      FROM agg
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_obs,
+           {R("t_pre")} AS treat_pre,
+           {R("t_post")} AS treat_post,
+           {R("c_pre")} AS control_pre,
+           {R("c_post")} AS control_post,
+           {R("(t_post - t_pre) - (c_post - c_pre)")} AS did,
+           {R("SQRT(var_did)")} AS se
+    FROM pv
+"""
+QUERIES["did_estimate"] = q_did_estimate
+
+
+def q_qini_uplift(spark, sf):
+    """Uplift-model evaluation via the Qini curve: users split into a
+    deterministic treatment/control (hash bit), scored by a
+    deterministic targeting score, bucketed into deciles by score, and
+    the per-decile INCREMENTAL conversions (treated-rate minus
+    control-rate, scaled to the treated count) accumulate into the Qini
+    curve; the endpoint is the overall incremental lift and the curve
+    shape is what a targeting model is judged on. Deciles come from
+    NTILE over the per-user relation (users, not events — the correct
+    uplift unit); everything else is conditional aggregation + one
+    cumulative window over 10 rows."""
+    e = _events(spark, sf)
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("uplift:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = per_user.select(
+        "converted",
+        "user_id",
+        (h % 2 == 0).cast("int").alias("treat"),
+        # deterministic targeting score: activity blended with a hash
+        (F.col("n_events") * 1000.0 + (h % 997).cast("double")).alias("score"),
+    )
+    # user_id tie-break gives NTILE a TOTAL order — equal scores would
+    # otherwise bucket engine-dependently
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+    )
+    binned = scored.select("converted", "treat", decile.alias("decile"))
+    per_dec = binned.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 1, F.col("converted"))).cast("double").alias("conv_t"),
+        F.sum("treat").cast("double").alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("converted"))).cast("double").alias("conv_c"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("double").alias("n_c"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # empty arms (possible in tiny deciles) contribute 0, not NULL — the
+    # curve must stay summable at every scale factor
+    incr = F.coalesce("conv_t", F.lit(0.0)) - F.when(
+        F.col("n_c") > 0,
+        F.coalesce("conv_c", F.lit(0.0)) * F.col("n_t") / F.col("n_c"),
+    ).otherwise(F.lit(0.0))
+    return per_dec.select(
+        "decile",
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        round4(incr).alias("incremental"),
+        round4(F.sum(incr).over(w_cum)).alias("qini_cum"),
+    )
+
+
+ORACLES["qini_uplift"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+             CAST(COUNT(*) AS DOUBLE) AS n_events
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT converted, user_id,
+             CASE WHEN CAST('0x' || substr(md5('uplift:' || CAST(user_id AS VARCHAR)),
+                    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS treat,
+             n_events * 1000.0
+               + CAST(CAST('0x' || substr(md5('uplift:' || CAST(user_id AS VARCHAR)),
+                      1, 8) AS BIGINT) % 997 AS DOUBLE) AS score
+      FROM per_user
+    ), binned AS (
+      SELECT converted, treat,
+             NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+      FROM scored
+    ), per_dec AS (
+      SELECT decile,
+             CAST(SUM(CASE WHEN treat = 1 THEN converted END) AS DOUBLE) AS conv_t,
+             CAST(SUM(treat) AS DOUBLE) AS n_t,
+             CAST(SUM(CASE WHEN treat = 0 THEN converted END) AS DOUBLE) AS conv_c,
+             CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_c
+      FROM binned GROUP BY decile
+    )
+    SELECT decile,
+           CAST(n_t AS BIGINT) AS n_treated,
+           CAST(n_c AS BIGINT) AS n_control,
+           {R("COALESCE(conv_t, 0.0) - CASE WHEN n_c > 0 "
+              "THEN COALESCE(conv_c, 0.0) * n_t / n_c ELSE 0.0 END")}
+             AS incremental,
+           {R("SUM(COALESCE(conv_t, 0.0) - CASE WHEN n_c > 0 "
+              "THEN COALESCE(conv_c, 0.0) * n_t / n_c ELSE 0.0 END) "
+              "OVER (ORDER BY decile "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS qini_cum
+    FROM per_dec
+"""
+QUERIES["qini_uplift"] = q_qini_uplift

@@ -1017,3 +1017,82 @@ def test_shapley_attribution_matches_bruteforce_permutations(spark):
         assert rows[c].total_conversions == total
     # efficiency on the engine side too
     assert abs(sum(r.shapley_credit for r in rows.values()) - total) < 1e-2
+
+
+def test_did_estimate_matches_python_reference(spark):
+    row = QUERIES["did_estimate"](spark, SF_SMOKE).first()
+    cells = defaultdict(list)
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        if e.event_type != "purchase":
+            continue
+        t = (
+            int(hashlib.md5(f"did:{e.user_id}".encode()).hexdigest()[:8], 16)
+            % 2
+            == 0
+        )
+        p = e.ts.date() >= __import__("datetime").date(2024, 1, 16)
+        cells[(int(t), int(p))].append(e.value)
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    did = (mean(cells[(1, 1)]) - mean(cells[(1, 0)])) - (
+        mean(cells[(0, 1)]) - mean(cells[(0, 0)])
+    )
+    var = sum(
+        (sum((x - mean(v)) ** 2 for x in v) / len(v)) / len(v)
+        for v in cells.values()
+    )
+    assert row.n_obs == sum(len(v) for v in cells.values())
+    assert abs(row.did - did) < 1e-3
+    assert abs(row.se - math.sqrt(var)) < 1e-3
+    # all four cells populated (the 2x2 is real, not degenerate)
+    assert all(len(v) > 0 for v in cells.values())
+
+
+def test_qini_uplift_invariants(spark):
+    rows = sorted(
+        QUERIES["qini_uplift"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # increments are never NULL (empty arms contribute 0), and the split
+    # is globally two-armed even if tiny deciles go one-sided
+    for r in rows:
+        assert r.incremental is not None
+    assert sum(r.n_treated for r in rows) > 0
+    assert sum(r.n_control for r in rows) > 0
+    # the cumulative curve is the running sum of the increments
+    cum = 0.0
+    for r in rows:
+        cum += r.incremental
+        assert abs(r.qini_cum - cum) < 5e-4
+    # per-decile reference with exact NTILE semantics
+    users = defaultdict(lambda: [0, 0])
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        u = users[e.user_id]
+        u[0] = max(u[0], 1 if e.event_type == "purchase" else 0)
+        u[1] += 1
+    scored = []
+    for uid, (c, n) in users.items():
+        h = int(hashlib.md5(f"uplift:{uid}".encode()).hexdigest()[:8], 16)
+        scored.append((-(n * 1000.0 + h % 997), uid, h % 2 == 0, c))
+    scored.sort()
+    n_u = len(scored)
+    base, extra = divmod(n_u, 10)
+    want = {}
+    i = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        chunk = scored[i : i + size]
+        i += size
+        nt = sum(1 for _s, _u, t, _c in chunk if t)
+        nc = size - nt
+        ct = sum(c for _s, _u, t, c in chunk if t)
+        cc = sum(c for _s, _u, t, c in chunk if not t)
+        incr = ct - (cc * nt / nc if nc > 0 else 0.0)
+        want[d] = (nt, nc, incr)
+    for r in rows:
+        nt, nc, incr = want[r.decile]
+        assert (r.n_treated, r.n_control) == (nt, nc), r.decile
+        assert abs(r.incremental - incr) < 5e-4, r.decile
