@@ -11634,3 +11634,162 @@ ORACLES["qini_uplift"] = f"""
     FROM per_dec
 """
 QUERIES["qini_uplift"] = q_qini_uplift
+
+
+def q_changepoint_binseg(spark, sf):
+    """Single-changepoint detection by binary segmentation: the split of
+    the daily series minimizing SSE_left + SSE_right — the first
+    recursion step of the classic binseg/PELT family and the standard
+    "did the level shift, and when" audit (complements cusum's
+    sequential drift alarm). Closed form from prefix sums: for split
+    after day t, SSE(t) = (S2_n - S2_t - (S_n - S_t)^2 / (n - t))
+    + (S2_t - S_t^2 / t) — one cumulative window over the
+    dimension-sized daily relation, argmin with a deterministic
+    tie-break, no per-candidate rescans."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    pre = daily.select(
+        "d",
+        F.sum("x").over(w_cum).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w_cum).alias("s2"),
+        F.count(F.lit(1)).over(w_cum).cast("double").alias("t"),
+        F.sum("x").over(w_all).alias("sn"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).alias("s2n"),
+        F.count(F.lit(1)).over(w_all).cast("double").alias("n"),
+    ).where(F.col("t") < F.col("n"))
+    sse = (
+        (F.col("s2") - F.col("s") * F.col("s") / F.col("t"))
+        + (
+            (F.col("s2n") - F.col("s2"))
+            - (F.col("sn") - F.col("s")) * (F.col("sn") - F.col("s"))
+            / (F.col("n") - F.col("t"))
+        )
+    )
+    total_sse = F.col("s2n") - F.col("sn") * F.col("sn") / F.col("n")
+    scored = pre.select(
+        "d",
+        sse.alias("sse"),
+        total_sse.alias("sse0"),
+        (F.col("s") / F.col("t")).alias("mean_pre"),
+        ((F.col("sn") - F.col("s")) / (F.col("n") - F.col("t"))).alias(
+            "mean_post"
+        ),
+    )
+    w_rank = Window.orderBy(F.col("sse").asc(), F.col("d").asc())
+    best = scored.withColumn("rk", F.row_number().over(w_rank)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        F.col("d").cast("long").alias("split_after_day"),
+        round4(F.col("mean_pre")).alias("mean_pre"),
+        round4(F.col("mean_post")).alias("mean_post"),
+        round4(F.col("sse")).alias("sse_split"),
+        round4(F.col("sse0")).alias("sse_null"),
+        round4(1.0 - F.col("sse") / F.col("sse0")).alias("var_explained"),
+    )
+
+
+ORACLES["changepoint_binseg"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), pre AS (
+      SELECT d,
+             SUM(x) OVER w AS s,
+             SUM(x * x) OVER w AS s2,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS t,
+             SUM(x) OVER () AS sn,
+             SUM(x * x) OVER () AS s2n,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT d,
+             (s2 - s * s / t)
+               + ((s2n - s2) - (sn - s) * (sn - s) / (n - t)) AS sse,
+             s2n - sn * sn / n AS sse0,
+             s / t AS mean_pre,
+             (sn - s) / (n - t) AS mean_post
+      FROM pre WHERE t < n
+    )
+    SELECT CAST(d AS BIGINT) AS split_after_day,
+           {R("mean_pre")} AS mean_pre,
+           {R("mean_post")} AS mean_post,
+           {R("sse")} AS sse_split,
+           {R("sse0")} AS sse_null,
+           {R("1.0 - sse / sse0")} AS var_explained
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY sse ASC, d ASC) AS rk FROM scored
+    ) WHERE rk = 1
+"""
+QUERIES["changepoint_binseg"] = q_changepoint_binseg
+
+
+def q_capture_recapture(spark, sf):
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat week-1 and week-2 active users as the two
+    capture occasions; N-hat = (n1+1)(n2+1)/(m+1) - 1 with the standard
+    variance — the audit for "how many users exist that we never saw",
+    the user-population twin of vocab_coverage's unseen-mass estimate.
+    Three distinct-count aggregates over one pass."""
+    e = _events(spark, sf)
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max((wk == 0).cast("int")).alias("w1"),
+        F.max((wk == 1).cast("int")).alias("w2"),
+    )
+    agg = per_user.agg(
+        F.sum("w1").cast("double").alias("n1"),
+        F.sum("w2").cast("double").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("double").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("observed_total"),
+    )
+    nhat = (F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    var = (
+        (F.col("n1") + 1)
+        * (F.col("n2") + 1)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / ((F.col("m") + 1) * (F.col("m") + 1) * (F.col("m") + 2))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_week1"),
+        F.col("n2").cast("long").alias("n_week2"),
+        F.col("m").cast("long").alias("n_both"),
+        "observed_total",
+        round4(nhat).alias("n_hat"),
+        round4(F.sqrt(var)).alias("se"),
+    )
+
+
+ORACLES["capture_recapture"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') // 7 = 0
+                      THEN 1 ELSE 0 END) AS w1,
+             MAX(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') // 7 = 1
+                      THEN 1 ELSE 0 END) AS w2
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(SUM(w1) AS DOUBLE) AS n1, CAST(SUM(w2) AS DOUBLE) AS n2,
+             CAST(SUM(w1 * w2) AS DOUBLE) AS m,
+             CAST(COUNT(*) AS BIGINT) AS observed_total
+      FROM per_user
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_week1,
+           CAST(n2 AS BIGINT) AS n_week2,
+           CAST(m AS BIGINT) AS n_both,
+           observed_total,
+           {R("(n1 + 1) * (n2 + 1) / (m + 1) - 1")} AS n_hat,
+           {R("SQRT((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) "
+              "/ ((m + 1) * (m + 1) * (m + 2)))")} AS se
+    FROM agg
+"""
+QUERIES["capture_recapture"] = q_capture_recapture

@@ -1096,3 +1096,58 @@ def test_qini_uplift_invariants(spark):
         nt, nc, incr = want[r.decile]
         assert (r.n_treated, r.n_control) == (nt, nc), r.decile
         assert abs(r.incremental - incr) < 5e-4, r.decile
+
+
+def test_changepoint_binseg_matches_bruteforce(spark):
+    row = QUERIES["changepoint_binseg"](spark, SF_SMOKE).first()
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    daily = Counter()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        daily[(e.ts.date() - epoch).days] += 1
+    days = sorted(daily)
+    xs = [float(daily[d]) for d in days]
+
+    def sse(seg):
+        if not seg:
+            return 0.0
+        m = sum(seg) / len(seg)
+        return sum((x - m) ** 2 for x in seg)
+
+    best = min(
+        (
+            (sse(xs[: i + 1]) + sse(xs[i + 1 :]), days[i], i)
+            for i in range(len(days) - 1)
+        ),
+    )
+    total, split_day, i = best
+    assert row.split_after_day == split_day
+    assert abs(row.sse_split - total) < 1e-2
+    assert abs(row.sse_null - sse(xs)) < 1e-2
+    assert abs(row.mean_pre - sum(xs[: i + 1]) / (i + 1)) < 1e-3
+    assert abs(row.mean_post - sum(xs[i + 1 :]) / (len(xs) - i - 1)) < 1e-3
+    assert 0.0 <= row.var_explained <= 1.0
+
+
+def test_capture_recapture_matches_python_reference(spark):
+    row = QUERIES["capture_recapture"](spark, SF_SMOKE).first()
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    w1, w2 = set(), set()
+    allu = set()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        wk = (e.ts.date() - epoch).days // 7
+        allu.add(e.user_id)
+        if wk == 0:
+            w1.add(e.user_id)
+        elif wk == 1:
+            w2.add(e.user_id)
+    n1, n2, m = len(w1), len(w2), len(w1 & w2)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert (row.n_week1, row.n_week2, row.n_both) == (n1, n2, m)
+    assert row.observed_total == len(allu)
+    assert abs(row.n_hat - nhat) < 0.51
+    # the estimate at least covers the union of the two occasions
+    assert row.n_hat >= len(w1 | w2) - 1
