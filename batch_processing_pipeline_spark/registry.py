@@ -11793,3 +11793,180 @@ ORACLES["capture_recapture"] = f"""
     FROM agg
 """
 QUERIES["capture_recapture"] = q_capture_recapture
+
+
+def q_gini_concentration(spark, sf):
+    """Revenue-concentration audit per market segment: the exact Gini
+    coefficient (from the Lorenz curve's trapezoid sum over customers
+    sorted by revenue — G = 1 - sum((L_i + L_{{i-1}}) * 1/n)) plus the
+    Herfindahl-Hirschman index (sum of squared revenue shares) — the two
+    standard inequality/concentration measures a marketplace health
+    review reads together. One fact-table rollup to customer revenue,
+    then per-segment cumulative windows over the customer relation;
+    deterministic (revenue, custkey) ordering makes the Lorenz sum
+    exact."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+        .join(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    w_cum = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("r").asc(), F.col("o_custkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_seg = Window.partitionBy("c_mktsegment")
+    t = rev.select(
+        "c_mktsegment",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_seg).alias("tot"),
+        F.count(F.lit(1)).over(w_seg).cast("double").alias("n"),
+    )
+    # trapezoid: G = 1 - sum(2*cum - r) / (n * tot)
+    per_seg = t.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(2.0 * F.col("cum") - F.col("r")).alias("lorenz2"),
+        F.sum(F.col("r") * F.col("r")).alias("sq"),
+    )
+    return per_seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").cast("long").alias("n_customers"),
+        round4(
+            1.0 - F.col("lorenz2") / (F.col("n") * F.col("tot"))
+        ).alias("gini"),
+        round4(F.col("sq") / (F.col("tot") * F.col("tot"))).alias("hhi"),
+    )
+
+
+ORACLES["gini_concentration"] = f"""
+    WITH rev AS (
+      SELECT o.o_custkey, SUM(o.o_totalprice) AS r, c.c_mktsegment
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment
+    ), t AS (
+      SELECT c_mktsegment, r,
+             SUM(r) OVER (PARTITION BY c_mktsegment
+               ORDER BY r ASC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(r) OVER (PARTITION BY c_mktsegment) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS n
+      FROM rev
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           {R("1.0 - SUM(2.0 * cum - r) / (MAX(n) * MAX(tot))")} AS gini,
+           {R("SUM(r * r) / (MAX(tot) * MAX(tot))")} AS hhi
+    FROM t GROUP BY c_mktsegment
+"""
+QUERIES["gini_concentration"] = q_gini_concentration
+
+
+def q_bm25_search(spark, sf):
+    """BM25 document ranking (Robertson/Spärck Jones; k1 = 1.2,
+    b = 0.75) for a fixed multi-term query — the modern lexical ranking
+    function (tf saturation + length normalization, which raw TF-IDF
+    lacks). Corpus statistics (df per term, average doc length) come
+    from the standard two aggregations; scoring touches ONLY documents
+    containing at least one query term (the inverted-index semi-join
+    shape — at corpus scale this is the posting-list traversal); top-20
+    with the deterministic md5 tie-break."""
+    k1, b = 1.2, 0.75
+    terms = ["data", "query", "user", "system"]
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        toks.where(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    # rank on the ROUND4-ed score: raw-double ordering can flip near-ties
+    # on cross-engine ulp drift (partial-agg sum order); equal rounded
+    # scores resolve by the md5 tie-break
+    w_rank = Window.orderBy(
+        round4(F.col("score")).desc(),
+        F.md5(F.col("doc_id").cast("string")).asc(),
+    )
+    return (
+        scored.select(
+            "doc_id", round4(F.col("score")).alias("bm25"),
+            F.row_number().over(w_rank).alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+        .select("rk", "doc_id", "bm25")
+    )
+
+
+ORACLES["bm25_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      WHERE w IN ('data', 'query', 'user', 'system')
+      GROUP BY doc_id, w
+    ), df_t AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY w
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN df_t ON df_t.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT rk, doc_id, bm25 FROM (
+      SELECT doc_id, {R("score")} AS bm25,
+             ROW_NUMBER() OVER (ORDER BY {R("score")} DESC,
+               md5(CAST(doc_id AS VARCHAR)) ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+"""
+QUERIES["bm25_search"] = q_bm25_search

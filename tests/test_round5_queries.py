@@ -1151,3 +1151,82 @@ def test_capture_recapture_matches_python_reference(spark):
     assert abs(row.n_hat - nhat) < 0.51
     # the estimate at least covers the union of the two occasions
     assert row.n_hat >= len(w1 | w2) - 1
+
+
+def test_gini_concentration_matches_python_reference(spark):
+    rows = {r.segment: r for r in QUERIES["gini_concentration"](spark, SF_SMOKE).collect()}
+    custseg = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    }
+    rev = defaultdict(float)
+    for o in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect():
+        rev[o.o_custkey] += o.o_totalprice
+    seg_rev = defaultdict(list)
+    for k, r in rev.items():
+        seg_rev[custseg[k]].append((r, k))
+    for seg, pairs in seg_rev.items():
+        pairs.sort()
+        rs = [r for r, _ in pairs]
+        n, tot = len(rs), sum(rs)
+        cum = 0.0
+        lorenz2 = 0.0
+        for r in rs:
+            cum += r
+            lorenz2 += 2.0 * cum - r
+        gini = 1.0 - lorenz2 / (n * tot)
+        hhi = sum(r * r for r in rs) / (tot * tot)
+        g = rows[seg]
+        assert g.n_customers == n, seg
+        assert abs(g.gini - gini) < 1e-3, seg
+        assert abs(g.hhi - hhi) < 1e-4, seg
+        assert 0.0 <= g.gini < 1.0 and 0.0 < g.hhi <= 1.0
+
+
+def test_bm25_matches_python_reference(spark):
+    rows = QUERIES["bm25_search"](spark, SF_SMOKE).collect()
+    terms = ["data", "query", "user", "system"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    toks = {
+        d.doc_id: [w for w in (d.text or "").strip().lower().split() if w]
+        for d in docs
+    }
+    toks = {k: v for k, v in toks.items() if v}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = Counter()
+    for ws in toks.values():
+        for t in set(ws) & set(terms):
+            df[t] += 1
+    k1, b = 1.2, 0.75
+
+    def r4(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    scores = {}
+    for did, ws in toks.items():
+        s = 0.0
+        cnt = Counter(ws)
+        for t in terms:
+            if cnt[t]:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += (
+                    idf
+                    * cnt[t]
+                    * (k1 + 1)
+                    / (cnt[t] + k1 * (1 - b + b * len(ws) / avgdl))
+                )
+        if s > 0:
+            scores[did] = s
+    ranked = sorted(
+        scores.items(),
+        key=lambda kv: (
+            -r4(kv[1]),
+            hashlib.md5(str(kv[0]).encode()).hexdigest(),
+        ),
+    )[:20]
+    assert [(r.rk, r.doc_id) for r in rows] == [
+        (i + 1, did) for i, (did, _s) in enumerate(ranked)
+    ]
+    for r, (_did, s) in zip(rows, ranked):
+        assert abs(r.bm25 - s) < 1e-3
