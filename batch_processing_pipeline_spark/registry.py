@@ -11970,3 +11970,158 @@ ORACLES["bm25_search"] = f"""
     ) WHERE rk <= 20
 """
 QUERIES["bm25_search"] = q_bm25_search
+
+
+def q_rendezvous_sharding(spark, sf):
+    """Rendezvous (highest-random-weight) sharding audit — the
+    consistent-assignment scheme behind cache/shard routing: each key
+    goes to the shard with the highest hash(key, shard), so adding a
+    shard moves ONLY the keys the new shard now wins (~1/(n+1) of them)
+    and no key ever moves between surviving shards. The query assigns
+    every doc to 8 shards and again to 9, then reports per-shard-count
+    balance and the movement audit; the zero-cross-movement invariant is
+    part of the output, so the guarantee itself is hash-pinned.
+
+    Per key the argmax folds over a literal shard array (GREATEST over
+    n columns — scan-speed, no join); the portable md5 hash keeps both
+    engines bit-identical."""
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def weight(shard):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"shard{shard}:"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def assign(n_shards):
+        # argmax via struct max: (weight, shard) pairs, pick max weight
+        pairs = F.array(
+            *[
+                F.struct(weight(s).alias("w"), F.lit(s).alias("shard"))
+                for s in range(n_shards)
+            ]
+        )
+        return F.array_max(pairs)["shard"]
+
+    a = d.select(
+        "doc_id",
+        assign(8).alias("shard8"),
+        assign(9).alias("shard9"),
+    )
+    per_shard = a.groupBy("shard9").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+        ).cast("long").alias("n_moved_in"),
+        # the HRW guarantee: every moved key lands on the NEW shard (8)
+        F.sum(
+            F.when(
+                (F.col("shard8") != F.col("shard9")) & (F.col("shard9") != 8),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_cross_moves"),
+    )
+    return per_shard.select(
+        F.col("shard9").cast("int").alias("shard"),
+        "n_keys",
+        "n_moved_in",
+        "n_cross_moves",
+    )
+
+
+def _hrw_weight_sql(shard: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('shard{shard}:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8) AS BIGINT)"
+    )
+
+
+def _hrw_assign_sql(n_shards: int) -> str:
+    pairs = ", ".join(
+        f"ROW({_hrw_weight_sql(s)}, {s})" for s in range(n_shards)
+    )
+    # list_max over ROW(weight, shard) orders lexicographically like
+    # Spark's array_max over struct(w, shard)
+    return f"list_max([{pairs}])[2]"
+
+
+ORACLES["rendezvous_sharding"] = f"""
+    WITH a AS (
+      SELECT doc_id,
+             {_hrw_assign_sql(8)} AS shard8,
+             {_hrw_assign_sql(9)} AS shard9
+      FROM documents
+    )
+    SELECT CAST(shard9 AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_in,
+           CAST(SUM(CASE WHEN shard8 <> shard9 AND shard9 <> 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_moves
+    FROM a GROUP BY shard9
+"""
+QUERIES["rendezvous_sharding"] = q_rendezvous_sharding
+
+
+def q_evt_pot(spark, sf):
+    """Extreme-value analysis by peaks-over-threshold: exceedances of
+    `value` above a fixed threshold u fit a Generalized Pareto
+    Distribution by the closed-form method of moments (xi = (1 -
+    mean^2/var)/2, sigma = mean*(1 + mean^2/var)/2), giving the
+    tail-risk readout (exceedance rate, fitted shape/scale, and the
+    10x-rarer return level u + sigma/xi*((10)^xi - 1)) — the standard
+    operational-risk / anomaly-threshold calibration. One filtered
+    moment aggregation; everything downstream is scalar arithmetic."""
+    u = 250.0
+    e = _events(spark, sf).where(F.col("value") > u)
+    tot = _events(spark, sf).agg(F.count(F.lit(1)).cast("double").alias("n_all"))
+    agg = e.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.avg(F.col("value") - u).alias("m"),
+        F.var_pop(F.col("value") - u).alias("v"),
+    )
+    r = F.col("m") * F.col("m") / F.col("v")
+    xi = 0.5 * (1.0 - r)
+    sigma = 0.5 * F.col("m") * (1.0 + r)
+    ret10 = F.lit(u) + sigma / xi * (F.pow(F.lit(10.0), xi) - 1.0)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("n_exceedances"),
+        round4(F.col("k") / F.col("n_all")).alias("exceed_rate"),
+        round4(F.col("m")).alias("mean_excess"),
+        round4(xi).alias("gpd_shape"),
+        round4(sigma).alias("gpd_scale"),
+        round4(ret10).alias("return_level_10x"),
+    )
+
+
+ORACLES["evt_pot"] = f"""
+    WITH exc AS (
+      SELECT value - 250.0 AS y FROM events WHERE value > 250.0
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_all FROM events
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k, AVG(y) AS m, var_pop(y) AS v
+      FROM exc
+    )
+    SELECT CAST(k AS BIGINT) AS n_exceedances,
+           {R("k / tot.n_all")} AS exceed_rate,
+           {R("m")} AS mean_excess,
+           {R("0.5 * (1.0 - m * m / v)")} AS gpd_shape,
+           {R("0.5 * m * (1.0 + m * m / v)")} AS gpd_scale,
+           {R("250.0 + (0.5 * m * (1.0 + m * m / v)) "
+              "/ (0.5 * (1.0 - m * m / v)) "
+              "* (POW(10.0, 0.5 * (1.0 - m * m / v)) - 1.0)")}
+             AS return_level_10x
+    FROM agg, tot
+"""
+QUERIES["evt_pot"] = q_evt_pot

@@ -1230,3 +1230,55 @@ def test_bm25_matches_python_reference(spark):
     ]
     for r, (_did, s) in zip(rows, ranked):
         assert abs(r.bm25 - s) < 1e-3
+
+
+def test_rendezvous_sharding_guarantee(spark):
+    rows = QUERIES["rendezvous_sharding"](spark, SF_SMOKE).collect()
+    assert {r.shard for r in rows} == set(range(9))
+    total = sum(r.n_keys for r in rows)
+    # THE consistent-hashing guarantee: no key moved between survivors
+    for r in rows:
+        assert r.n_cross_moves == 0, r.shard
+        if r.shard != 8:
+            assert r.n_moved_in == 0, r.shard
+    new_shard = next(r for r in rows if r.shard == 8)
+    # every key on the new shard moved there; expected share ~ 1/9
+    assert new_shard.n_moved_in == new_shard.n_keys
+    assert 0.03 < new_shard.n_keys / total < 0.25
+    # python reference for a sample of keys
+    def hrw(uid, n):
+        return max(
+            range(n),
+            key=lambda s: int(
+                hashlib.md5(f"shard{s}:{uid}".encode()).hexdigest()[:8], 16
+            ),
+        )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    per_shard = Counter(hrw(d.doc_id, 9) for d in docs)
+    got = {r.shard: r.n_keys for r in rows}
+    assert got == dict(per_shard)
+
+
+def test_evt_pot_matches_python_reference(spark):
+    row = QUERIES["evt_pot"](spark, SF_SMOKE).first()
+    vals = [
+        e.value - 250.0
+        for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+        if e.value is not None and e.value > 250.0
+    ]
+    n_all = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    k = len(vals)
+    m = sum(vals) / k
+    v = sum((x - m) ** 2 for x in vals) / k
+    r = m * m / v
+    xi = 0.5 * (1 - r)
+    sigma = 0.5 * m * (1 + r)
+    assert row.n_exceedances == k
+    assert abs(row.exceed_rate - k / n_all) < 1e-4
+    assert abs(row.gpd_shape - xi) < 1e-3
+    assert abs(row.gpd_scale - sigma) < 1e-3
+    ret10 = 250.0 + sigma / xi * (10**xi - 1)
+    assert abs(row.return_level_10x - ret10) < 1e-2
+    # the 10x-rarer level sits above the threshold
+    assert row.return_level_10x > 250.0
