@@ -9004,7 +9004,12 @@ def q_stl_decompose(spark, sf):
         F.count(F.when(F.col("s7").isNotNull(), 1)).over(w_dow).alias("nd"),
     )
     trend = F.col("s7") / 7.0
-    seasonal = F.col("sd") / (7.0 * F.col("nd"))
+    # nd = 0 guard (a dow with no interior days on a sub-8-day corpus):
+    # Spark non-ANSI division yields NULL while DuckDB yields NaN — make
+    # the degenerate case NULL in both engines
+    seasonal = F.when(
+        F.col("nd") > 0, F.col("sd") / (7.0 * F.col("nd"))
+    )
     return out.select(
         F.col("d").cast("long").alias("day_num"),
         F.col("x").cast("long").alias("n_events"),
@@ -9039,8 +9044,9 @@ ORACLES["stl_decompose"] = f"""
     SELECT CAST(d AS BIGINT) AS day_num,
            CAST(x AS BIGINT) AS n_events,
            {R("s7 / 7.0")} AS trend,
-           {R("sd / (7.0 * nd)")} AS seasonal,
-           {R("x - s7 / 7.0 - sd / (7.0 * nd)")} AS remainder
+           {R("CASE WHEN nd > 0 THEN sd / (7.0 * nd) END")} AS seasonal,
+           {R("CASE WHEN nd > 0 THEN x - s7 / 7.0 - sd / (7.0 * nd) END")}
+             AS remainder
     FROM out
 """
 QUERIES["stl_decompose"] = q_stl_decompose
