@@ -12131,3 +12131,74 @@ ORACLES["evt_pot"] = f"""
     FROM agg, tot
 """
 QUERIES["evt_pot"] = q_evt_pot
+
+
+def q_sql_sugar(spark, sf):
+    """Modern SQL sugar surface — GROUP BY ALL (group on every
+    non-aggregate select item; kills the classic add-a-column-forget-
+    the-group-by bug) and ORDER BY ALL, via the spark.sql entry point.
+    Both engines implement the same resolution rule, so the oracle runs
+    the IDENTICAL sugar text — the parse itself is what's pinned."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_sugar")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS total_fl
+        FROM orders_sugar
+        WHERE o_totalprice > 500.0
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+ORACLES["sql_sugar"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS total_fl
+    FROM orders
+    WHERE o_totalprice > CAST(500.0 AS DOUBLE)
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+QUERIES["sql_sugar"] = q_sql_sugar
+
+
+def q_explode_outer_nulls(spark, sf):
+    """NULL-preserving lateral explosion (explode_outer / LEFT JOIN
+    UNNEST): documents with NO extracted matches must survive as a NULL
+    row — the contract that keeps per-document accounting exact through
+    a fan-out (a plain explode silently drops them and every downstream
+    per-doc count undercounts). Extracts capitalized words; docs without
+    any keep one (doc_id, NULL) row; the rollup pins both arms."""
+    d = _t(spark, sf, "documents")
+    caps = F.regexp_extract_all(F.col("text"), F.lit(r"\b[A-Z][a-z]{2,}"), 0)
+    exploded = d.select(
+        "doc_id", F.explode_outer(caps).alias("word")
+    )
+    return exploded.agg(
+        F.countDistinct("doc_id").alias("n_docs_total"),
+        F.countDistinct(F.when(F.col("word").isNull(), F.col("doc_id"))).alias(
+            "n_docs_no_match"
+        ),
+        F.count("word").alias("n_matches"),
+        F.countDistinct("word").alias("n_distinct_words"),
+    )
+
+
+ORACLES["explode_outer_nulls"] = """
+    WITH exploded AS (
+      SELECT d.doc_id, u.word
+      FROM documents d
+      LEFT JOIN UNNEST(regexp_extract_all(d.text, '\\b[A-Z][a-z]{2,}', 0))
+        AS u(word) ON TRUE
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_total,
+           CAST(COUNT(DISTINCT CASE WHEN word IS NULL THEN doc_id END)
+                AS BIGINT) AS n_docs_no_match,
+           CAST(COUNT(word) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+    FROM exploded
+"""
+QUERIES["explode_outer_nulls"] = q_explode_outer_nulls

@@ -1282,3 +1282,36 @@ def test_evt_pot_matches_python_reference(spark):
     assert abs(row.return_level_10x - ret10) < 1e-2
     # the 10x-rarer level sits above the threshold
     assert row.return_level_10x > 250.0
+
+
+def test_sql_sugar_group_by_all_matches_explicit(spark):
+    import re as _re
+
+    got = QUERIES["sql_sugar"](spark, SF_SMOKE).collect()
+    want = defaultdict(lambda: [0, 0])
+    for o in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect():
+        if o.o_totalprice > 500.0:
+            a = want[(o.o_orderstatus, o.o_orderpriority)]
+            a[0] += 1
+            a[1] += int(math.floor(o.o_totalprice))
+    assert {(r.o_orderstatus, r.o_orderpriority): (r.n, r.total_fl) for r in got} == {
+        k: tuple(v) for k, v in want.items()
+    }
+    # ORDER BY ALL: lexicographic by all select items
+    keys = [(r.o_orderstatus, r.o_orderpriority, r.n, r.total_fl) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_explode_outer_preserves_matchless_docs(spark):
+    import re as _re
+
+    row = QUERIES["explode_outer_nulls"](spark, SF_SMOKE).first()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    pat = _re.compile(r"\b[A-Z][a-z]{2,}")
+    n_no = sum(1 for d in docs if not pat.findall(d.text or ""))
+    n_matches = sum(len(pat.findall(d.text or "")) for d in docs)
+    assert row.n_docs_total == len(docs)  # NOTHING dropped — the contract
+    assert row.n_docs_no_match == n_no
+    assert row.n_matches == n_matches
+    # the no-match arm is genuinely exercised on this fixture
+    assert n_no > 0
