@@ -12202,3 +12202,45 @@ ORACLES["explode_outer_nulls"] = """
     FROM exploded
 """
 QUERIES["explode_outer_nulls"] = q_explode_outer_nulls
+
+
+def q_listagg_funcs(spark, sf):
+    """LISTAGG / string_agg surface (Spark 4.0's ANSI string
+    aggregation): the ordered, delimited concatenation every report
+    hand-writes with collect_list + array_join — here as the engine
+    builtin with an explicit WITHIN GROUP ordering, which is the whole
+    contract (an unordered listagg is nondeterministic under
+    partitioning). Top-3 regions' nations per region, ordered by name;
+    DuckDB's string_agg(x, ',' ORDER BY x) is the exact twin."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = n.join(
+        r.select(F.col("r_regionkey").alias("n_regionkey"), "r_name"),
+        "n_regionkey",
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.listagg(F.col("n_name"), F.lit(",")).alias("_raw"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .select(
+            "r_name",
+            "n_nations",
+            # Spark's listagg has no WITHIN GROUP order in the DataFrame
+            # API yet — impose the contract by sorting the split result
+            # (portable and deterministic on both engines)
+            F.array_join(
+                F.array_sort(F.split(F.col("_raw"), ",", -1)), ","
+            ).alias("nations"),
+        )
+    )
+
+
+ORACLES["listagg_funcs"] = """
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+"""
+QUERIES["listagg_funcs"] = q_listagg_funcs

@@ -1315,3 +1315,19 @@ def test_explode_outer_preserves_matchless_docs(spark):
     assert row.n_matches == n_matches
     # the no-match arm is genuinely exercised on this fixture
     assert n_no > 0
+
+
+def test_listagg_is_ordered_and_complete(spark):
+    rows = QUERIES["listagg_funcs"](spark, SF_SMOKE).collect()
+    nations = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    regions = {
+        r.r_regionkey: r.r_name
+        for r in spark.read.parquet(f"{SF_SMOKE}/region.parquet").collect()
+    }
+    want = defaultdict(list)
+    for n in nations:
+        want[regions[n.n_regionkey]].append(n.n_name)
+    got = {r.r_name: (r.n_nations, r.nations) for r in rows}
+    assert got == {
+        k: (len(v), ",".join(sorted(v))) for k, v in want.items()
+    }
