@@ -12244,3 +12244,155 @@ ORACLES["listagg_funcs"] = """
     GROUP BY r.r_name
 """
 QUERIES["listagg_funcs"] = q_listagg_funcs
+
+
+def q_corr_matrix(spark, sf):
+    """Pairwise Pearson correlation matrix between the event types'
+    daily-count series — the dependence screen behind dashboard "metric
+    X moves with metric Y" callouts. The fact table collapses to the
+    (day, type) grid once; the matrix is a self-join of that
+    dimension-sized grid on day with one moment aggregation per pair
+    (k^2 rows for k types, never a fact-table rescans); the diagonal
+    rides along as the r = 1 sanity anchor. Deterministic pair order
+    (ta <= tb)."""
+    e = _events(spark, sf)
+    grid = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(b, F.col("a.d") == F.col("b.d"))
+        .where(F.col("a.event_type") <= F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("a.x").alias("sx"),
+            F.sum("b.x").alias("sy"),
+            F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+            F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "ta",
+        "tb",
+        F.col("n").cast("long").alias("n_days"),
+        round4(F.when(den > 0, num / den)).alias("pearson_r"),
+    )
+
+
+ORACLES["corr_matrix"] = f"""
+    WITH grid AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(a.x) AS sx, SUM(b.x) AS sy,
+             SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy,
+             SUM(a.x * b.x) AS sxy
+      FROM grid a JOIN grid b ON a.d = b.d
+      WHERE a.event_type <= b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ta, tb, CAST(n AS BIGINT) AS n_days,
+           {R("CASE WHEN SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0 "
+              "THEN (n * sxy - sx * sy) "
+              "/ SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END")}
+             AS pearson_r
+    FROM pairs
+"""
+QUERIES["corr_matrix"] = q_corr_matrix
+
+
+def q_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test for randomness of the daily event-count
+    series about its median: too few runs = trend/clustering, too many
+    = oscillation — the standard process-control check that a series is
+    noise before anyone fits a model to it. Runs come from one LAG over
+    the dimension-sized daily relation; the z-statistic uses the exact
+    conditional mean/variance mu = 2*n1*n2/n + 1,
+    var = (mu-1)(mu-2)/(n-1); days AT the median drop (the standard
+    treatment)."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    med = daily.agg(F.percentile("x", F.lit(0.5)).alias("m"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("m"))
+        .select("d", (F.col("x") > F.col("m")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.sum("s").cast("double").alias("n1"),
+        F.sum(1 - F.col("s")).cast("double").alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = 2.0 * F.col("n1") * F.col("n2") / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    return agg.select(
+        F.col("r").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        round4(mu).alias("expected_runs"),
+        round4(
+            F.when(var > 0, (F.col("r") - mu) / F.sqrt(var))
+        ).alias("z_score"),
+    )
+
+
+ORACLES["runs_test"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(x, 0.5) AS m FROM daily
+    ), signed AS (
+      SELECT d, CASE WHEN x > med.m THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE x <> med.m
+    ), runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                    OR LAG(s) OVER (ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ), agg AS (
+      SELECT CAST(SUM(new_run) AS DOUBLE) AS r,
+             CAST(SUM(s) AS DOUBLE) AS n1,
+             CAST(SUM(1 - s) AS DOUBLE) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           {R("2.0 * n1 * n2 / (n1 + n2) + 1.0")} AS expected_runs,
+           {R("CASE WHEN (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0) "
+              "* (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0) / (n1 + n2 - 1.0) > 0 "
+              "THEN (r - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) "
+              "/ SQRT((2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0) "
+              "* (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0) / (n1 + n2 - 1.0)) END")}
+             AS z_score
+    FROM agg
+"""
+QUERIES["runs_test"] = q_runs_test

@@ -1331,3 +1331,52 @@ def test_listagg_is_ordered_and_complete(spark):
     assert got == {
         k: (len(v), ",".join(sorted(v))) for k, v in want.items()
     }
+
+
+def test_corr_matrix_matches_python_reference(spark):
+    rows = {(r.ta, r.tb): r for r in QUERIES["corr_matrix"](spark, SF_SMOKE).collect()}
+    grid = defaultdict(lambda: defaultdict(float))
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        grid[e.event_type][e.ts.date()] += 1
+    types = sorted(grid)
+    for i, ta in enumerate(types):
+        for tb in types[i:]:
+            days = sorted(set(grid[ta]) & set(grid[tb]))
+            xs = [grid[ta][d] for d in days]
+            ys = [grid[tb][d] for d in days]
+            n = len(days)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            r = rows[(ta, tb)]
+            assert r.n_days == n, (ta, tb)
+            if den > 0:
+                assert abs(r.pearson_r - (n * sxy - sx * sy) / den) < 1e-3
+            # diagonal anchors at exactly 1
+            if ta == tb:
+                assert abs(r.pearson_r - 1.0) < 1e-9
+    assert len(rows) == len(types) * (len(types) + 1) // 2
+
+
+def test_runs_test_matches_python_reference(spark):
+    row = QUERIES["runs_test"](spark, SF_SMOKE).first()
+    import datetime
+    import statistics
+
+    epoch = datetime.date(2024, 1, 1)
+    daily = Counter()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        daily[(e.ts.date() - epoch).days] += 1
+    days = sorted(daily)
+    xs = [float(daily[d]) for d in days]
+    m = statistics.median(xs)
+    signs = [1 if x > m else 0 for x in xs if x != m]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (mu - 1) * (mu - 2) / (n1 + n2 - 1)
+    assert (row.n_runs, row.n_above, row.n_below) == (runs, n1, n2)
+    assert abs(row.expected_runs - mu) < 1e-3
+    assert abs(row.z_score - (runs - mu) / math.sqrt(var)) < 1e-3
