@@ -12396,3 +12396,223 @@ ORACLES["runs_test"] = f"""
     FROM agg
 """
 QUERIES["runs_test"] = q_runs_test
+
+
+def q_seasonal_strength(spark, sf):
+    """Seasonal/trend strength of the daily series (Hyndman's
+    forecastability decomposition): F_seasonal = max(0, 1 -
+    var(remainder)/var(detrended)) and F_trend = max(0, 1 -
+    var(remainder)/var(deseasonalized)) over the same moving-average
+    STL split as stl_decompose — the one-number answer to "is this
+    series worth a seasonal model". Interior days only (where the
+    centered trend exists); same exact-integer detrended carries, so
+    both engines agree bit-for-bit before the final divisions."""
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.sum("x").over(w7)
+        ).alias("s7"),
+        (F.col("d") % 7).alias("dow"),
+    ).where(F.col("s7").isNotNull())
+    w_dow = Window.partitionBy("dow")
+    t2 = t.select(
+        "d",
+        "x",
+        "s7",
+        (7.0 * F.col("x") - F.col("s7")).alias("detr7"),
+        F.sum(7.0 * F.col("x") - F.col("s7")).over(w_dow).alias("sd"),
+        F.count(F.lit(1)).over(w_dow).alias("nd"),
+    )
+    trend = F.col("s7") / 7.0
+    seasonal = F.col("sd") / (7.0 * F.col("nd"))
+    comp = t2.select(
+        (F.col("x") - trend).alias("detrended"),
+        (F.col("x") - seasonal).alias("deseasonalized"),
+        (F.col("x") - trend - seasonal).alias("remainder"),
+    )
+    agg = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.var_pop("detrended").alias("v_dt"),
+        F.var_pop("deseasonalized").alias("v_ds"),
+        F.var_pop("remainder").alias("v_r"),
+    )
+    return agg.select(
+        "n_days",
+        round4(
+            F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_dt"))
+        ).alias("f_seasonal"),
+        round4(
+            F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_ds"))
+        ).alias("f_trend"),
+    )
+
+
+ORACLES["seasonal_strength"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT d, x,
+             CASE WHEN COUNT(*) OVER w = 7 THEN SUM(x) OVER w END AS s7,
+             d % 7 AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), ti AS (
+      SELECT * FROM t WHERE s7 IS NOT NULL
+    ), t2 AS (
+      SELECT d, x, s7,
+             SUM(7.0 * x - s7) OVER (PARTITION BY dow) AS sd,
+             COUNT(*) OVER (PARTITION BY dow) AS nd
+      FROM ti
+    ), comp AS (
+      SELECT x - s7 / 7.0 AS detrended,
+             x - sd / (7.0 * nd) AS deseasonalized,
+             x - s7 / 7.0 - sd / (7.0 * nd) AS remainder
+      FROM t2
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             var_pop(detrended) AS v_dt,
+             var_pop(deseasonalized) AS v_ds,
+             var_pop(remainder) AS v_r
+      FROM comp
+    )
+    SELECT n_days,
+           {R("GREATEST(0.0, 1.0 - v_r / v_dt)")} AS f_seasonal,
+           {R("GREATEST(0.0, 1.0 - v_r / v_ds)")} AS f_trend
+    FROM agg
+"""
+QUERIES["seasonal_strength"] = q_seasonal_strength
+
+
+def q_session_entropy(spark, sf):
+    """Per-user behavioral diversity: Shannon entropy of each user's
+    event-type mix, rolled into the population distribution (mean
+    entropy, share of single-minded users, max possible ln k) — the
+    engagement-breadth metric that separates "does one thing" from
+    "explores the product". Per-user terms fold into two hash
+    aggregations; no per-user collection."""
+    e = _events(spark, sf)
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w_u = Window.partitionBy("user_id")
+    terms = per.select(
+        "user_id",
+        (F.col("c") / F.sum("c").over(w_u)).alias("p"),
+        F.count(F.lit(1)).over(w_u).alias("k"),
+    )
+    per_user = terms.groupBy("user_id").agg(
+        F.sum(-F.col("p") * F.log("p")).alias("h"),
+        F.max("k").alias("k"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        round4(F.avg("h")).alias("mean_entropy"),
+        round4(
+            F.avg(F.when(F.col("k") == 1, 1.0).otherwise(0.0))
+        ).alias("single_type_share"),
+        round4(F.avg(F.log(F.col("k").cast("double")))).alias(
+            "mean_max_entropy"
+        ),
+    )
+
+
+ORACLES["session_entropy"] = f"""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ), terms AS (
+      SELECT user_id,
+             c / SUM(c) OVER (PARTITION BY user_id) AS p,
+             COUNT(*) OVER (PARTITION BY user_id) AS k
+      FROM per
+    ), per_user AS (
+      SELECT user_id, SUM(-p * ln(p)) AS h, MAX(k) AS k
+      FROM terms GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           {R("AVG(h)")} AS mean_entropy,
+           {R("AVG(CASE WHEN k = 1 THEN 1.0 ELSE 0.0 END)")}
+             AS single_type_share,
+           {R("AVG(ln(CAST(k AS DOUBLE)))")} AS mean_max_entropy
+    FROM per_user
+"""
+QUERIES["session_entropy"] = q_session_entropy
+
+
+def q_peak_detection(spark, sf):
+    """Local-maximum peak detection with a prominence floor on the daily
+    series: a day is a peak iff it strictly exceeds its +-2-day
+    neighborhood AND clears the neighborhood minimum by the prominence
+    threshold — the alarm-worthy-spike extractor (raw local maxima alone
+    fire on noise; the prominence condition is what makes peaks
+    reportable). Pure lag/lead windows over the dimension-sized daily
+    relation; boundary days (incomplete neighborhoods) are excluded by
+    the window-count guard."""
+    prom = 0.05  # 5% above the neighborhood floor
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.orderBy("d")
+    neigh = [F.lag("x", i).over(w) for i in (1, 2)] + [
+        F.lead("x", i).over(w) for i in (1, 2)
+    ]
+    nmax = F.greatest(*neigh)
+    nmin = F.least(*neigh)
+    # GREATEST/LEAST skip NULLs in both engines, so the full-neighborhood
+    # requirement must be explicit: both 2-step neighbors present (which
+    # implies the 1-step ones). Projected first — window functions are
+    # not allowed in WHERE.
+    flagged = daily.select(
+        "d",
+        "x",
+        nmax.alias("nmax"),
+        nmin.alias("nmin"),
+        F.lag("x", 2).over(w).alias("_l2"),
+        F.lead("x", 2).over(w).alias("_r2"),
+    ).where(
+        F.col("_l2").isNotNull()
+        & F.col("_r2").isNotNull()
+        & (F.col("x") > F.col("nmax"))
+        & (F.col("x") >= F.col("nmin") * (1.0 + prom))
+    )
+    return flagged.select(
+        F.col("d").cast("long").alias("day_num"),
+        F.col("x").cast("long").alias("n_events"),
+        round4(F.col("x") / F.col("nmin") - 1.0).alias("prominence"),
+    )
+
+
+ORACLES["peak_detection"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), n AS (
+      SELECT d, x,
+             GREATEST(LAG(x, 1) OVER w, LAG(x, 2) OVER w,
+                      LEAD(x, 1) OVER w, LEAD(x, 2) OVER w) AS nmax,
+             LEAST(LAG(x, 1) OVER w, LAG(x, 2) OVER w,
+                   LEAD(x, 1) OVER w, LEAD(x, 2) OVER w) AS nmin
+      FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(x AS BIGINT) AS n_events,
+           {R("x / nmin - 1.0")} AS prominence
+    FROM (
+      SELECT *, LAG(x, 2) OVER (ORDER BY d) AS l2,
+             LEAD(x, 2) OVER (ORDER BY d) AS r2
+      FROM n
+    )
+    WHERE l2 IS NOT NULL AND r2 IS NOT NULL
+      AND x > nmax AND x >= nmin * 1.05
+"""
+QUERIES["peak_detection"] = q_peak_detection

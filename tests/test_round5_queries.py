@@ -1380,3 +1380,62 @@ def test_runs_test_matches_python_reference(spark):
     assert (row.n_runs, row.n_above, row.n_below) == (runs, n1, n2)
     assert abs(row.expected_runs - mu) < 1e-3
     assert abs(row.z_score - (runs - mu) / math.sqrt(var)) < 1e-3
+
+
+def test_seasonal_strength_bounds_and_reference(spark):
+    row = QUERIES["seasonal_strength"](spark, SF_SMOKE).first()
+    assert 0.0 <= row.f_seasonal <= 1.0
+    assert 0.0 <= row.f_trend <= 1.0
+    # interior-day count: series length minus the 3-day edges
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    days = set()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        days.add((e.ts.date() - epoch).days)
+    assert row.n_days == len(days) - 6
+
+
+def test_session_entropy_matches_python_reference(spark):
+    row = QUERIES["session_entropy"](spark, SF_SMOKE).first()
+    per = defaultdict(Counter)
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        per[e.user_id][e.event_type] += 1
+    hs, singles, maxh = [], 0, []
+    for cnts in per.values():
+        tot = sum(cnts.values())
+        h = -sum(c / tot * math.log(c / tot) for c in cnts.values())
+        hs.append(h)
+        maxh.append(math.log(len(cnts)))
+        if len(cnts) == 1:
+            singles += 1
+    assert row.n_users == len(per)
+    assert abs(row.mean_entropy - sum(hs) / len(hs)) < 1e-3
+    assert abs(row.single_type_share - singles / len(per)) < 1e-4
+    assert abs(row.mean_max_entropy - sum(maxh) / len(maxh)) < 1e-3
+    # entropy never exceeds its per-user maximum on average
+    assert row.mean_entropy <= row.mean_max_entropy + 1e-9
+
+
+def test_peak_detection_matches_python_reference(spark):
+    rows = {r.day_num: r for r in QUERIES["peak_detection"](spark, SF_SMOKE).collect()}
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    daily = Counter()
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        daily[(e.ts.date() - epoch).days] += 1
+    days = sorted(daily)
+    xs = {d: float(daily[d]) for d in days}
+    idx = {d: i for i, d in enumerate(days)}
+    want = {}
+    for d in days:
+        i = idx[d]
+        if i < 2 or i >= len(days) - 2:
+            continue
+        neigh = [xs[days[j]] for j in (i - 2, i - 1, i + 1, i + 2)]
+        if xs[d] > max(neigh) and xs[d] >= min(neigh) * 1.05:
+            want[d] = xs[d] / min(neigh) - 1.0
+    assert set(rows) == set(want)
+    for d, prom in want.items():
+        assert abs(rows[d].prominence - prom) < 1e-3
