@@ -12616,3 +12616,175 @@ ORACLES["peak_detection"] = f"""
       AND x > nmax AND x >= nmin * 1.05
 """
 QUERIES["peak_detection"] = q_peak_detection
+
+
+def q_langid_confusion(spark, sf):
+    """Confusion-matrix evaluation of the language-ID heuristic against
+    the fixture's labeled lang column — the eval loop every classifier
+    in the engine should close (text_langid ships predictions; THIS
+    query ships its accuracy). Emits the non-empty confusion cells plus
+    overall accuracy; disagreement cells are exactly where the stopword
+    table needs work. One pass for predictions (the language_id column
+    expression), one hash aggregation for the matrix."""
+    d = _t(spark, sf, "documents")
+    pred = language_id(F.col("text"))
+    cells = d.select(
+        F.col("lang").alias("actual"), pred.alias("predicted")
+    ).groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        round4(
+            F.sum(
+                F.when(F.col("actual") == F.col("predicted"), F.col("n"))
+                .otherwise(0)
+            ).over(w)
+            / F.sum("n").over(w)
+        ).alias("overall_accuracy"),
+    )
+
+
+ORACLES["langid_confusion"] = f"""
+    WITH pred AS ({_LANGID_ORACLE.replace('SELECT doc_id,', 'SELECT doc_id,').strip()})
+    SELECT d.lang AS actual, p.lang_pred AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R("SUM(SUM(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)) OVER () "
+              "* 1.0 / SUM(COUNT(*)) OVER ()")} AS overall_accuracy
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_pred
+"""
+QUERIES["langid_confusion"] = q_langid_confusion
+
+
+def q_power_analysis(spark, sf):
+    """Experiment-design power analysis from observed data: given the
+    measured conversion rate per variant-eligible population, the
+    required sample size per arm to detect a +10% relative lift at
+    alpha = 0.05 (two-sided), power = 0.80 — n = (z_a + z_b)^2 *
+    (p1(1-p1) + p2(1-p2)) / (p1 - p2)^2 — and the minimal detectable
+    relative effect at the CURRENT population size. The pre-registration
+    readout every A/B test needs; one aggregation, then scalar math
+    (z constants are fixed literals, identical both engines)."""
+    za, zb = 1.959963985, 0.8416212336
+    e = _events(spark, sf)
+    # conversion = an EXTREME-value purchase (value > 300): the
+    # rare-enough outcome (~2-3% of users) that keeps the design problem
+    # non-degenerate at every fixture scale — any-purchase and
+    # repeat-purchase both saturate toward p1 = 1 on this fixture
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 300.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("conv").alias("p1"),
+    )
+    p2 = F.col("p1") * 1.1
+    var_sum = F.col("p1") * (1 - F.col("p1")) + p2 * (1 - p2)
+    # p1 = 0 (nothing to lift) or p2 >= 1 (variance term negative) make
+    # the design question ill-posed — NULL in both engines; the p1 = 0
+    # guard also keeps ANSI sessions from a divide-by-zero
+    n_req = F.when(
+        (F.col("p1") > 0.0) & (p2 < 1.0),
+        F.lit((za + zb) ** 2)
+        * var_sum
+        / ((p2 - F.col("p1")) * (p2 - F.col("p1"))),
+    )
+    # MDE at current n/2 per arm: delta = (za+zb) * sqrt(2*p1(1-p1)/(n/2))
+    mde_abs = F.lit(za + zb) * F.sqrt(
+        2.0 * F.col("p1") * (1 - F.col("p1")) / (F.col("n") / 2.0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        round4(F.col("p1")).alias("base_rate"),
+        round4(n_req).alias("n_per_arm_for_10pct_lift"),
+        round4(
+            F.when(F.col("p1") > 0.0, mde_abs / F.col("p1"))
+        ).alias("mde_relative_at_current_n"),
+    )
+
+
+ORACLES["power_analysis"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 300.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(conv) AS p1 FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           {R("p1")} AS base_rate,
+           {R("CASE WHEN p1 > 0.0 AND p1 * 1.1 < 1.0 THEN "
+              "7.848879737078008 * (p1 * (1 - p1) + p1 * 1.1 * (1 - p1 * 1.1)) "
+              "/ ((p1 * 1.1 - p1) * (p1 * 1.1 - p1)) END")}
+             AS n_per_arm_for_10pct_lift,
+           {R("CASE WHEN p1 > 0.0 THEN "
+              "2.8015852185999996 * SQRT(2.0 * p1 * (1 - p1) / (n / 2.0)) / p1 END")}
+             AS mde_relative_at_current_n
+    FROM agg
+"""
+QUERIES["power_analysis"] = q_power_analysis
+
+
+def q_suggest_coverage(spark, sf):
+    """Suggestion-coverage operations metric for the flagship
+    autocomplete: how many prefixes can serve a FULL top-3, how many
+    are thin (1-2 candidates), and the candidate-count distribution —
+    the serving-quality dashboard row that tells you whether the corpus
+    supports the product surface. One extra aggregation over the dq28
+    frequency relation."""
+    d = _t(spark, sf, "documents")
+    q = normalize_queries(d, text_col="text")
+    freq = prefix_frequencies(q, max_len=8)
+    per_prefix = freq.groupBy("prefix").agg(
+        F.countDistinct("query").alias("n_cands")
+    )
+    bucket = (
+        F.when(F.col("n_cands") >= 3, "full_top3")
+        .when(F.col("n_cands") == 2, "two")
+        .otherwise("one")
+    )
+    w = Window.partitionBy()
+    return per_prefix.select(bucket.alias("coverage")).groupBy(
+        "coverage"
+    ).agg(F.count(F.lit(1)).alias("n_prefixes")).select(
+        "coverage",
+        "n_prefixes",
+        round4(
+            F.col("n_prefixes") / F.sum("n_prefixes").over(w)
+        ).alias("share"),
+    )
+
+
+ORACLES["suggest_coverage"] = f"""
+    WITH q AS (
+      SELECT substring(lower(trim(text)), 1, 500) AS query
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) >= 2
+    ), pairs AS (
+      SELECT substring(query, 1, k.k) AS prefix, query
+      FROM q CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+      WHERE length(query) >= k.k
+    ), per_prefix AS (
+      SELECT prefix, COUNT(DISTINCT query) AS n_cands
+      FROM pairs GROUP BY prefix
+    ), buckets AS (
+      SELECT CASE WHEN n_cands >= 3 THEN 'full_top3'
+                  WHEN n_cands = 2 THEN 'two'
+                  ELSE 'one' END AS coverage
+      FROM per_prefix
+    )
+    SELECT coverage, CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           {R("COUNT(*) * 1.0 / SUM(COUNT(*)) OVER ()")} AS share
+    FROM buckets GROUP BY coverage
+"""
+QUERIES["suggest_coverage"] = q_suggest_coverage

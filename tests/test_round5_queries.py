@@ -1439,3 +1439,64 @@ def test_peak_detection_matches_python_reference(spark):
     assert set(rows) == set(want)
     for d, prom in want.items():
         assert abs(rows[d].prominence - prom) < 1e-3
+
+
+def test_langid_confusion_matches_labels(spark):
+    rows = QUERIES["langid_confusion"](spark, SF_SMOKE).collect()
+    total = sum(r.n for r in rows)
+    correct = sum(r.n for r in rows if r.actual == r.predicted)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert total == n_docs  # every document lands in exactly one cell
+    acc = rows[0].overall_accuracy
+    assert abs(acc - correct / total) < 1e-4
+    for r in rows:
+        assert abs(r.overall_accuracy - acc) < 1e-9
+    # some predictions land (the heuristic is not degenerate); its
+    # absolute accuracy on the tiny synthetic corpus is fixture-dependent
+    assert correct > 0
+
+
+def test_power_analysis_matches_python_reference(spark):
+    row = QUERIES["power_analysis"](spark, SF_SMOKE).first()
+    conv = {}
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        hit = e.event_type == "purchase" and e.value is not None and e.value > 300.0
+        conv[e.user_id] = max(conv.get(e.user_id, 0), int(hit))
+    n = len(conv)
+    p1 = sum(conv.values()) / n
+    za, zb = 1.959963985, 0.8416212336
+    assert row.n_users == n
+    assert abs(row.base_rate - p1) < 1e-4
+    if p1 == 0.0 or p1 * 1.1 >= 1.0:
+        # ill-posed design -> NULL outputs by contract
+        assert row.n_per_arm_for_10pct_lift is None
+    else:
+        p2 = p1 * 1.1
+        n_req = (
+            (za + zb) ** 2 * (p1 * (1 - p1) + p2 * (1 - p2)) / (p2 - p1) ** 2
+        )
+        mde = (za + zb) * math.sqrt(2 * p1 * (1 - p1) / (n / 2)) / p1
+        assert abs(row.n_per_arm_for_10pct_lift - n_req) < max(
+            1e-2, n_req * 1e-4
+        )
+        assert abs(row.mde_relative_at_current_n - mde) < 1e-3
+        assert row.n_per_arm_for_10pct_lift > 0
+
+
+def test_suggest_coverage_partitions_all_prefixes(spark):
+    rows = QUERIES["suggest_coverage"](spark, SF_SMOKE).collect()
+    shares = sum(r.share for r in rows)
+    assert abs(shares - 1.0) < 1e-3  # buckets partition the prefix set
+    freq = defaultdict(set)
+    for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        t = (d.text or "").strip().lower()[:500]
+        if len(t) < 2:
+            continue
+        for k in range(2, 9):
+            if len(t) >= k:
+                freq[t[:k]].add(t)
+    want = Counter(
+        "full_top3" if len(v) >= 3 else ("two" if len(v) == 2 else "one")
+        for v in freq.values()
+    )
+    assert {r.coverage: r.n_prefixes for r in rows} == dict(want)
