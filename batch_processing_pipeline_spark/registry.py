@@ -12788,3 +12788,124 @@ ORACLES["suggest_coverage"] = f"""
     FROM buckets GROUP BY coverage
 """
 QUERIES["suggest_coverage"] = q_suggest_coverage
+
+
+def q_session_dwell(spark, sf):
+    """Dwell-time distribution: seconds between consecutive events within
+    a user session (30-min gap, the DQ24 sessionization), summarized per
+    event-type-of-origin with exact percentiles — the engagement-depth
+    readout behind "how long do users sit on X". The lag runs inside the
+    (user, session) window; percentiles aggregate the dimension-bounded
+    (type, dwell) relation."""
+    e = _events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+    sess = e.withColumn(
+        "sid",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ).over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    dwell = sess.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.lead("ts").over(ws))
+            - F.unix_timestamp("ts")
+        ).alias("dwell_s"),
+    ).where(F.col("dwell_s").isNotNull())
+    return dwell.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        round4(F.percentile("dwell_s", F.lit(0.5))).alias("p50_s"),
+        round4(F.percentile("dwell_s", F.lit(0.9))).alias("p90_s"),
+        round4(F.avg("dwell_s")).alias("mean_s"),
+    )
+
+
+ORACLES["session_dwell"] = f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)))
+                         AS BIGINT) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    ), dwell AS (
+      SELECT event_type,
+             CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id, sid
+                  ORDER BY ts, event_id))) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS dwell_s
+      FROM s
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+           {R("quantile_cont(dwell_s, 0.5)")} AS p50_s,
+           {R("quantile_cont(dwell_s, 0.9)")} AS p90_s,
+           {R("AVG(dwell_s)")} AS mean_s
+    FROM dwell WHERE dwell_s IS NOT NULL
+    GROUP BY event_type
+"""
+QUERIES["session_dwell"] = q_session_dwell
+
+
+def q_error_budget(spark, sf):
+    """SLO error-budget burn (the SRE readout): daily error rate vs a
+    1.5% objective, the day's budget consumption (rate/SLO), cumulative
+    burn over the window, and the day the budget exhausts at the
+    current pace — one rollup plus two windows over the daily relation.
+    Gates a release freeze the same way production burn alerts do."""
+    slo = 0.015
+    e = _events(spark, sf)
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("double").alias("errs"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("errs") / F.col("n")
+    t = daily.select(
+        "d",
+        "n",
+        "errs",
+        rate.alias("rate"),
+        (
+            F.sum("errs").over(w_cum)
+            / (F.sum("n").over(w_cum) * F.lit(slo))
+        ).alias("cum_burn"),
+    )
+    return t.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("errs").cast("long").alias("n_errors"),
+        round4(F.col("rate")).alias("error_rate"),
+        round4(F.col("rate") / F.lit(slo)).alias("daily_burn"),
+        round4(F.col("cum_burn")).alias("cumulative_burn"),
+    )
+
+
+ORACLES["error_budget"] = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS errs
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(errs AS BIGINT) AS n_errors,
+           {R("errs / n")} AS error_rate,
+           {R("errs / n / 0.015")} AS daily_burn,
+           {R("SUM(errs) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING "
+              "AND CURRENT ROW) / (SUM(n) OVER (ORDER BY d ROWS BETWEEN "
+              "UNBOUNDED PRECEDING AND CURRENT ROW) * 0.015)")}
+             AS cumulative_burn
+    FROM daily
+"""
+QUERIES["error_budget"] = q_error_budget

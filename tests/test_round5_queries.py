@@ -1500,3 +1500,63 @@ def test_suggest_coverage_partitions_all_prefixes(spark):
         for v in freq.values()
     )
     assert {r.coverage: r.n_prefixes for r in rows} == dict(want)
+
+
+def test_session_dwell_matches_python_reference(spark):
+    rows = {r.event_type: r for r in QUERIES["session_dwell"](spark, SF_SMOKE).collect()}
+    events = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect(),
+        key=lambda e: (e.user_id, e.ts, e.event_id),
+    )
+    import statistics
+
+    dwells = defaultdict(list)
+    prev = {}
+    sess = {}
+    sid = defaultdict(int)
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e.user_id].append(e)
+    for uid, evs in by_user.items():
+        last_ts = None
+        cur = 0
+        for e in evs:
+            if last_ts is None or (e.ts - last_ts).total_seconds() > 1800:
+                cur += 1
+            last_ts = e.ts
+            sess[e.event_id] = (uid, cur)
+        # dwell = to next event in same session
+        for a, b in zip(evs, evs[1:]):
+            if sess[a.event_id] == sess[b.event_id]:
+                dwells[a.event_type].append(
+                    int(b.ts.timestamp()) - int(a.ts.timestamp())
+                )
+    assert set(rows) == set(dwells)
+    for t, ds in dwells.items():
+        r = rows[t]
+        assert r.n_dwells == len(ds)
+        assert abs(r.p50_s - statistics.median(ds)) < 0.51
+        assert abs(r.mean_s - sum(ds) / len(ds)) < 1e-2
+
+
+def test_error_budget_burn_accounting(spark):
+    rows = sorted(
+        QUERIES["error_budget"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    daily = defaultdict(lambda: [0, 0])
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        d = e.ts.date().isoformat()
+        daily[d][0] += 1
+        if e.event_type == "error":
+            daily[d][1] += 1
+    cn = ce = 0
+    assert len(rows) == len(daily)
+    for r in rows:
+        n, errs = daily[r.day]
+        cn += n
+        ce += errs
+        assert (r.n_events, r.n_errors) == (n, errs)
+        assert abs(r.error_rate - errs / n) < 1e-4
+        assert abs(r.daily_burn - (errs / n) / 0.015) < 1e-3
+        assert abs(r.cumulative_burn - ce / (cn * 0.015)) < 1e-3
