@@ -12909,3 +12909,63 @@ ORACLES["error_budget"] = f"""
     FROM daily
 """
 QUERIES["error_budget"] = q_error_budget
+
+
+def q_keyword_trends(spark, sf):
+    """Rising-terms detection between the two halves of the observation
+    window (the batch "trending searches" feature, complementing the
+    streaming trending job): per term, smoothed frequency ratio
+    (f2 + 1)/(f1 + 1) with a support floor, top-15 risers with the
+    deterministic md5 tie-break. Two token rollups + one join; the rise
+    ratio's +1 smoothing keeps new terms finite and damps noise exactly
+    like the bigram-LM smoothing."""
+    d = _t(spark, sf, "documents")
+    half = F.col("doc_id") % 2  # deterministic halves (no ts on documents)
+    toks = d.select(
+        half.alias("h"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.length("w") >= 3)
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).cast("double").alias("f1"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("double").alias("f2"),
+    ).where(F.col("f1") + F.col("f2") >= 10)
+    rise = (F.col("f2") + 1.0) / (F.col("f1") + 1.0)
+    w_rank = Window.orderBy(
+        round4(rise).desc(), F.md5(F.col("w")).asc()
+    )
+    return (
+        counts.select(
+            F.col("w").alias("term"),
+            F.col("f1").cast("long").alias("n_first_half"),
+            F.col("f2").cast("long").alias("n_second_half"),
+            round4(rise).alias("rise_ratio"),
+            F.row_number().over(w_rank).alias("rk"),
+        )
+        .where(F.col("rk") <= 15)
+        .select("rk", "term", "n_first_half", "n_second_half", "rise_ratio")
+    )
+
+
+ORACLES["keyword_trends"] = f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS h,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS f1,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS f2
+      FROM toks WHERE length(w) >= 3
+      GROUP BY w HAVING SUM(1) >= 10
+    )
+    SELECT rk, term, n_first_half, n_second_half, rise_ratio FROM (
+      SELECT w AS term,
+             CAST(f1 AS BIGINT) AS n_first_half,
+             CAST(f2 AS BIGINT) AS n_second_half,
+             {R("(f2 + 1.0) / (f1 + 1.0)")} AS rise_ratio,
+             ROW_NUMBER() OVER (ORDER BY {R("(f2 + 1.0) / (f1 + 1.0)")} DESC,
+               md5(w) ASC) AS rk
+      FROM counts
+    ) WHERE rk <= 15
+"""
+QUERIES["keyword_trends"] = q_keyword_trends

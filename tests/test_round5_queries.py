@@ -1560,3 +1560,35 @@ def test_error_budget_burn_accounting(spark):
         assert abs(r.error_rate - errs / n) < 1e-4
         assert abs(r.daily_burn - (errs / n) / 0.015) < 1e-3
         assert abs(r.cumulative_burn - ce / (cn * 0.015)) < 1e-3
+
+
+def test_keyword_trends_matches_python_reference(spark):
+    rows = QUERIES["keyword_trends"](spark, SF_SMOKE).collect()
+    f1, f2 = Counter(), Counter()
+    for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        tgt = f1 if d.doc_id % 2 == 0 else f2
+        for w in (d.text or "").strip().lower().split():
+            if len(w) >= 3:
+                tgt[w] += 1
+
+    def r4(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    cands = []
+    for w in set(f1) | set(f2):
+        if f1[w] + f2[w] >= 10:
+            cands.append(
+                (
+                    -r4((f2[w] + 1.0) / (f1[w] + 1.0)),
+                    hashlib.md5(w.encode()).hexdigest(),
+                    w,
+                )
+            )
+    cands.sort()
+    want = [(i + 1, w) for i, (_r, _h, w) in enumerate(cands[:15])]
+    assert [(r.rk, r.term) for r in rows] == want
+    for r in rows:
+        assert abs(
+            r.rise_ratio
+            - (f2[r.term] + 1.0) / (f1[r.term] + 1.0)
+        ) < 1e-3
