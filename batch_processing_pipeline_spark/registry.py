@@ -12969,3 +12969,92 @@ ORACLES["keyword_trends"] = f"""
     ) WHERE rk <= 15
 """
 QUERIES["keyword_trends"] = q_keyword_trends
+
+
+def q_stratified_ate(spark, sf):
+    """Stratification-adjusted average treatment effect: users bucket
+    into activity quintiles (the observed confounder), and the ATE is
+    the stratum-size-weighted difference of treated/control mean
+    outcomes — the classic observational adjustment when randomization
+    can't be trusted (Cochran's subclassification; five strata remove
+    ~90% of the bias a raw difference carries). Per-user rollup, NTILE
+    with a total-order tie-break (the qini_uplift lesson), one
+    conditional aggregation per stratum, weighted reduce; empty arms
+    yield NULL cell means and drop from the weighted sum in both
+    engines."""
+    e = _events(spark, sf)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("activity"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("y"),
+    ).select(
+        "user_id", "activity", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ate:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = per_user.select(
+        "y",
+        (h % 2 == 0).cast("int").alias("t"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("activity").desc(), F.col("user_id").asc()))
+        .alias("stratum"),
+    )
+    per_s = scored.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s"),
+        F.avg(F.when(F.col("t") == 1, F.col("y"))).alias("yt"),
+        F.avg(F.when(F.col("t") == 0, F.col("y"))).alias("yc"),
+    )
+    w = Window.partitionBy()
+    return per_s.select(
+        "stratum",
+        F.col("n_s").cast("long").alias("n_users"),
+        round4(F.col("yt")).alias("mean_treated"),
+        round4(F.col("yc")).alias("mean_control"),
+        round4(
+            F.sum(
+                F.when(
+                    F.col("yt").isNotNull() & F.col("yc").isNotNull(),
+                    F.col("n_s") * (F.col("yt") - F.col("yc")),
+                )
+            ).over(w)
+            / F.sum("n_s").over(w)
+        ).alias("stratified_ate"),
+    )
+
+
+ORACLES["stratified_ate"] = f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS activity,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN value END), 0.0) AS y
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT y,
+             CASE WHEN CAST('0x' || substr(md5('ate:' || CAST(user_id AS VARCHAR)),
+                    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS t,
+             NTILE(5) OVER (ORDER BY activity DESC, user_id ASC) AS stratum
+      FROM per_user
+    ), per_s AS (
+      SELECT stratum, CAST(COUNT(*) AS DOUBLE) AS n_s,
+             AVG(CASE WHEN t = 1 THEN y END) AS yt,
+             AVG(CASE WHEN t = 0 THEN y END) AS yc
+      FROM scored GROUP BY stratum
+    )
+    SELECT stratum,
+           CAST(n_s AS BIGINT) AS n_users,
+           {R("yt")} AS mean_treated,
+           {R("yc")} AS mean_control,
+           {R("SUM(CASE WHEN yt IS NOT NULL AND yc IS NOT NULL "
+              "THEN n_s * (yt - yc) END) OVER () / SUM(n_s) OVER ()")}
+             AS stratified_ate
+    FROM per_s
+"""
+QUERIES["stratified_ate"] = q_stratified_ate

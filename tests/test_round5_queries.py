@@ -1592,3 +1592,54 @@ def test_keyword_trends_matches_python_reference(spark):
             r.rise_ratio
             - (f2[r.term] + 1.0) / (f1[r.term] + 1.0)
         ) < 1e-3
+
+
+def test_stratified_ate_matches_python_reference(spark):
+    rows = sorted(
+        QUERIES["stratified_ate"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.stratum,
+    )
+    users = defaultdict(lambda: [0, 0.0])
+    for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        u = users[e.user_id]
+        u[0] += 1
+        if e.event_type == "purchase" and e.value is not None:
+            u[1] += e.value
+    scored = sorted(
+        (
+            (-act, uid,
+             int(hashlib.md5(f"ate:{uid}".encode()).hexdigest()[:8], 16) % 2 == 0,
+             y)
+            for uid, (act, y) in users.items()
+        ),
+    )
+    n_u = len(scored)
+    base, extra = divmod(n_u, 5)
+    i = 0
+    num = den = 0.0
+    per = {}
+    for s in range(1, 6):
+        size = base + (1 if s <= extra else 0)
+        chunk = scored[i : i + size]
+        i += size
+        yt = [y for _a, _u, t, y in chunk if t]
+        yc = [y for _a, _u, t, y in chunk if not t]
+        mt = sum(yt) / len(yt) if yt else None
+        mc = sum(yc) / len(yc) if yc else None
+        per[s] = (size, mt, mc)
+        den += size
+        if mt is not None and mc is not None:
+            num += size * (mt - mc)
+    ate = num / den
+    for r in rows:
+        size, mt, mc = per[r.stratum]
+        assert r.n_users == size
+        if mt is None:
+            assert r.mean_treated is None
+        else:
+            assert abs(r.mean_treated - mt) < 1e-2
+        if mc is None:
+            assert r.mean_control is None
+        else:
+            assert abs(r.mean_control - mc) < 1e-2
+        assert abs(r.stratified_ate - ate) < 1e-2
