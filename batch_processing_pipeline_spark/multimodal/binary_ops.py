@@ -458,7 +458,7 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 _AUDIO_SCHEMA = (
     "doc_id long, frame_idx int, n_samples long, sum_amp long, "
-    "rms double, zero_cross long"
+    "energy long, rms double, zero_cross long"
 )
 
 
@@ -480,7 +480,7 @@ def audio_frame_features(
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "frame_idx": [], "n_samples": [],
-                "sum_amp": [], "rms": [], "zero_cross": [],
+                "sum_amp": [], "energy": [], "rms": [], "zero_cross": [],
             }
             for doc_id, data in zip(pdf[id_col], pdf["content"]):
                 _rate, _ch, _bits, pcm = codecs.decode_wav(bytes(data))
@@ -489,14 +489,17 @@ def audio_frame_features(
                 for f in range(nf):
                     fr = s[f * frame_len : (f + 1) * frame_len]
                     centered = fr - 128.0
+                    # exact int64 energy: |centered| <= 128 so the sum of
+                    # squares is exact — downstream threshold gates compare
+                    # this integer, never a sqrt'd float (1-ulp safe)
+                    energy = int(np.sum(centered * centered))
                     below = fr < 128
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(f)
                     out["n_samples"].append(frame_len)
                     out["sum_amp"].append(int(fr.sum()))
-                    out["rms"].append(
-                        float(np.sqrt(np.sum(centered * centered) / frame_len))
-                    )
+                    out["energy"].append(energy)
+                    out["rms"].append(float(np.sqrt(energy / frame_len)))
                     out["zero_cross"].append(int(np.sum(below[:-1] != below[1:])))
             yield pd.DataFrame(out)
 

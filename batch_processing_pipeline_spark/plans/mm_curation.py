@@ -77,14 +77,19 @@ def mm_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ).select("doc_id")
     s2 = s1.join(ok_img, "doc_id", "left_semi").persist()
 
-    # stage 3 — audio energy gate via REAL WAV decode: whole-clip RMS
-    # from the frame features (frame n_samples are uniform, so the clip
-    # RMS over whole frames is the quadratic mean of frame RMS values)
+    # stage 3 — audio energy gate via REAL WAV decode. Gate on the EXACT
+    # integer energy (sum of squared centered amplitudes, int64 per
+    # frame): clip RMS >= 70  <=>  SUM(energy) >= 70^2 * SUM(n) — both
+    # sides exact integers, bit-identical to any oracle engine, no sqrt
+    # in the predicate (a sqrt round-trip can flip a clip sitting exactly
+    # on the threshold by 1 ulp).
     feats = audio_frame_features(synthesize_wav(s2), frame_len=16)
-    clip_rms = feats.groupBy("doc_id").agg(
-        F.sqrt(F.avg(F.col("rms") * F.col("rms"))).alias("rms")
+    clip_energy = feats.groupBy("doc_id").agg(
+        F.sum("energy").alias("energy"), F.sum("n_samples").alias("n")
     )
-    ok_audio = clip_rms.where(F.col("rms") >= MIN_RMS).select("doc_id")
+    ok_audio = clip_energy.where(
+        F.col("energy") >= F.lit(int(MIN_RMS) ** 2) * F.col("n")
+    ).select("doc_id")
     s3 = s2.join(ok_audio, "doc_id", "left_semi").persist()
 
     # stage 4 — exact text dedup (keep min doc_id per digest)

@@ -9215,6 +9215,7 @@ def q_k_core(spark, sf):
     )
     k = 2
     cur = edges.localCheckpoint(eager=True)
+    converged = False
     for _ in range(30):
         deg = (
             cur.select(F.col("u").alias("n"))
@@ -9231,9 +9232,15 @@ def q_k_core(spark, sf):
         )
         if nxt.count() == cur.count():
             cur = nxt
+            converged = True
             break
         cur = nxt
     edges.unpersist()
+    if not converged:
+        # an unconverged peel is a supergraph of the true k-core — fail
+        # loudly rather than emit a silently-wrong result (a long cascade
+        # chain at larger SF can exceed the round cap)
+        raise RuntimeError("k_core: peel did not reach fixpoint in 30 rounds")
     deg = (
         cur.select(F.col("u").alias("part"))
         .unionByName(cur.select(F.col("v").alias("part")))
@@ -10239,11 +10246,12 @@ ORACLES["mm_curation_pipeline"] = """
     ), s2 AS (
       SELECT * FROM s1
       WHERE length(text) % 13 + 1 >= 3 AND length(text) % 7 + 1 >= 3
-    ), rms AS (
+    ), nrg AS (
+      -- exact integer energy: clip RMS >= 70 <=> SUM(energy) >= 4900*n
       SELECT doc_id,
-             SQRT(SUM((CAST((i * step) % 256 AS DOUBLE) - 128.0)
-                      * (CAST((i * step) % 256 AS DOUBLE) - 128.0))
-                  / COUNT(*)) AS rms
+             SUM(CAST(((i * step) % 256 - 128)
+                      * ((i * step) % 256 - 128) AS BIGINT)) AS energy,
+             COUNT(*) AS n
       FROM (
         SELECT doc_id, length(text) % 50 + 20 AS n,
                length(text) % 7 + 2 AS step
@@ -10251,7 +10259,8 @@ ORACLES["mm_curation_pipeline"] = """
       ), UNNEST(range(0, (n // 16) * 16)) AS u(i)
       GROUP BY doc_id
     ), s3 AS (
-      SELECT s2.* FROM s2 JOIN rms USING (doc_id) WHERE rms.rms >= 70.0
+      SELECT s2.* FROM s2 JOIN nrg USING (doc_id)
+      WHERE nrg.energy >= 4900 * nrg.n
     ), s4 AS (
       SELECT * FROM s3 WHERE doc_id IN (
         SELECT MIN(doc_id) FROM s3 GROUP BY md5(lower(trim(text)))
@@ -12649,7 +12658,7 @@ def q_langid_confusion(spark, sf):
 
 
 ORACLES["langid_confusion"] = f"""
-    WITH pred AS ({_LANGID_ORACLE.replace('SELECT doc_id,', 'SELECT doc_id,').strip()})
+    WITH pred AS ({_LANGID_ORACLE.strip()})
     SELECT d.lang AS actual, p.lang_pred AS predicted,
            CAST(COUNT(*) AS BIGINT) AS n,
            {R("SUM(SUM(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)) OVER () "
