@@ -10,16 +10,16 @@ Ordering contract: the driver's correctness harness records a fixed-size
 window from the FRONT of ``queries()`` (50 rows per round). Every
 registry query is green under the local replica of that harness
 (``tools/check_oracle.py`` — dtype-faithful since round 5; committed
-evidence in ``ORACLE_r05.json``), but only windowed queries get an
+evidence in ``ORACLE_r07.json``), but only windowed queries get an
 independent driver-file row — so the dict is ordered deliberately: the
-curated ``_WINDOW_R5`` fills the window (the six round-4 driver-reds
-re-enter first — their re-check IS the dtype sweep's "done" signal —
-then the judge-named round-4 flagships, the latent-dtype fixes, the
-round-5 additions, and the codec/time-series tail), the remaining
-never-driver-checked queries follow, and queries already driver-verified
-in rounds 1–4 rotate to the back. Rows-only queries (no oracle SQL) are
-excluded from the window — they can only ever produce a ``no_oracle``
-row, wasting the slot (round-3 lesson).
+curated ``_WINDOW_R7`` fills the window with 50 of the 78 oracle-able
+queries that have NEVER had a driver row (composed funnels and round-5
+flagships first, then the eval/IO suites, then the statistics tail),
+the remaining 28 never-checked queries follow so an oversized window
+still lands on them, and queries already driver-verified in rounds 1–6
+rotate to the back. Rows-only queries (no oracle SQL) are excluded from
+the window — they can only ever produce a ``no_oracle`` row, wasting
+the slot (round-3 lesson).
 """
 
 from __future__ import annotations
@@ -30,39 +30,53 @@ from pyspark.sql import DataFrame, SparkSession
 
 from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
 
-# Round-5 driver window: the six round-4 driver-reds (all fixed by the
-# dtype sweep — BIGINT casts / to_json array projections — and green
-# under the strict replica), the judge-named round-4 flagships, the
-# never-checked queries whose oracles the same sweep fixed, the round-5
-# additions, and the real-codec / time-series tail. No rows-only queries.
-_WINDOW_R5 = [
-    # round-4 driver-red, fixed by the dtype sweep — must re-check green
+# Round-7 driver window: 50 of the 78 oracle-able queries with no driver
+# CORRECTNESS row in any of rounds 1-6 (VERDICT r6 task #1). Ordered:
+# composed funnels + round-5 flagships, the file-format round-trip suite,
+# the eval/search/causal batch, then the statistics tail. No rows-only
+# queries; everything here is green under the local strict harness.
+_WINDOW_R7 = [
+    # composed funnels + round-5 flagship additions (judge-named first)
+    "mm_curation_pipeline", "spell_correct", "suggest_mrr",
+    "winnowing_dup_pairs", "bootstrap_ci", "shapley_attribution",
+    "url_normalize", "dq_expectations", "rolling_dau", "stl_decompose",
+    "auc_eval", "ece_eval",
+    # file-format / storage round-trip suite
+    "csv_roundtrip", "orc_roundtrip", "jsonl_roundtrip",
+    "partitioned_write", "schema_evolution", "managed_table",
+    "csv_badrows",
+    # eval / search / causal batch
+    "forecast_eval", "suggest_rbo", "suggest_coverage", "bm25_search",
+    "did_estimate", "qini_uplift", "stratified_ate", "langid_confusion",
+    # statistics and sessionization tail
+    "moments_merge", "full_outer_recon", "changepoint_binseg",
+    "capture_recapture", "gini_concentration", "rendezvous_sharding",
+    "evt_pot", "corr_matrix", "runs_test", "seasonal_strength",
+    "session_entropy", "peak_detection", "power_analysis",
+    "session_dwell", "error_budget", "keyword_trends", "neyman_alloc",
+    "woe_iv", "group_split",
+    # text-analysis / growth tail
+    "vocab_coverage", "term_burstiness", "attribution", "cohort_ltv",
+]
+
+# Driver-verified in rounds 1–6 (union of CORRECTNESS_r01–r06 green
+# keys) — rotate to the back of the dict.
+_PRIOR_GREEN = {
+    # round-5/6 window greens (CORRECTNESS_r05 == r06 keys, all green)
     "tpch_q12", "bpe_merge_candidates", "lateral_join",
     "tokenizer_fertility", "cumulative_reach", "inverted_index",
-    # judge-named round-4 flagships (VERDICT r4 next-round #3)
     "pretrain_pipeline", "cdc_apply", "semdedup", "sim_topk_filtered",
     "continuous_aggregate", "recursive_cte", "session_vars",
     "arrow_grouped", "xml_funcs", "collation_group", "approx_topk_types",
     "psi_drift", "embedding_audit", "dp_counts", "ab_welch",
-    # never-checked queries whose oracles the dtype sweep also fixed
     "sql_pipe", "param_sql", "regexp_extract_all", "bitwise_funcs",
-    "chi2_independence",
-    # round-5 additions
-    "holt_forecast", "unimax_alloc", "geo_grid_hotspots",
-    "entity_resolution", "mm_audio",
-    # round-4 statistics batch (ADVICE r4: needs committed evidence)
+    "chi2_independence", "holt_forecast", "unimax_alloc",
+    "geo_grid_hotspots", "entity_resolution", "mm_audio",
     "gap_islands", "ks_test", "mannwhitney_u", "acf_daily", "zipf_fit",
     "kaplan_meier", "basket_lift", "pareto_abc", "mutual_info",
-    "theil_sen",
-    # real-codec and time-series tail
-    "mm_frames", "mm_video_avi", "ewma_smooth", "time_rollup", "cusum",
-    "score_calibration", "decayed_counts", "benford_audit", "wow_growth",
-]
-
-# Driver-verified in rounds 1–3 (union of CORRECTNESS_r01/r02/r03 keys,
-# minus the two r3 hash-reds which re-enter the window) — rotate to the
-# back of the dict.
-_PRIOR_GREEN = {
+    "theil_sen", "mm_frames", "mm_video_avi", "ewma_smooth",
+    "time_rollup", "cusum", "score_calibration", "decayed_counts",
+    "benford_audit", "wow_growth",
     "dq01_scan_project", "dq02_filter", "dq03_normalize",
     "dq04_prefix_fanout", "dq05_agg_sum", "dq06_distinct", "dq07_join_inner",
     "dq08_join_multiway", "dq09_join_left_null", "dq10_semi_join",
@@ -110,7 +124,7 @@ _ROWS_ONLY_BACK = {
 
 
 def _ordered_names() -> list[str]:
-    window = [n for n in _WINDOW_R5 if n in QUERIES]
+    window = [n for n in _WINDOW_R7 if n in QUERIES]
     seen = set(window)
     never_rest = [
         n for n in QUERIES

@@ -468,8 +468,12 @@ def audio_frame_features(
     """REAL audio feature extraction: decode the WAV container (chunk walk
     + PCM), split into fixed-length analysis frames (tail samples beyond
     the last whole frame drop, the standard hop = frame_len framing), and
-    emit per-frame RMS energy (about the 8-bit midpoint 128) and
-    zero-crossing count — the two classic VAD/segmentation features.
+    emit per-frame features: ``energy`` (EXACT int64 sum of squared
+    centered amplitudes — the gate field: downstream threshold gates must
+    compare this integer, never the sqrt'd float, so a clip sitting on
+    the threshold can't flip by 1 ulp), ``rms`` (float convenience view,
+    sqrt(energy/n)), and ``zero_cross`` — RMS + zero-crossing being the
+    two classic VAD/segmentation features.
 
     Arrow-batched ``mapInPandas`` with vectorized numpy per payload; the
     per-frame math is exact-integer sums in float64, so a SQL oracle that

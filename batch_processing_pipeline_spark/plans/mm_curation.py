@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 MIN_EDGE = 3
 #: minimum whole-clip RMS energy about the 8-bit midpoint — silence gate
 MIN_RMS = 70.0
+#: the squared threshold actually compared (clip RMS >= MIN_RMS  <=>
+#: SUM(energy) >= MIN_RMS_SQ * SUM(n), both sides exact integers). The
+#: single shared constant: the plan's predicate and the DuckDB oracle
+#: both reference THIS value, so a threshold edit cannot drift silently.
+MIN_RMS_SQ = 4900
+# int() truncation of a non-integer RMS would silently diverge from the
+# documented threshold — fail loudly at import instead.
+assert float(MIN_RMS).is_integer() and int(MIN_RMS) ** 2 == MIN_RMS_SQ
 
 
 def mm_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -88,7 +96,7 @@ def mm_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.sum("energy").alias("energy"), F.sum("n_samples").alias("n")
     )
     ok_audio = clip_energy.where(
-        F.col("energy") >= F.lit(int(MIN_RMS) ** 2) * F.col("n")
+        F.col("energy") >= F.lit(MIN_RMS_SQ) * F.col("n")
     ).select("doc_id")
     s3 = s2.join(ok_audio, "doc_id", "left_semi").persist()
 

@@ -9216,7 +9216,10 @@ def q_k_core(spark, sf):
     k = 2
     cur = edges.localCheckpoint(eager=True)
     converged = False
-    for _ in range(30):
+    # 30 removal rounds + 1 confirming pass: a peel whose last removal
+    # lands exactly on round 30 must still get the stability-confirming
+    # iteration before the cap raises (ADVICE r6)
+    for _ in range(31):
         deg = (
             cur.select(F.col("u").alias("n"))
             .unionByName(cur.select(F.col("v").alias("n")))
@@ -10236,7 +10239,9 @@ def q_mm_curation_pipeline(spark, sf):
     return mm_curation_pipeline(spark, d)
 
 
-ORACLES["mm_curation_pipeline"] = """
+from batch_processing_pipeline_spark.plans.mm_curation import MIN_RMS_SQ as _MM_RMS_SQ  # noqa: E501 — single shared threshold constant (plan + oracle)
+
+ORACLES["mm_curation_pipeline"] = f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
     ), s1 AS (
@@ -10247,7 +10252,7 @@ ORACLES["mm_curation_pipeline"] = """
       SELECT * FROM s1
       WHERE length(text) % 13 + 1 >= 3 AND length(text) % 7 + 1 >= 3
     ), nrg AS (
-      -- exact integer energy: clip RMS >= 70 <=> SUM(energy) >= 4900*n
+      -- exact integer energy: clip RMS >= 70 <=> SUM(energy) >= MIN_RMS_SQ*n
       SELECT doc_id,
              SUM(CAST(((i * step) % 256 - 128)
                       * ((i * step) % 256 - 128) AS BIGINT)) AS energy,
@@ -10260,7 +10265,7 @@ ORACLES["mm_curation_pipeline"] = """
       GROUP BY doc_id
     ), s3 AS (
       SELECT s2.* FROM s2 JOIN nrg USING (doc_id)
-      WHERE nrg.energy >= 4900 * nrg.n
+      WHERE nrg.energy >= {_MM_RMS_SQ} * nrg.n
     ), s4 AS (
       SELECT * FROM s3 WHERE doc_id IN (
         SELECT MIN(doc_id) FROM s3 GROUP BY md5(lower(trim(text)))
