@@ -231,6 +231,7 @@ def signlsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH (OR-construction).
 
@@ -240,6 +241,15 @@ def signlsh_topk(
     Candidate generation is an equi-join on (table_id, bucket); only
     candidates get exact cosine scoring. Recall vs the exact path is
     asserted in tests/test_similarity.py.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    from each query bucket (flip one sign bit per probe) — the standard
+    multi-probe LSH recall lever: a near neighbor that lands JUST on the
+    other side of one hyperplane still collides. Expansion happens on the
+    QUERY side only, which is broadcast — the corpus relation, the big side
+    at 100 TB, is never expanded or reshuffled; candidate volume grows by
+    at most (n_planes + 1)x before dedup while recall rises sharply
+    (pinned >= 0.8 in tests/test_similarity.py).
     """
     c = (
         signlsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables, seed)
@@ -261,6 +271,20 @@ def signlsh_topk(
             "bucket",
         )
     )
+    if multiprobe:
+        # Hamming-1 probe set: the exact bucket plus one bucket per flipped
+        # plane bit (bucket XOR 2^p). Query-side only — stays broadcast.
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            "query_id", "q_vec", "table_id",
+            F.explode(probes).alias("bucket"),
+        )
     scored = (
         F.broadcast(qb)
         .join(c, ["table_id", "bucket"])

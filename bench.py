@@ -91,6 +91,15 @@ HEADLINE = [
     "unimax_alloc",
     "geo_grid_hotspots",
     "mm_audio",
+    # round-5 heavyweights with no prior bench row (VERDICT r6 task #3):
+    # winnowing fingerprint self-join, the composed multimodal funnel
+    # (real PNG+WAV decode), SymSpell correction, dHash image near-dup,
+    # and the 30-day rolling-distinct window
+    "winnowing_dup_pairs",
+    "mm_curation_pipeline",
+    "spell_correct",
+    "mm_image_phash",
+    "rolling_dau",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
@@ -198,6 +207,41 @@ def _bench_stream_batch(spark, sf_dir: str, state_buckets: int | None = None) ->
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_topk_skew(spark, naive: bool) -> float:
+    """Zipf-hot-prefix guard (SURVEY §7.3 / VERDICT r6 task #5): one prefix
+    carries 30% of 3M rows. ``naive=False`` times the production two-phase
+    plan (map-side WindowGroupLimit below the shuffle caps the hot key's
+    reducer input at k x n_input_partitions rows); ``naive=True`` disables
+    the rewrite so the hot key lands on ONE reducer unsplit — the regression
+    this row exists to catch. The pair is recorded every round; two-phase
+    drifting toward naive's time means the map-side phase stopped planning."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+    n = 3_000_000
+    df = spark.range(n, numPartitions=32).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("p"), (F.col("id") % 997).cast("string")))
+        .alias("prefix"),
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("query"),
+        (F.col("id") % 1000).cast("long").alias("frequency"),
+    )
+    try:
+        if naive:
+            spark.conf.set(
+                "spark.sql.optimizer.windowGroupLimitThreshold", "-1"
+            )
+        t0 = time.time()
+        top = top_k_per_group(
+            df, ["prefix"], [F.desc("frequency"), F.asc("query")], 10
+        )
+        top.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -256,6 +300,17 @@ def main() -> None:
         # the garbage NOW) so queries don't inherit each other's heap debt
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+
+    # Zipf-skew guard pair (synthetic 30%-hot-prefix fixture, not a
+    # QUERIES entry): two-phase plan vs rewrite-disabled naive window
+    for entry, naive in (("topk_zipf_twophase", False), ("topk_zipf_naive", True)):
+        dt = _bench_topk_skew(spark, naive=naive)
+        if dt > 2.0:
+            dt = min(dt, _bench_topk_skew(spark, naive=naive))
+        dt = round(dt, 3)
+        timings[entry] = dt
+        total += dt
+        print(f"# {entry}: {dt:.3f}s", file=sys.stderr)
 
     # streaming end-to-end (not a QUERIES entry: runs a full availableNow
     # job, not a single DataFrame action); simple mode + the bucketed-state

@@ -258,3 +258,49 @@ def test_embedding_audit_single_wide_pass(spark, sf_dir):
     assert "partial_avg" in plan or "partial" in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def _zipf_prefix_fixture(spark, n: int = 120_000):
+    """Deliberately Zipf-skewed prefix relation: ONE prefix ('hot') carries
+    30% of all rows, the rest spread over ~1000 cold prefixes — the shape
+    the flagship's per-prefix top-K hits on real query logs (SURVEY §7.3).
+    Deterministic (pure column arithmetic, no RNG)."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("p"), (F.col("id") % 997).cast("string")))
+        .alias("prefix"),
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("query"),
+        (F.col("id") % 1000).cast("long").alias("frequency"),
+    )
+
+
+def test_topk_zipf_skew_two_phase(spark, sf_dir):
+    """The 30%-hot-key proof (VERDICT r5/r6 task): the flagship top-K must
+    plan TWO WindowGroupLimit phases — a map-side one BELOW the shuffle
+    (each input partition forwards at most k rows per group, so the hot
+    prefix contributes <= k x n_input_partitions rows to its reducer, never
+    30% of the table) and the final one above. Also proves the rewrite is
+    lossless: rows match the naive single-phase window exactly."""
+    from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+    df = _zipf_prefix_fixture(spark)
+    top = top_k_per_group(
+        df, ["prefix"], [F.desc("frequency"), F.asc("query")], 10
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in post, "no map-side (pre-shuffle) phase"
+    assert "WindowGroupLimit" in pre, "no final (post-shuffle) phase"
+
+    # losslessness guard: same rows as the naive unsplit window
+    try:
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+        naive = top_k_per_group(
+            df, ["prefix"], [F.desc("frequency"), F.asc("query")], 10
+        )
+        naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" not in naive_plan
+        assert top.exceptAll(naive).isEmpty()
+        assert naive.exceptAll(top).isEmpty()
+    finally:
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
