@@ -17,9 +17,13 @@ during analysis long before the data is a problem.
 Scale notes: only (node, rank) pairs and the static (src, dst, out_deg)
 edge relation shuffle; edges are re-used every round, so the caller-
 visible contract persists them once up front. Dangling nodes (no out-
-edges) leak rank mass in this formulation — acceptable for RANKING use
-(relative order is what curation consumes); redistribute if absolute
-mass matters.
+edges) leak rank mass in the plain formulation — acceptable for RANKING
+use (relative order is what curation consumes, and it stays the
+default); pass ``redistribute_dangling=True`` when absolute mass
+matters: each round adds ONE scalar aggregate over the dangling nodes'
+ranks (a broadcast-sized relation) and spreads that mass uniformly, so
+total rank is conserved at 1.0 every round (property-tested in
+tests/test_round4_queries.py).
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     broadcast_nodes_limit: int = 1_000_000,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` damped power-iteration rounds.
 
@@ -71,6 +76,14 @@ def pagerank(
     # bound so attaching degrees never re-shuffles the edge relation.
     ew = e.join(F.broadcast(out_deg) if small else out_deg, "src").persist()
     base = (1.0 - damping) / n_nodes
+    if redistribute_dangling:
+        # nodes with no out-edges: their whole rank re-enters uniformly.
+        # At most |nodes| rows, derived once — the per-round cost is one
+        # scalar sum over this (usually tiny) relation.
+        dangling = nodes.join(
+            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).persist()
+        dangling.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
         eager=True
     )
@@ -82,18 +95,30 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
+        extra = 0.0
+        if redistribute_dangling:
+            # one scalar aggregate per round; the collected value is a
+            # single float broadcast back inside the next plan as a literal
+            leaked = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+            )
+            extra = damping * (leaked or 0.0) / n_nodes
         c = F.broadcast(contrib) if small else contrib
         ranks = (
             nodes.join(c, nodes.node == c.dst, "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(base + extra)
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
+    if redistribute_dangling:
+        dangling.unpersist()
     ew.unpersist()
     nodes.unpersist()
     e.unpersist()

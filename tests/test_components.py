@@ -61,3 +61,45 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     leaf_vals = {round(ranks[leaf], 12) for leaf in leaves}
     assert len(leaf_vals) == 1  # symmetric leaves tie exactly
     assert 0.99 < sum(ranks.values()) <= 1.000001  # no dangling nodes -> mass conserved
+
+
+def test_pagerank_dangling_mass_conservation(spark):
+    """A graph WITH dangling nodes (sinks, no out-edges) leaks rank mass in
+    the plain formulation; ``redistribute_dangling=True`` must conserve
+    total mass at exactly 1.0 (one scalar aggregate per round), and must
+    match a numpy reference power iteration node-for-node."""
+    import numpy as np
+
+    from batch_processing_pipeline_spark.operators.pagerank import pagerank
+
+    # 0->1, 0->2, 1->2, 3->0 ; node 2 is dangling (a pure sink)
+    edges = [(0, 1), (0, 2), (1, 2), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    plain = {r.node: r.rank for r in pagerank(df, iterations=10).collect()}
+    assert sum(plain.values()) < 0.99  # the leak this feature exists to fix
+
+    fixed = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=10, redistribute_dangling=True).collect()
+    }
+    assert abs(sum(fixed.values()) - 1.0) < 1e-9
+
+    # numpy reference: damped power iteration with uniform dangling spread
+    d, n = 0.85, 4
+    out = {0: [1, 2], 1: [2], 3: [0]}
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.full(n, (1.0 - d) / n)
+        nxt += d * r[2] / n  # node 2 dangling
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    for node in range(n):
+        assert abs(fixed[node] - r[node]) < 1e-9, node
+
+    # ranking mode (the default) is unchanged: relative order agrees
+    order_plain = sorted(plain, key=plain.get)
+    order_fixed = sorted(fixed, key=fixed.get)
+    assert order_plain == order_fixed

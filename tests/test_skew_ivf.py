@@ -61,6 +61,34 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) > 0.45
 
 
+def test_ivf_nprobe_sweep_recall_tight(spark, sf_dir):
+    """The nprobe knob IS the IVF quality/cost contract at 100 TB — sweep
+    it and pin the curve (measured at sf0.01: 0.62 / 0.86 / 0.99 / 1.00
+    for nprobe 2/4/6/8 of 8 cells): recall must be non-decreasing in
+    nprobe, >= 8/10 by nprobe=6, and exact when every cell is probed."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = train_centroids(emb, k=8, seed=42)
+    exact = cosine_topk(queries, emb, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall_at(nprobe):
+        got = {}
+        for r in ivf_topk(queries, emb, centroids, k=10, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(exact_sets[q] & got.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ) / len(exact_sets)
+
+    sweep = {n: recall_at(n) for n in (2, 4, 6, 8)}
+    assert sweep[2] <= sweep[4] <= sweep[6] <= sweep[8], sweep
+    assert sweep[6] >= 0.8, sweep
+    assert sweep[8] >= 0.999, sweep  # all cells probed == exact search
+
+
 def test_assign_cells_bulk_matches_column_form(spark, sf_dir):
     from batch_processing_pipeline_spark.operators.ivf import (
         assign_cells,
