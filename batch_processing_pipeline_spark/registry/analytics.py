@@ -803,6 +803,82 @@ ORACLES["pagerank"] = _pagerank_oracle()
 QUERIES["pagerank"] = q_pagerank
 
 
+def q_pagerank_dangling(spark, sf):
+    """PageRank WITH dangling-mass redistribution on a sink-heavy graph:
+    the DIRECTED customer -> supplier purchase graph, where every supplier
+    is a pure sink (no out-edges). Plain PageRank leaks their whole rank
+    each round; ``redistribute_dangling=True`` re-injects it uniformly
+    (one scalar aggregate per round — operators/pagerank.py), conserving
+    total mass at 1.0. The oracle unrolls the identical iteration as
+    chained CTEs with a per-round scalar dangling-mass term, so the
+    mass-conserving semantics — not just the ranking — are hash-pinned."""
+    from batch_processing_pipeline_spark.operators.pagerank import pagerank
+
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5, redistribute_dangling=True)
+    return ranks.select("node", round4(F.col("rank") * 1000.0).alias("rank_k"))
+
+
+def _pagerank_dangling_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey + 1000000 AS src, l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    dang AS (
+      SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    dm{i} AS (
+      SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS m
+      FROM r{i - 1} r JOIN dang ON r.node = dang.node
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             ((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
+              + CAST({damping} AS DOUBLE) * dm{i}.m / nn.n)
+             + CAST({damping} AS DOUBLE) * COALESCE(contrib.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN dm{i}
+      LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / d.out_deg) AS in_sum
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) contrib ON contrib.dst = nodes.node
+    )""")
+    from batch_processing_pipeline_spark.functions.rounding import sql_round4
+
+    tail = f"""
+    SELECT node, {sql_round4("rank * CAST(1000.0 AS DOUBLE)")} AS rank_k
+    FROM r{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+ORACLES["pagerank_dangling"] = _pagerank_dangling_oracle()
+QUERIES["pagerank_dangling"] = q_pagerank_dangling
+
+
 def q_curation_rules(spark, sf):
     """Gopher/C4-style heuristic rule panel per document: named boolean
     rules + the conjunctive keep flag, the interpretable complement to

