@@ -153,8 +153,28 @@ def main() -> int:
             return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    window_n = None
+    if "--window" in argv:
+        # replicate the driver's round exactly: check the front-N of the
+        # __spark_entry__ ordering (the curated window), nothing else
+        i = argv.index("--window")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json OUT.json] [--window N] [sf_dir] [query ...]")
+            return 2
+        window_n = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if window_n is not None:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "spark_entry_for_window",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+        )
+        entry_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry_mod)
+        only = set(list(entry_mod.queries())[:window_n])
 
     from batch_processing_pipeline_spark import get_spark
     from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
