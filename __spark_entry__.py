@@ -11,24 +11,60 @@ window from the FRONT of ``queries()`` (50 rows per round). Every
 registry query is green under the local replica of that harness
 (``tools/check_oracle.py`` — dtype-faithful since round 5; committed
 evidence in ``ORACLE_r07.json``), but only windowed queries get an
-independent driver-file row — so the dict is ordered deliberately: the
-curated ``_WINDOW_R7`` fills the window with 50 of the 78 oracle-able
-queries that have NEVER had a driver row (composed funnels and round-5
-flagships first, then the eval/IO suites, then the statistics tail),
-the remaining 28 never-checked queries follow so an oversized window
-still lands on them, and queries already driver-verified in rounds 1–6
-rotate to the back. Rows-only queries (no oracle SQL) are excluded from
-the window — they can only ever produce a ``no_oracle`` row, wasting
-the slot (round-3 lesson).
+independent driver-file row — so the dict is ordered deliberately, and
+SELF-ROTATING since round 7 (the round-6 lesson: a window that needs a
+manual edit every round eventually doesn't get one):
+
+1. queries whose LATEST committed ``CORRECTNESS_r*.json`` row is red
+   (any match flag false) — the most urgent re-checks — first;
+2. the curated ``_WINDOW_R7`` priority list, minus anything a committed
+   driver row already verified green;
+3. every other oracle-able query with no driver row yet, in registry
+   order;
+4. driver-verified-green queries rotate to the back.
+
+Because step 2/4 read the committed driver artifacts at import time,
+each round's greens demote themselves before the next round runs — no
+manual rotation needed. Rows-only queries (no oracle SQL) are excluded
+from the window — they can only ever produce a ``no_oracle`` row,
+wasting the slot (round-3 lesson).
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
+
+
+def _driver_verdicts() -> dict[str, bool]:
+    """Latest driver verdict per query from committed CORRECTNESS_r*.json
+    (later rounds override earlier; True = all three match flags green).
+    Unparseable files are skipped — the _PRIOR_GREEN literal below is the
+    fallback for names with no parsed record."""
+    verdicts: dict[str, bool] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        for name, rec in doc.items():
+            if isinstance(rec, dict) and "rows_match" in rec:
+                verdicts[name] = bool(
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match")
+                )
+    return verdicts
 
 # Round-7 driver window: 50 of the 78 oracle-able queries with no driver
 # CORRECTNESS row in any of rounds 1-6 (VERDICT r6 task #1). Ordered:
@@ -124,19 +160,26 @@ _ROWS_ONLY_BACK = {
 
 
 def _ordered_names() -> list[str]:
-    window = [n for n in _WINDOW_R7 if n in QUERIES]
-    seen = set(window)
+    verdicts = _driver_verdicts()
+
+    def green(n: str) -> bool:
+        if n in verdicts:
+            return verdicts[n]  # latest driver row wins, red re-enters
+        return n in _PRIOR_GREEN
+
+    oracle_able = [n for n in QUERIES if ORACLES.get(n) is not None]
+    reds = [n for n in oracle_able if verdicts.get(n) is False]
+    curated = [
+        n for n in _WINDOW_R7
+        if n in QUERIES and n not in reds and not green(n)
+    ]
+    seen = set(reds) | set(curated)
     never_rest = [
-        n for n in QUERIES
-        if n not in seen
-        and n not in _PRIOR_GREEN
-        and ORACLES.get(n) is not None
+        n for n in oracle_able if n not in seen and not green(n)
     ]
-    back = [
-        n for n in QUERIES
-        if n not in seen and n not in set(never_rest)
-    ]
-    return window + never_rest + back
+    seen |= set(never_rest)
+    back = [n for n in QUERIES if n not in seen]
+    return reds + curated + never_rest + back
 
 
 def entry(spark: SparkSession) -> DataFrame:

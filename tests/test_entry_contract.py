@@ -24,12 +24,48 @@ def _entry():
 
 
 def test_window_queries_exist_and_are_oracle_able():
+    """Front-of-ordering slots (what the driver's 50-row window lands on)
+    must hold oracle-able queries the driver has NOT yet verified green —
+    the self-rotation contract. Never pins the literal curated list: that
+    changes every round by design."""
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
-    window = list(q)[: len(m._WINDOW_R7)]
-    assert window == [n for n in m._WINDOW_R7 if n in q]
-    missing = [n for n in window if n not in o]
+    verdicts = m._driver_verdicts()
+    front = list(q)[:50]
+    missing = [n for n in front if n not in o]
     assert not missing, f"window slots wasted on rows-only queries: {missing}"
+    wasted = [n for n in front if verdicts.get(n) is True]
+    assert not wasted, f"window slots re-proving driver-green queries: {wasted}"
+
+
+def test_self_rotation_demotes_greens_and_resurfaces_reds(tmp_path, monkeypatch):
+    """Simulate the next round: a committed CORRECTNESS file marking the
+    current window green (with one red) must rotate the greens out and
+    put the red FIRST — with no manual edit."""
+    import json
+    import shutil
+
+    m = _entry()
+    front = list(m.queries())[:50]
+    clone = tmp_path / "repo"
+    clone.mkdir()
+    shutil.copy(os.path.join(_here, "__spark_entry__.py"), clone / "__spark_entry__.py")
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in front
+    }
+    fake[front[3]] = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (clone / "CORRECTNESS_r98.json").write_text(json.dumps(fake))
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_rotated", str(clone / "__spark_entry__.py")
+    )
+    m2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m2)
+    rotated = list(m2.queries())
+    assert rotated[0] == front[3], "red row must re-enter the window first"
+    greens = set(front) - {front[3]}
+    assert not greens & set(rotated[:40]), "driver-green queries must demote"
 
 
 def test_every_query_has_oracle_or_documented_rows_only():
