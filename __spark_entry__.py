@@ -32,9 +32,11 @@ wasting the slot (round-3 lesson).
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,14 +44,23 @@ from pyspark.sql import DataFrame, SparkSession
 from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
 
 
+@functools.lru_cache(maxsize=1)
 def _driver_verdicts() -> dict[str, bool]:
     """Latest driver verdict per query from committed CORRECTNESS_r*.json
     (later rounds override earlier; True = all three match flags green).
-    Unparseable files are skipped — the _PRIOR_GREEN literal below is the
-    fallback for names with no parsed record."""
-    verdicts: dict[str, bool] = {}
+    Round order is the PARSED round number, not filename sort — an
+    unpadded r7 or a three-digit r100 must not let a stale verdict
+    override the newest one. Unparseable files are skipped — the
+    _PRIOR_GREEN literal below is the fallback for names with no parsed
+    record. Memoized: the artifact set is immutable within a process."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    verdicts: dict[str, bool] = {}
+    for _, path in sorted(rounds):
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -159,7 +170,16 @@ _ROWS_ONLY_BACK = {
 }
 
 
+@functools.lru_cache(maxsize=1)
+def _ordered_names_cached() -> tuple[str, ...]:
+    return tuple(_compute_ordered_names())
+
+
 def _ordered_names() -> list[str]:
+    return list(_ordered_names_cached())
+
+
+def _compute_ordered_names() -> list[str]:
     verdicts = _driver_verdicts()
 
     def green(n: str) -> bool:

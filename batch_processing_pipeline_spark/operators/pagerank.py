@@ -23,7 +23,7 @@ default); pass ``redistribute_dangling=True`` when absolute mass
 matters: each round adds ONE scalar aggregate over the dangling nodes'
 ranks (a broadcast-sized relation) and spreads that mass uniformly, so
 total rank is conserved at 1.0 every round (property-tested in
-tests/test_round4_queries.py).
+tests/test_components.py).
 """
 
 from __future__ import annotations

@@ -242,14 +242,15 @@ def signlsh_topk(
     candidates get exact cosine scoring. Recall vs the exact path is
     asserted in tests/test_similarity.py.
 
-    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
-    from each query bucket (flip one sign bit per probe) — the standard
-    multi-probe LSH recall lever: a near neighbor that lands JUST on the
-    other side of one hyperplane still collides. Expansion happens on the
-    QUERY side only, which is broadcast — the corpus relation, the big side
-    at 100 TB, is never expanded or reshuffled; candidate volume grows by
-    at most (n_planes + 1)x before dedup while recall rises sharply
-    (pinned >= 0.8 in tests/test_similarity.py).
+    ``multiprobe=m`` additionally probes every bucket within Hamming
+    distance ``m`` of each query bucket (all combinations of up to ``m``
+    flipped sign bits) — the standard multi-probe LSH recall lever: a near
+    neighbor that lands JUST on the other side of one (or m) hyperplane(s)
+    still collides. Expansion happens on the QUERY side only, which is
+    broadcast — the corpus relation, the big side at 100 TB, is never
+    expanded or reshuffled; candidate volume grows by at most
+    sum(C(n_planes, i) for i <= m)x before dedup while recall rises
+    sharply (m=1 pinned >= 0.8 in tests/test_similarity.py).
     """
     c = (
         signlsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables, seed)
@@ -272,13 +273,21 @@ def signlsh_topk(
         )
     )
     if multiprobe:
-        # Hamming-1 probe set: the exact bucket plus one bucket per flipped
-        # plane bit (bucket XOR 2^p). Query-side only — stays broadcast.
+        # probe set: the exact bucket plus every bucket within Hamming
+        # distance `multiprobe` (bucket XOR mask for each flip mask of
+        # popcount <= multiprobe). Query-side only — stays broadcast.
+        from itertools import combinations
+
+        masks = [
+            sum(1 << p for p in combo)
+            for depth in range(1, min(multiprobe, n_planes) + 1)
+            for combo in combinations(range(n_planes), depth)
+        ]
         probes = F.array(
             F.col("bucket"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(n_planes)
+                F.col("bucket").bitwiseXOR(F.lit(mask).cast("long"))
+                for mask in masks
             ],
         )
         qb = qb.select(

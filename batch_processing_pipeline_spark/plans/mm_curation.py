@@ -35,9 +35,14 @@ MIN_RMS = 70.0
 #: single shared constant: the plan's predicate and the DuckDB oracle
 #: both reference THIS value, so a threshold edit cannot drift silently.
 MIN_RMS_SQ = 4900
-# int() truncation of a non-integer RMS would silently diverge from the
-# documented threshold — fail loudly at import instead.
-assert float(MIN_RMS).is_integer() and int(MIN_RMS) ** 2 == MIN_RMS_SQ
+# a non-integer RMS (or a drifted square) would silently diverge the
+# plan predicate from the documented threshold — fail loudly at import.
+# Explicit raise, not assert: asserts vanish under ``python -O``.
+if not float(MIN_RMS).is_integer() or int(MIN_RMS) ** 2 != MIN_RMS_SQ:
+    raise ValueError(
+        f"MIN_RMS ({MIN_RMS}) and MIN_RMS_SQ ({MIN_RMS_SQ}) are out of "
+        "sync — the audio gate and its oracle would silently diverge"
+    )
 
 
 def mm_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:

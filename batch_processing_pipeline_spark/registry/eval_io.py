@@ -929,7 +929,10 @@ def q_k_core(spark, sf):
         # an unconverged peel is a supergraph of the true k-core — fail
         # loudly rather than emit a silently-wrong result (a long cascade
         # chain at larger SF can exceed the round cap)
-        raise RuntimeError("k_core: peel did not reach fixpoint in 30 rounds")
+        raise RuntimeError(
+            "k_core: peel did not reach fixpoint in 30 removal rounds "
+            "(+1 confirming pass)"
+        )
     deg = (
         cur.select(F.col("u").alias("part"))
         .unionByName(cur.select(F.col("v").alias("part")))

@@ -217,21 +217,15 @@ def _bench_topk_skew(spark, naive: bool) -> float:
     drifting toward naive's time means the map-side phase stopped planning."""
     from pyspark.sql import functions as F
 
+    from batch_processing_pipeline_spark.fixtures import zipf_prefix_fixture
     from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 
-    n = 3_000_000
-    df = spark.range(n, numPartitions=32).select(
-        F.when(F.col("id") % 10 < 3, F.lit("hot"))
-        .otherwise(F.concat(F.lit("p"), (F.col("id") % 997).cast("string")))
-        .alias("prefix"),
-        F.concat(F.lit("q"), F.col("id").cast("string")).alias("query"),
-        (F.col("id") % 1000).cast("long").alias("frequency"),
-    )
+    df = zipf_prefix_fixture(spark, n=3_000_000, num_partitions=32)
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prior = spark.conf.get(key)
     try:
         if naive:
-            spark.conf.set(
-                "spark.sql.optimizer.windowGroupLimitThreshold", "-1"
-            )
+            spark.conf.set(key, "-1")
         t0 = time.time()
         top = top_k_per_group(
             df, ["prefix"], [F.desc("frequency"), F.asc("query")], 10
@@ -239,7 +233,7 @@ def _bench_topk_skew(spark, naive: bool) -> float:
         top.write.format("noop").mode("overwrite").save()
         return time.time() - t0
     finally:
-        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+        spark.conf.set(key, prior)
 
 
 def main() -> None:

@@ -31,7 +31,13 @@ def test_window_queries_exist_and_are_oracle_able():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     verdicts = m._driver_verdicts()
-    front = list(q)[:50]
+    # once fewer than 50 non-green oracle-able queries remain, the front
+    # necessarily refills with greens — only the genuinely-rotatable
+    # prefix is under contract
+    n_rotatable = sum(
+        1 for n in q if n in o and verdicts.get(n) is not True
+    )
+    front = list(q)[: min(50, n_rotatable)]
     missing = [n for n in front if n not in o]
     assert not missing, f"window slots wasted on rows-only queries: {missing}"
     wasted = [n for n in front if verdicts.get(n) is True]

@@ -261,17 +261,11 @@ def test_embedding_audit_single_wide_pass(spark, sf_dir):
 
 
 def _zipf_prefix_fixture(spark, n: int = 120_000):
-    """Deliberately Zipf-skewed prefix relation: ONE prefix ('hot') carries
-    30% of all rows, the rest spread over ~1000 cold prefixes — the shape
-    the flagship's per-prefix top-K hits on real query logs (SURVEY §7.3).
-    Deterministic (pure column arithmetic, no RNG)."""
-    return spark.range(n).select(
-        F.when(F.col("id") % 10 < 3, F.lit("hot"))
-        .otherwise(F.concat(F.lit("p"), (F.col("id") % 997).cast("string")))
-        .alias("prefix"),
-        F.concat(F.lit("q"), F.col("id").cast("string")).alias("query"),
-        (F.col("id") % 1000).cast("long").alias("frequency"),
-    )
+    """Shared with bench.py (batch_processing_pipeline_spark.fixtures) so
+    the plan test and the bench pair measure the SAME skew shape."""
+    from batch_processing_pipeline_spark.fixtures import zipf_prefix_fixture
+
+    return zipf_prefix_fixture(spark, n=n)
 
 
 def test_topk_zipf_skew_two_phase(spark, sf_dir):
@@ -293,8 +287,10 @@ def test_topk_zipf_skew_two_phase(spark, sf_dir):
     assert "WindowGroupLimit" in pre, "no final (post-shuffle) phase"
 
     # losslessness guard: same rows as the naive unsplit window
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prior = spark.conf.get(key)
     try:
-        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+        spark.conf.set(key, "-1")
         naive = top_k_per_group(
             df, ["prefix"], [F.desc("frequency"), F.asc("query")], 10
         )
@@ -303,4 +299,4 @@ def test_topk_zipf_skew_two_phase(spark, sf_dir):
         assert top.exceptAll(naive).isEmpty()
         assert naive.exceptAll(top).isEmpty()
     finally:
-        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+        spark.conf.set(key, prior)

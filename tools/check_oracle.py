@@ -174,7 +174,8 @@ def main() -> int:
         )
         entry_mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(entry_mod)
-        only = set(list(entry_mod.queries())[:window_n])
+        # union, not overwrite: explicitly named queries must still run
+        only |= set(list(entry_mod.queries())[:window_n])
 
     from batch_processing_pipeline_spark import get_spark
     from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
