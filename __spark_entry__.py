@@ -45,22 +45,23 @@ from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
 
 
 @functools.lru_cache(maxsize=1)
-def _driver_verdicts() -> dict[str, bool]:
-    """Latest driver verdict per query from committed CORRECTNESS_r*.json
-    (later rounds override earlier; True = all three match flags green).
-    Round order is the PARSED round number, not filename sort — an
-    unpadded r7 or a three-digit r100 must not let a stale verdict
-    override the newest one. Unparseable files are skipped — the
-    _PRIOR_GREEN literal below is the fallback for names with no parsed
-    record. Memoized: the artifact set is immutable within a process."""
+def _driver_records() -> dict[str, tuple[int, bool]]:
+    """Latest driver record per query from committed CORRECTNESS_r*.json:
+    name -> (round_checked, all_three_match_flags_green). Later rounds
+    override earlier; round order is the PARSED round number, not
+    filename sort — an unpadded r7 or a three-digit r100 must not let a
+    stale verdict override the newest one. Unparseable files are
+    skipped — the _PRIOR_GREEN literal below is the fallback for names
+    with no parsed record. Memoized: the artifact set is immutable
+    within a process."""
     here = os.path.dirname(os.path.abspath(__file__))
     rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    verdicts: dict[str, bool] = {}
-    for _, path in sorted(rounds):
+    records: dict[str, tuple[int, bool]] = {}
+    for rnd, path in sorted(rounds):
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -70,12 +71,20 @@ def _driver_verdicts() -> dict[str, bool]:
             continue
         for name, rec in doc.items():
             if isinstance(rec, dict) and "rows_match" in rec:
-                verdicts[name] = bool(
-                    rec.get("rows_match")
-                    and rec.get("schema_match")
-                    and rec.get("hash_match")
+                records[name] = (
+                    rnd,
+                    bool(
+                        rec.get("rows_match")
+                        and rec.get("schema_match")
+                        and rec.get("hash_match")
+                    ),
                 )
-    return verdicts
+    return records
+
+
+def _driver_verdicts() -> dict[str, bool]:
+    """name -> latest green/red verdict (see _driver_records)."""
+    return {n: ok for n, (_rnd, ok) in _driver_records().items()}
 
 # Round-7 driver window: 50 of the 78 oracle-able queries with no driver
 # CORRECTNESS row in any of rounds 1-6 (VERDICT r6 task #1). Ordered:
@@ -198,7 +207,20 @@ def _compute_ordered_names() -> list[str]:
         n for n in oracle_able if n not in seen and not green(n)
     ]
     seen |= set(never_rest)
-    back = [n for n in QUERIES if n not in seen]
+    # back-fill: once every query is driver-green, extra window slots
+    # should REFRESH the stalest evidence, not re-prove the same front of
+    # the registry each round — oracle-able greens sort oldest-round
+    # first; rows-only queries (which can only waste a slot) go last
+    records = _driver_records()
+    registry_pos = {n: i for i, n in enumerate(QUERIES)}
+    back = sorted(
+        (n for n in QUERIES if n not in seen),
+        key=lambda n: (
+            ORACLES.get(n) is None,  # rows-only last
+            records.get(n, (0, True))[0],  # stalest evidence first
+            registry_pos[n],
+        ),
+    )
     return reds + curated + never_rest + back
 
 

@@ -129,3 +129,24 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_multiprobe_mask_combinatorics():
+    """The Hamming-<=m probe-mask set must be exactly {masks with
+    1 <= popcount <= m}: unique, correct count sum(C(n_planes, i)), and
+    never touching bits above n_planes — pure math, no Spark needed
+    (mirrors the mask construction in operators/similarity.py)."""
+    from itertools import combinations
+    from math import comb
+
+    for n_planes in (4, 6, 8):
+        for m in (1, 2, 3):
+            masks = [
+                sum(1 << p for p in combo)
+                for depth in range(1, min(m, n_planes) + 1)
+                for combo in combinations(range(n_planes), depth)
+            ]
+            assert len(masks) == len(set(masks))
+            assert len(masks) == sum(comb(n_planes, i) for i in range(1, m + 1))
+            assert all(0 < x < (1 << n_planes) for x in masks)
+            assert all(bin(x).count("1") <= m for x in masks)
