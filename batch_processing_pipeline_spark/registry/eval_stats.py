@@ -2511,3 +2511,178 @@ ORACLES["stratified_ate"] = f"""
     FROM per_s
 """
 QUERIES["stratified_ate"] = q_stratified_ate
+
+
+def q_ndcg_eval(spark, sf):
+    """NDCG@10 for the flagship suggestion ranking — the one standard
+    retrieval metric the eval suite lacked (MRR/hit@k: suggest_mrr;
+    churn: suggest_rbo; coverage: suggest_coverage). Graded pseudo-
+    relevance 0..3 per (prefix, query) via the portable md5 idiom, so
+    both engines judge identically; DCG uses the classic
+    (2^rel - 1)/log2(pos + 1) gain over the top-10, IDCG re-sorts the
+    SAME retrieved set by grade (the retrieved-list NDCG convention).
+    Output: the 20 busiest prefixes (deterministic tie-break) with their
+    round4 NDCG — if a ranking change degrades graded ordering quality,
+    this moves where MRR (binary judgment) may not."""
+    d = _t(spark, sf, "documents")
+    queries_df = normalize_queries(d, text_col="text")
+    freq = prefix_frequencies(queries_df, max_len=8)
+    sugg = top_k_per_group(
+        freq,
+        group_cols=["prefix"],
+        order_by=[F.desc("frequency"), F.asc("query")],
+        k=10,
+    )
+    rel = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rel:"), F.col("prefix"), F.lit(":"), F.col("query"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    graded = sugg.select("prefix", "rk", rel.alias("rel"))
+    gain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+    ideal_w = Window.partitionBy("prefix").orderBy(
+        F.col("rel").desc(), F.col("rk").asc()
+    )
+    per_item = graded.select(
+        "prefix",
+        (gain / F.log2(F.col("rk").cast("double") + 1.0)).alias("dg"),
+        (gain / F.log2(F.row_number().over(ideal_w).cast("double") + 1.0)).alias("ig"),
+    )
+    per_prefix = per_item.groupBy("prefix").agg(
+        F.sum("dg").alias("dcg"), F.sum("ig").alias("idcg")
+    )
+    busy = freq.groupBy("prefix").agg(F.sum("frequency").alias("total"))
+    w_busy = Window.orderBy(F.col("total").desc(), F.md5("prefix").asc())
+    top_busy = (
+        busy.withColumn("brk", F.row_number().over(w_busy))
+        .where(F.col("brk") <= 20)
+        .select("prefix", "total", "brk")
+    )
+    return (
+        top_busy.join(per_prefix, "prefix")
+        .select(
+            F.col("brk").alias("rk"),
+            "prefix",
+            F.col("total").cast("long").alias("total_freq"),
+            round4(
+                F.when(F.col("idcg") > 0.0, F.col("dcg") / F.col("idcg"))
+                .otherwise(F.lit(0.0))
+            ).alias("ndcg10"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLES["ndcg_eval"] = f"""
+    WITH q AS (
+      SELECT substring(lower(trim(text)), 1, 500) AS query
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) >= 2
+    ), pairs AS (
+      SELECT substring(query, 1, k.k) AS prefix, query
+      FROM q CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+      WHERE length(query) >= k.k
+    ), freq AS (
+      SELECT prefix, query, COUNT(*) AS frequency FROM pairs GROUP BY prefix, query
+    ), sugg AS (
+      SELECT prefix, query, rk FROM (
+        SELECT prefix, query,
+               ROW_NUMBER() OVER (PARTITION BY prefix
+                                  ORDER BY frequency DESC, query ASC) AS rk
+        FROM freq
+      ) WHERE rk <= 10
+    ), graded AS (
+      SELECT prefix, rk,
+             CAST('0x' || substr(md5('rel:' || prefix || ':' || query), 1, 8)
+                  AS BIGINT) % 4 AS rel
+      FROM sugg
+    ), per_item AS (
+      SELECT prefix,
+             (power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+               / log2(CAST(rk AS DOUBLE) + 1.0) AS dg,
+             (power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+               / log2(CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                                              ORDER BY rel DESC, rk ASC)
+                           AS DOUBLE) + 1.0) AS ig
+      FROM graded
+    ), per_prefix AS (
+      SELECT prefix, SUM(dg) AS dcg, SUM(ig) AS idcg
+      FROM per_item GROUP BY prefix
+    ), busy AS (
+      SELECT prefix, SUM(frequency) AS total,
+             ROW_NUMBER() OVER (ORDER BY SUM(frequency) DESC, md5(prefix) ASC) AS brk
+      FROM freq GROUP BY prefix
+    )
+    SELECT busy.brk AS rk, busy.prefix,
+           CAST(busy.total AS BIGINT) AS total_freq,
+           {R("CASE WHEN per_prefix.idcg > 0.0 "
+              "THEN per_prefix.dcg / per_prefix.idcg ELSE 0.0 END")} AS ndcg10
+    FROM busy JOIN per_prefix ON busy.prefix = per_prefix.prefix
+    WHERE busy.brk <= 20
+    ORDER BY rk
+"""
+QUERIES["ndcg_eval"] = q_ndcg_eval
+
+
+def q_bayes_smooth_rank(spark, sf):
+    """Bayesian-smoothed ranking (the IMDB weighted-rating formula):
+    per-part mean quantity shrunk toward the global mean with prior
+    weight C=25 — smoothed = (C*m + sum x)/(C + n) — so sparsely-observed
+    parts cannot top the ranking on noise. The cold-start discipline any
+    popularity/suggestion ranker needs. All sums are integer-valued
+    doubles (quantities are whole numbers), so both engines compute the
+    identical smoothed score regardless of partial-aggregation order;
+    the ranking carries the unique part-key tie-break."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    g = li.agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("m")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = 25.0
+    smoothed = (F.lit(c) * F.col("m") + F.col("sx")) / (F.lit(c) + F.col("n"))
+    w = Window.orderBy(round4(smoothed).desc(), F.col("l_partkey").asc())
+    return (
+        per_part.crossJoin(F.broadcast(g))
+        .select(
+            F.col("l_partkey").cast("long").alias("part"),
+            F.col("n").alias("n_lineitems"),
+            round4(F.col("sx") / F.col("n")).alias("raw_mean"),
+            round4(smoothed).alias("smoothed_mean"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+        .select("rk", "part", "n_lineitems", "raw_mean", "smoothed_mean")
+    )
+
+
+ORACLES["bayes_smooth_rank"] = f"""
+    WITH g AS (
+      SELECT SUM(l_quantity) / COUNT(*) AS m FROM lineitem
+    ), per_part AS (
+      SELECT l_partkey, SUM(l_quantity) AS sx, COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    ), scored AS (
+      SELECT l_partkey, n,
+             {R("sx / n")} AS raw_mean,
+             {R("(25.0 * g.m + sx) / (25.0 + n)")} AS smoothed_mean
+      FROM per_part CROSS JOIN g
+    )
+    SELECT rk, part, n_lineitems, raw_mean, smoothed_mean FROM (
+      SELECT CAST(l_partkey AS BIGINT) AS part,
+             CAST(n AS BIGINT) AS n_lineitems,
+             raw_mean, smoothed_mean,
+             ROW_NUMBER() OVER (ORDER BY smoothed_mean DESC, l_partkey ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    ORDER BY rk
+"""
+QUERIES["bayes_smooth_rank"] = q_bayes_smooth_rank

@@ -326,3 +326,70 @@ def test_second_stats_batch_has_no_python_udf_stage(spark):
         plan = QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_ndcg_eval_matches_python_reference(spark, sf_dir):
+    """Recompute one prefix's NDCG@10 in pure python (hashlib md5 grades,
+    explicit DCG/IDCG) and pin the engine row to it."""
+    import hashlib
+    import math
+
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["ndcg_eval"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.ndcg10 <= 1.0 for r in rows)
+
+    # rebuild the suggestion list for the busiest prefix from raw data
+    from pyspark.sql import functions as F
+
+    target = rows[0].prefix
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = (
+        d.where(F.col("text").isNotNull())
+        .select(F.substring(F.lower(F.trim("text")), 1, 500).alias("query"))
+        .where(F.length("query") >= 2)
+    )
+    cand = (
+        q.where(F.col("query").startswith(target))
+        .where(F.length("query") >= len(target))
+        .groupBy("query")
+        .count()
+        .collect()
+    )
+    ranked = sorted(cand, key=lambda r: (-r["count"], r.query))[:10]
+
+    def rel(prefix, query):
+        h = hashlib.md5(f"rel:{prefix}:{query}".encode()).hexdigest()[:8]
+        return int(h, 16) % 4
+
+    grades = [rel(target, r.query) for r in ranked]
+    dcg = sum((2 ** g - 1) / math.log2(i + 2) for i, g in enumerate(grades))
+    idcg = sum(
+        (2 ** g - 1) / math.log2(i + 2)
+        for i, g in enumerate(sorted(grades, reverse=True))
+    )
+    expect = dcg / idcg if idcg > 0 else 0.0
+    expect_r4 = math.floor(expect * 10000 + 0.5) / 10000
+    assert abs(rows[0].ndcg10 - expect_r4) < 1e-9
+
+
+def test_bayes_smooth_rank_shrinkage(spark, sf_dir):
+    """Smoothing property: every smoothed mean lies strictly between the
+    part's raw mean and the global mean (or equals them when they
+    coincide), and low-n parts shrink harder."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = li.agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("m")).collect()[0].m
+    rows = QUERIES["bayes_smooth_rank"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        lo, hi = sorted((r.raw_mean, m))
+        assert lo - 1e-4 <= r.smoothed_mean <= hi + 1e-4, r
+        # shrinkage factor matches the closed form
+        import math
+        expect = (25.0 * m + r.raw_mean * r.n_lineitems) / (25.0 + r.n_lineitems)
+        assert abs(r.smoothed_mean - math.floor(expect * 10000 + 0.5) / 10000) < 2e-4
