@@ -2686,3 +2686,59 @@ ORACLES["bayes_smooth_rank"] = f"""
     ORDER BY rk
 """
 QUERIES["bayes_smooth_rank"] = q_bayes_smooth_rank
+
+
+def q_incremental_dedup(spark, sf):
+    """Incremental corpus-refresh dedup — the production shape none of
+    the within-corpus dedup ops cover: a NEW crawl batch is deduped
+    against an EXISTING snapshot's digest index, then within itself.
+    At 100 TB the snapshot's text is never rescanned — only its 16-byte
+    digest relation (the persisted dedup index every production corpus
+    maintains) is read, the new batch LEFT ANTI-joins it, and the
+    within-batch pass keeps min doc_id per digest. Accounting output in
+    the funnel discipline: one row per stage, so batch-over-batch
+    dedup-rate drift is a first-class readout."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    snap_idx = (
+        d.where(F.col("doc_id") % 3 != 0).select(fp.alias("fp")).distinct()
+    )
+    new_fp = (
+        d.where(F.col("doc_id") % 3 == 0).select("doc_id", fp.alias("fp"))
+    )
+    vs_snap = new_fp.join(snap_idx, "fp", "left_anti")
+    kept = vs_snap.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+
+    def stage(idx, name, df):
+        return df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "new_batch", new_fp)
+        .unionByName(stage(1, "after_snapshot_filter", vs_snap))
+        .unionByName(stage(2, "after_within_batch", kept))
+    )
+
+
+ORACLES["incremental_dedup"] = """
+    WITH snap_idx AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp
+      FROM documents WHERE doc_id % 3 <> 0
+    ), new_fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp
+      FROM documents WHERE doc_id % 3 = 0
+    ), vs_snap AS (
+      SELECT * FROM new_fp
+      WHERE fp NOT IN (SELECT fp FROM snap_idx)
+    ), kept AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM vs_snap GROUP BY fp
+    )
+    SELECT CAST(0 AS INTEGER) AS stage_idx, 'new_batch' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs FROM new_fp
+    UNION ALL SELECT 1, 'after_snapshot_filter', COUNT(*) FROM vs_snap
+    UNION ALL SELECT 2, 'after_within_batch', COUNT(*) FROM kept
+"""
+QUERIES["incremental_dedup"] = q_incremental_dedup

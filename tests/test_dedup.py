@@ -171,3 +171,37 @@ def test_minhash_sampling_is_shift_invariant(spark):
         ).collect()
     }
     assert (0, 1) in pairs
+
+
+def test_incremental_dedup_planted_cross_snapshot_dup(spark, tmp_path):
+    """A new-batch doc whose normalized text already exists in the
+    snapshot must be dropped by the snapshot filter; a batch-internal
+    duplicate must collapse to min doc_id; a genuinely new doc survives.
+    Also pins the scale shape: the snapshot side enters the plan as a
+    digest-only anti-join (no text column from the snapshot relation
+    crosses the join)."""
+    import pandas as pd
+
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    # doc_id % 3 != 0 -> snapshot; % 3 == 0 -> new batch
+    rows = [
+        (1, "shared text"),        # snapshot
+        (2, "snapshot only"),      # snapshot
+        (3, "Shared TEXT  "),      # new: dup of snapshot after normalize
+        (6, "batch dup"),          # new: batch-internal dup (kept, min id)
+        (9, "batch dup"),          # new: batch-internal dup (dropped)
+        (12, "genuinely new"),     # new: survives
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = {
+        r.stage: r.n_docs
+        for r in QUERIES["incremental_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "new_batch": 4,
+        "after_snapshot_filter": 3,   # doc 3 dropped (exists in snapshot)
+        "after_within_batch": 2,      # docs {6,12} kept
+    }
