@@ -551,3 +551,253 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# ------------------------------------------- incremental (corpus refresh)
+def _funnel(stages: list[tuple[int, str, DataFrame]]) -> DataFrame:
+    """Stage-count accounting frame: one row per funnel stage."""
+    out = None
+    for idx, name, df in stages:
+        row = df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact incremental dedup: a NEW crawl batch against a persisted
+    snapshot digest index — the production corpus-refresh shape.
+
+    ``index`` is the digest relation every production corpus maintains
+    (one ``fp_col`` md5 column; extra columns are ignored). The snapshot's
+    TEXT is never rescanned: the batch LEFT ANTI-joins the 16-byte digest
+    relation, then a within-batch pass keeps min ``id_col`` per digest.
+
+    Returns ``(kept, accounting)``: kept = (fp, id) survivors to append
+    to the index after the refresh; accounting = the three-stage funnel
+    (new_batch / after_snapshot_filter / after_within_batch), so
+    batch-over-batch dedup-rate drift is a first-class readout.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    batch_fp = batch.select(F.col(id_col), fp.alias(fp_col))
+    idx = index.select(F.col(fp_col)).distinct()
+    vs_snap = batch_fp.join(idx, fp_col, "left_anti")
+    kept = vs_snap.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    acct = _funnel(
+        [
+            (0, "new_batch", batch_fp),
+            (1, "after_snapshot_filter", vs_snap),
+            (2, "after_within_batch", kept),
+        ]
+    )
+    return kept, acct
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    sample_mod: int = 2,
+) -> DataFrame:
+    """Persisted LSH band index of a corpus snapshot: one row per
+    (band_id, band_key) bucket membership, carrying the full signature.
+
+    This is the relation a production corpus stores next to its data
+    (written bucketed by ``band_key``): a future crawl batch probes it
+    without ever re-reading — let alone re-shingling — the snapshot text.
+    Schema: (id_col, sig array<bigint>, band_id int, band_key bigint);
+    ~(num_perm+2)·8 B per document per band.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df.select(F.col(id_col), F.col(text_col)).where(
+            F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
+        ),
+        id_col,
+        text_col,
+        shingle_n,
+        num_perm,
+        sample_mod=sample_mod,
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
+def neardedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    snapshot: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    estimate_slack: float = 0.2,
+    sample_mod: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup incremental dedup: MinHash-probe a new batch against a
+    snapshot's persisted band index (``minhash_band_index`` output), then
+    near-dedup the survivors within the batch.
+
+    Scale shape (the 100-TB corpus-refresh path):
+
+    * the snapshot contributes ONLY its band index — batch band keys
+      equi-join the index buckets, so the probe cost is O(batch) band
+      rows, never O(snapshot);
+    * candidate pairs are prefiltered by signature-estimate Jaccard
+      (both signatures ride the band join — no second join);
+    * if ``snapshot`` (the text relation) is given, surviving candidates
+      are verified by EXACT Jaccard — both sides re-shingle only the
+      candidate ids (semi-join first), so snapshot text I/O is bounded
+      by the candidate set, not the corpus. Without it, the signature
+      estimate is the verdict (index-only mode — what a refresh pipeline
+      runs when the snapshot text is cold storage). The estimate's std
+      is ~sqrt(t(1-t)/num_perm) (plus shingle-sampling noise), so
+      index-only callers should set ``threshold`` a margin BELOW the
+      target similarity — precision-critical refreshes pass ``snapshot``
+      and get the exact verdict;
+    * the within-batch pass is ``minhash_lsh_dedup`` + greedy keep-min-id
+      (a batch doc drops if it is the larger id of any verified pair —
+      deterministic; chains collapse toward the smallest id, the same
+      survivor rule as the exact path).
+
+    Returns ``(kept, accounting)``: kept = (id) batch survivors;
+    accounting = new_batch / after_snapshot_neardedup / after_within_batch.
+    """
+    rows_per_band = num_perm // bands
+    batch_docs = batch.select(F.col(id_col), F.col(text_col)).where(
+        F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
+    )
+    bsigs = minhash_signatures(
+        batch_docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
+    ).persist()
+    bsigs.count()
+    bband = bsigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    est_matches = sum(
+        (
+            F.when(F.col("b.sig")[i] == F.col("s.sig")[i], 1).otherwise(0)
+            for i in range(num_perm)
+        ),
+        start=F.lit(0),
+    )
+    cand = (
+        bband.alias("b")
+        .join(
+            index.alias("s"),
+            on=[
+                F.col("b.band_id") == F.col("s.band_id"),
+                F.col("b.band_key") == F.col("s.band_key"),
+            ],
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"s.{id_col}").alias("snap_id"),
+            (est_matches.cast("double") / F.lit(float(num_perm))).alias("est"),
+        )
+        # a pair colliding in several bands appears once per band — keep
+        # the max estimate (they are identical anyway: est depends only on
+        # the two signatures)
+        .groupBy("batch_id", "snap_id")
+        .agg(F.max("est").alias("est"))
+        .where(F.col("est") >= F.lit(threshold - estimate_slack))
+    )
+    if snapshot is not None:
+        # exact verification over candidate ids only; shingle-hash sets
+        # via the codegen bulk path (same family as minhash_lsh_dedup's
+        # verify stage: explode positions, hash once, collect_set)
+        def _shingle_sets(docs: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+            norm = F.lower(F.trim(F.col(text_col)))
+            return (
+                docs.join(ids.withColumnRenamed("_cid", id_col), id_col, "left_semi")
+                .select(F.col(id_col).alias(out_id), norm.alias("_t"))
+                .select(
+                    out_id,
+                    "_t",
+                    F.explode(
+                        F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
+                    ).alias("_i"),
+                )
+                .select(
+                    out_id,
+                    F.xxhash64(
+                        F.col("_t").substr(F.col("_i"), F.lit(shingle_n)),
+                        F.lit(1_000_003),
+                    ).alias("_h"),
+                )
+                .groupBy(out_id)
+                .agg(F.collect_set("_h").alias(f"sh_{out_id}"))
+            )
+
+        b_sh = _shingle_sets(
+            batch_docs, cand.select(F.col("batch_id").alias("_cid")), "batch_id"
+        )
+        s_sh = _shingle_sets(
+            snapshot.select(F.col(id_col), F.col(text_col)),
+            cand.select(F.col("snap_id").alias("_cid")),
+            "snap_id",
+        )
+        dup_vs_snap = (
+            cand.join(b_sh, "batch_id")
+            .join(s_sh, "snap_id")
+            .where(jaccard(F.col("sh_batch_id"), F.col("sh_snap_id")) >= threshold)
+            .select("batch_id")
+            .distinct()
+        )
+    else:
+        # index-only mode: the signature estimate IS the verdict, at the
+        # full threshold (the slack only widens the verification net)
+        dup_vs_snap = (
+            cand.where(F.col("est") >= F.lit(threshold))
+            .select("batch_id")
+            .distinct()
+        )
+    survivors = batch_docs.join(
+        dup_vs_snap.withColumnRenamed("batch_id", id_col), id_col, "left_anti"
+    ).persist()
+    survivors.count()
+    bsigs.unpersist()
+    within_pairs = minhash_lsh_dedup(
+        survivors,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        estimate_slack=estimate_slack,
+        sample_mod=sample_mod,
+    )
+    drop_within = within_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = survivors.join(drop_within, id_col, "left_anti").select(id_col)
+    acct = _funnel(
+        [
+            (0, "new_batch", batch_docs),
+            (1, "after_snapshot_neardedup", survivors),
+            (2, "after_within_batch", kept),
+        ]
+    )
+    return kept, acct

@@ -2742,3 +2742,35 @@ ORACLES["incremental_dedup"] = """
     UNION ALL SELECT 2, 'after_within_batch', COUNT(*) FROM kept
 """
 QUERIES["incremental_dedup"] = q_incremental_dedup
+
+
+def q_incremental_dedup_near(spark, sf):
+    """NEAR-dup incremental corpus refresh (operators/dedup.py
+    neardedup_against_index): the MinHash twin of ``incremental_dedup``.
+    The snapshot (doc_id % 3 != 0) persists only its LSH band index; the
+    new batch (doc_id % 3 == 0) probes it band-by-band, surviving
+    candidates are verified by EXACT Jaccard over candidate ids only
+    (semi-join first — snapshot text I/O bounded by candidates, not the
+    corpus), then the batch near-dedups within itself. Funnel accounting
+    output. Rows-only by declared design (LSH banding is hash-dependent:
+    candidate recall < 1 in general, so no SQL oracle can reproduce the
+    counts); the planted cross-snapshot behavior is pinned in
+    tests/test_dedup.py.
+    """
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_band_index,
+        neardedup_against_index,
+    )
+
+    d = _t(spark, sf, "documents")
+    snap = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    index = minhash_band_index(snap)
+    _kept, acct = neardedup_against_index(
+        batch, index, snapshot=snap, threshold=0.8
+    )
+    return acct
+
+
+ORACLES["incremental_dedup_near"] = None
+QUERIES["incremental_dedup_near"] = q_incremental_dedup_near

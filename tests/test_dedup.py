@@ -205,3 +205,109 @@ def test_incremental_dedup_planted_cross_snapshot_dup(spark, tmp_path):
         "after_snapshot_filter": 3,   # doc 3 dropped (exists in snapshot)
         "after_within_batch": 2,      # docs {6,12} kept
     }
+
+
+def test_dedup_against_index_operator(spark):
+    """Operator-API twin of the incremental_dedup registry query:
+    (kept, accounting) from a batch vs a persisted digest index."""
+    from batch_processing_pipeline_spark.operators.dedup import dedup_against_index
+
+    snap = spark.createDataFrame(
+        [(1, "shared text"), (2, "snapshot only")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (3, "Shared TEXT  "),   # dup of snapshot after normalize
+            (6, "batch dup"),
+            (9, "batch dup"),
+            (12, "genuinely new"),
+        ],
+        "doc_id long, text string",
+    )
+    # index = the digest relation of the snapshot (as a refresh pipeline
+    # would persist it)
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        doc_fingerprint,
+    )
+    from pyspark.sql import functions as SF
+
+    index = snap.select(doc_fingerprint(SF.col("text")).alias("fp"))
+    kept, acct = dedup_against_index(batch, index)
+    assert sorted(r.doc_id for r in kept.collect()) == [6, 12]
+    got = {r.stage: r.n_docs for r in acct.collect()}
+    assert got == {
+        "new_batch": 4,
+        "after_snapshot_filter": 3,
+        "after_within_batch": 2,
+    }
+
+
+NEAR_SNAP = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away into the dark woods tonight"),
+    (2, "completely unrelated snapshot prose about distributed query engines and columnar parquet files"),
+]
+NEAR_BATCH = [
+    # near-dup of snapshot doc 1 (one-word edit) -> dropped by the probe
+    (3, "the quick brown fox jumps over the lazy cat and runs far away into the dark woods tonight"),
+    # near-dups of each other -> 6 kept (min id), 9 dropped
+    (6, "spark structured streaming maintains incremental state across micro batches with checkpointed offsets"),
+    (9, "spark structured streaming maintains incremental state across micro batches with checkpointed offset"),
+    # genuinely new -> kept
+    (12, "a totally fresh document with vocabulary overlapping neither the snapshot nor its batch siblings"),
+]
+
+
+def test_neardedup_against_index_planted(spark):
+    """Cross-snapshot NEAR-dup (not exact: one-word edit) must be caught
+    by the band-index probe + exact verification; within-batch near-dups
+    collapse to min id; unique docs survive. Ground truth = brute-force
+    exact Jaccard over the same 5-gram shingle sets."""
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_band_index,
+        neardedup_against_index,
+        ngram_jaccard_pairs,
+    )
+
+    snap = spark.createDataFrame(NEAR_SNAP, "doc_id long, text string")
+    batch = spark.createDataFrame(NEAR_BATCH, "doc_id long, text string")
+    # sanity: the planted pairs really are >= 0.8 exact Jaccard, and
+    # nothing else is (brute force over the union corpus)
+    allpairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            snap.unionByName(batch), shingle_n=5, threshold=0.8
+        ).collect()
+    }
+    assert allpairs == {(1, 3), (6, 9)}
+
+    index = minhash_band_index(snap)
+    kept, acct = neardedup_against_index(batch, index, snapshot=snap)
+    assert sorted(r.doc_id for r in kept.collect()) == [6, 12]
+    got = {r.stage: r.n_docs for r in acct.collect()}
+    assert got == {
+        "new_batch": 4,
+        "after_snapshot_neardedup": 3,
+        "after_within_batch": 2,
+    }
+
+
+def test_neardedup_against_index_index_only_mode(spark):
+    """Without the snapshot text relation the signature estimate is the
+    verdict (cold-storage mode). The estimate is noisy
+    (std ~ sqrt(t(1-t)/32) plus shingle-sampling variance), so — per the
+    operator contract — index-only callers set the threshold a margin
+    below the target similarity; 0.6 here for a ~0.9-Jaccard plant."""
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_band_index,
+        neardedup_against_index,
+    )
+
+    snap = spark.createDataFrame(NEAR_SNAP, "doc_id long, text string")
+    batch = spark.createDataFrame(NEAR_BATCH, "doc_id long, text string")
+    index = minhash_band_index(snap)
+    kept, _acct = neardedup_against_index(
+        batch, index, snapshot=None, threshold=0.6
+    )
+    # doc 3 must drop (near-dup of snapshot); doc 12 must survive.
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 3 not in ids and 12 in ids
