@@ -192,8 +192,15 @@ def minhash_lsh_dedup(
     estimate_slack: float = 0.2,
     sample_mod: int = 2,
     prune_singletons: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
+
+    ``sigs``: optionally a precomputed ``(id_col, sig)`` relation from
+    ``minhash_signatures`` with the SAME (shingle_n, num_perm, seed,
+    sample_mod) family — callers that already paid the signature pass
+    (e.g. the incremental probe in ``neardedup_against_index``) reuse it
+    instead of re-shingling the corpus, which is the dominant cost.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard ≥
     threshold. Three-stage funnel, each stage strictly cheaper per pair:
@@ -244,8 +251,12 @@ def minhash_lsh_dedup(
     # the cache EAGERLY: a lazy persist lets the self-join's two branches
     # race and each computes the full signature pass before the cache is
     # populated (~2× the dominant cost).
-    sigs = minhash_signatures(
-        docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
+    sigs = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(
+            docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
+        )
     ).persist()
     sigs.count()
     # The signature travels WITH the band keys through the self-join
@@ -621,10 +632,16 @@ def minhash_band_index(
     ~(num_perm+2)·8 B per document per band.
     """
     rows_per_band = num_perm // bands
+    docs = df.select(F.col(id_col), F.col(text_col)).where(
+        F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
+    )
+    # spread the CPU-bound signature pass (same rationale as
+    # minhash_lsh_dedup: a compacted source would serialize it)
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < default_par:
+        docs = docs.repartition(default_par)
     sigs = minhash_signatures(
-        df.select(F.col(id_col), F.col(text_col)).where(
-            F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
-        ),
+        docs,
         id_col,
         text_col,
         shingle_n,
@@ -686,6 +703,9 @@ def neardedup_against_index(
     batch_docs = batch.select(F.col(id_col), F.col(text_col)).where(
         F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
     )
+    default_par = batch.sparkSession.sparkContext.defaultParallelism
+    if batch_docs.rdd.getNumPartitions() < default_par:
+        batch_docs = batch_docs.repartition(default_par)
     bsigs = minhash_signatures(
         batch_docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
     ).persist()
@@ -779,7 +799,10 @@ def neardedup_against_index(
         dup_vs_snap.withColumnRenamed("batch_id", id_col), id_col, "left_anti"
     ).persist()
     survivors.count()
-    bsigs.unpersist()
+    # within-batch pass REUSES the probe's signatures (semi-joined down to
+    # survivors) — the signature pass is the dominant cost and the batch
+    # was already paid for once
+    survivor_sigs = bsigs.join(survivors.select(id_col), id_col, "left_semi")
     within_pairs = minhash_lsh_dedup(
         survivors,
         id_col=id_col,
@@ -790,7 +813,9 @@ def neardedup_against_index(
         threshold=threshold,
         estimate_slack=estimate_slack,
         sample_mod=sample_mod,
+        sigs=survivor_sigs,
     )
+    bsigs.unpersist()
     drop_within = within_pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = survivors.join(drop_within, id_col, "left_anti").select(id_col)
     acct = _funnel(

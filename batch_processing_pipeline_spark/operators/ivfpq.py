@@ -1,0 +1,260 @@
+"""IVF-PQ (IVFADC) approximate nearest neighbor search — the composition
+of the coarse quantizer (operators/ivf.py) and product quantization
+(operators/pq.py), after Jégou/Douze/Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011, §IV: IVFADC).
+
+Why compose: IVF prunes WHICH vectors are scanned (nprobe/k_coarse of the
+corpus), PQ compresses HOW each scanned vector is represented (m one-byte
+codes instead of dim floats). Production ANN at 100 TB runs both — the
+inverted lists hold PQ codes of the RESIDUAL (vector minus its cell
+centroid), which quantizes a much tighter distribution than raw vectors,
+so the same code budget buys more precision.
+
+Scale shape:
+
+* coarse centroids + residual codebooks are tiny (k_coarse·dim +
+  m·ksub·(dim/m) floats) — trained on bounded samples, shipped to
+  executors as literals/closures; zero per-row Python besides the
+  Arrow-batched encode kernel (the documented escape hatch for
+  math-dense kernels, see pq.pq_encode);
+* the corpus index is ONE map-side pass producing (vec_id, cell, m
+  codes) — the compressed inverted file IS a column, storable next to
+  the table, bucketed by cell;
+* a query's ADC tables are built ONLY for its ``nprobe`` probed cells
+  (per-cell residual q - c changes the table, so there are
+  nprobe × m × ksub rows per query — KBs, broadcast);
+* the scan is an equi-join on (cell, j, code): cell pruning happens IN
+  the join key — unprobed cells never produce join matches, so the
+  scanned fraction is ~nprobe/k_coarse of the corpus, each row m byte
+  codes, and the distance is a map-side-combining SUM. Every operator
+  whole-stage codegen;
+* exact re-rank of the top ``refine`` ADC candidates restores precision
+  (classic IVFADC + refine tail), touching float vectors only for
+  refine × n_queries rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.functions.vector import cosine_similarity
+from batch_processing_pipeline_spark.operators.pq import subspace_codebooks
+from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k_coarse: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_train: int = 4096,
+    iters: int = 20,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(coarse centroids, residual codebooks) from one bounded sample.
+
+    One collect of ≤ ``max_train`` md5-ordered unit vectors (the
+    train_pq_codebooks convention: deterministic sample, driver-side
+    Lloyd — codebook training is tiny; the DISTRIBUTED work is encoding
+    and scanning). Coarse k-means runs on unit vectors so cells partition
+    the cosine geometry; residuals (x - centroid[cell]) feed the
+    subspace codebooks — the IVFADC arrangement.
+    """
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat(F.lit("ivfpqtrain:"), F.col(vec_col).cast("string"))))
+        .limit(max_train)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), k_coarse, replace=False)].copy()
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+        for c in range(k_coarse):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(0)
+    assign = ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+    residuals = X - C[assign]
+    books = subspace_codebooks(residuals, m=m, ksub=ksub, seed=seed, iters=iters)
+    centroids = [[float(x) for x in c] for c in C]
+    return centroids, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted file: (id, cell, pq_code) — one map-side Arrow pass.
+
+    Per batch: unit-normalize, nearest coarse cell (argmin, ties to the
+    lowest cell id), residual against that cell's centroid, per-subspace
+    nearest codeword. Centroid matrix + codebooks ride the closure (KBs
+    per executor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf("struct<cell: int, pq_code: array<int>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        X = np.asarray(list(vecs), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        d2 = (
+            (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        )
+        cells = d2.argmin(1)
+        R = X - C[cells]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            D = R[:, j * sub : (j + 1) * sub]
+            dj = (
+                (D * D).sum(1, keepdims=True)
+                - 2.0 * (D @ books[j].T)
+                + (books[j] * books[j]).sum(1)[None, :]
+            )
+            codes[:, j] = dj.argmin(1)
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"), "pq_code": list(codes)}
+        )
+
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("_e")
+    ).select(id_col, F.col("_e.cell").alias("cell"), F.col("_e.pq_code").alias("pq_code"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC top-k: per-(query, probed-cell) residual ADC tables joined
+    against the cell-pruned code relation, optional exact re-rank.
+
+    Output: (query_id, vec_id, rank [, cosine]); deterministic tie-break
+    on (distance, vec_id). L2-over-unit-vectors is monotone in cosine, so
+    ranks are comparable with the other ANN paths' cosine ground truth.
+    """
+    spark = queries.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    k_coarse = len(centroids)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    sub = len(codebooks[0][0])
+
+    # ---- query side: nprobe cells + per-cell residual subvectors, all
+    # driver-free. The probed-cell assignment reuses the encode kernel's
+    # math but keeps the nprobe nearest cells; emitted as one row per
+    # (query, probe) with the residual, then exploded to subspaces.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<cell: int, res: array<double>>>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vecs), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        d2 = (
+            (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        )
+        # stable argsort → deterministic probe order; ties to lower cell id
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        out = []
+        for i in range(len(X)):
+            out.append(
+                [
+                    {"cell": int(c), "res": list(X[i] - C[c])}
+                    for c in order[i]
+                ]
+            )
+        return pd.Series(out)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qprobe = q.select(
+        "query_id", F.explode(probes(F.col("qvec"))).alias("p")
+    ).select(
+        "query_id",
+        F.col("p.cell").alias("cell"),
+        F.posexplode(
+            F.array(*[F.slice("p.res", j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "qs"),
+    )
+
+    book_df = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, c int, cent array<double>",
+    )
+    dist = sum(
+        (
+            (F.element_at("qs", i + 1) - F.element_at("cent", i + 1))
+            * (F.element_at("qs", i + 1) - F.element_at("cent", i + 1))
+            for i in range(sub)
+        ),
+        F.lit(0.0),
+    )
+    dtab = qprobe.join(F.broadcast(book_df), "j").select(
+        "query_id", "cell", "j", F.col("c").alias("code"), dist.alias("d")
+    )
+
+    # ---- corpus side: the inverted file, materialized once (same
+    # barrier rationale as pq_topk: without it the encode expression is
+    # re-evaluated per generated row).
+    encoded = ivfpq_encode(
+        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    codes = encoded.select(
+        F.col(id_col).alias("vec_id"), "cell", F.posexplode("pq_code").alias("j", "code")
+    )
+
+    # cell pruning IS the join: rows in unprobed cells meet no dtab row.
+    # Self-matches drop (the cosine_topk / ivf_topk convention).
+    adc = (
+        codes.join(F.broadcast(dtab), ["cell", "j", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    ranked = top_k_per_group(
+        adc,
+        ["query_id"],
+        order_by=[F.col("adc").asc(), F.col("vec_id").asc()],
+        k=k if refine is None else refine,
+    )
+    if refine is None:
+        return ranked.select("query_id", "vec_id", F.col("rk").alias("rank"))
+    cvecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    exact = (
+        ranked.select("query_id", "vec_id")
+        .join(q, "query_id")
+        .join(cvecs, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        exact,
+        ["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", F.col("rk").alias("rank"), "cosine")

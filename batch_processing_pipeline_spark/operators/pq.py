@@ -73,6 +73,18 @@ def train_pq_codebooks(
     )
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return subspace_codebooks(X, m=m, ksub=ksub, seed=seed, iters=iters)
+
+
+def subspace_codebooks(
+    X: "np.ndarray", m: int, ksub: int, seed: int, iters: int = 20
+) -> list[list[list[float]]]:
+    """Seeded per-subspace Lloyd k-means over an in-memory training matrix.
+
+    Shared by the raw-vector path above and the IVF-residual path
+    (operators/ivfpq.py), which train on different matrices but need the
+    identical deterministic procedure.
+    """
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -1929,6 +1929,34 @@ ORACLES["sim_topk_pq"] = None
 QUERIES["sim_topk_pq"] = q_sim_topk_pq
 
 
+def q_sim_topk_ivfpq(spark, sf):
+    """IVF-PQ (IVFADC) cosine top-10 with exact re-rank
+    (operators/ivfpq.py) — the composition the two standalone ANN paths
+    build toward: IVF prunes WHICH vectors scan (nprobe=4 of 8 cells),
+    PQ compresses HOW (m=16 nibble codes of the RESIDUAL vs the cell
+    centroid — tighter distribution than raw vectors, so the same code
+    budget buys more recall than sim_topk_pq's raw-vector books).
+    Rows-only by design (k-means is seed-dependent); the recall-vs-nprobe
+    sweep and the residual-beats-raw property are pinned in
+    tests/test_ivfpq.py.
+    """
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents, books = train_ivfpq(emb, k_coarse=8, m=16, ksub=16, seed=42)
+    return ivfpq_topk(
+        emb.where(F.col("vec_id") < 5), emb, cents, books,
+        k=10, nprobe=4, refine=50,
+    ).select("query_id", "vec_id", "rank", round4(F.col("cosine")).alias("cosine"))
+
+
+ORACLES["sim_topk_ivfpq"] = None
+QUERIES["sim_topk_ivfpq"] = q_sim_topk_ivfpq
+
+
 def q_dup_spans(spark, sf):
     """Repeated-span detection (the substring-level dedup of Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"):

@@ -2756,6 +2756,12 @@ def q_incremental_dedup_near(spark, sf):
     candidate recall < 1 in general, so no SQL oracle can reproduce the
     counts); the planted cross-snapshot behavior is pinned in
     tests/test_dedup.py.
+
+    Bench note: a real refresh amortizes the snapshot band index (it is
+    PERSISTED, written once per snapshot) — this query rebuilds it
+    in-query because the fixture ships no stored index, so roughly a
+    third of the bench row is index-build cost a production run never
+    pays per batch.
     """
     from batch_processing_pipeline_spark.operators.dedup import (
         minhash_band_index,

@@ -109,6 +109,8 @@ HEADLINE = [
     "entity_resolution",
     "pagerank",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "incremental_dedup_near",
     "dedup_clusters",
     "dedup_survivorship",
     "dedup_minhash",
@@ -283,7 +285,11 @@ def main() -> None:
         was = prev_times.get(name)
         if was is not None and was >= 0.2:
             extra = 0
-            while dt > 1.5 * was and extra < 2:
+            # 1.15x (was 1.5x): r7's sim_topk_pq showed a 1.33x single-shot
+            # reading that three warm re-runs put back at its old level —
+            # moderate apparent regressions deserve the extra attempts too,
+            # and a genuine regression survives min-of-N regardless
+            while dt > 1.15 * was and extra < 2:
                 dt = min(dt, run_once(fn))
                 extra += 1
         dt = round(dt, 3)
