@@ -494,24 +494,37 @@ ORACLES["hll_union"] = None
 QUERIES["hll_union"] = q_hll_union
 
 
+#: 20 merges learned once from the fixture corpus family
+#: (learn_bpe_merges at sf0.01; training is deterministic — tie-broken —
+#: and covered by bpe_merge_candidates + the golden-merges pytest).
+#: Pinned as literals so the APPLY pass is corpus-independent. Every pair
+#: has first != second — load-bearing for the SQL oracle: with no
+#: self-adjacent merge, same-rank occurrences are token-disjoint, so the
+#: per-rank rewrite fixpoint is order-independent and a bounded
+#: replace-chain computes it exactly (see the oracle builder below).
+_BPE_PINNED_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+]
+
+
 def q_bpe_encode(spark, sf):
-    """Full BPE tokenizer round: train 20 merges on the corpus' Zipf-
-    compact vocabulary (driver-side, as production tokenizer trainers
-    do), broadcast the rank table, and APPLY it distributed via an
-    Arrow-batched pandas UDF with an executor-local distinct-word cache
-    (functions/bpe.py) — the training-data tokenization pass at 100 TB.
-    Deterministic (tie-broken training) but not SQL-expressible →
-    rows-only in the harness; golden merges, round-trip, and cache
-    semantics pinned in tests/test_text_analysis.py.
+    """BPE tokenizer APPLY pass — the 100-TB side of the tokenizer: the
+    pinned merge-rank table (trained once, ``_BPE_PINNED_MERGES``)
+    broadcasts in a pandas-UDF closure with an executor-local
+    distinct-word cache (functions/bpe.py). Training stays covered by
+    ``bpe_merge_candidates`` (driver-green) and the golden-merges pytest;
+    pinning the ranks makes THIS query SQL-expressible, so the driver
+    hash-checks the Arrow kernel against a pure-SQL replace-chain twin
+    (GPT-2 greedy min-rank == apply-ranks-in-order-to-fixpoint, because a
+    merge of rank r only ever creates pairs of rank > r).
     """
-    from batch_processing_pipeline_spark.functions.bpe import (
-        bpe_encode,
-        learn_bpe_merges,
-    )
+    from batch_processing_pipeline_spark.functions.bpe import bpe_encode
 
     d = _t(spark, sf, "documents")
-    merges = learn_bpe_merges(d, "text", n_merges=20)
-    enc = bpe_encode(d.select("doc_id", "text"), merges)
+    enc = bpe_encode(d.select("doc_id", "text"), _BPE_PINNED_MERGES)
     return enc.select(
         "doc_id",
         F.size("bpe_tokens").alias("n_bpe"),
@@ -519,7 +532,43 @@ def q_bpe_encode(spark, sf):
     )
 
 
-ORACLES["bpe_encode"] = None
+def _bpe_encode_oracle() -> str:
+    """SQL twin of the greedy min-rank BPE apply, as a replace-chain.
+
+    Each word becomes a space-delimited symbol string (' a b c '); each
+    pinned merge (a, b) rewrites ' a b ' -> ' ab ', applied THREE times:
+    rank-r merges never create rank-<=r pairs (any new pair contains the
+    merged token, learned later), so processing ranks in order to
+    per-rank fixpoint equals the greedy loop — and because no pinned
+    merge is self-adjacent (a != b), same-rank occurrences are
+    token-disjoint and TWO replace passes reach that fixpoint (pass one
+    can miss alternate occurrences that share a boundary space; the
+    survivors are then isolated); the third pass is margin.
+    """
+    chain = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for a, b in _BPE_PINNED_MERGES:
+        for _ in range(3):
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             COALESCE(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0), []) AS words
+      FROM documents
+    ), enc AS (
+      SELECT doc_id,
+             flatten(list_transform(words,
+               w -> string_split(trim({chain}), ' '))) AS toks
+      FROM w
+    )
+    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
+           toks[1] AS first_tok
+    FROM enc
+"""
+
+
+ORACLES["bpe_encode"] = _bpe_encode_oracle()
 QUERIES["bpe_encode"] = q_bpe_encode
 
 

@@ -877,9 +877,11 @@ def q_k_core(spark, sf):
     + two semi-joins on the shrinking edge relation, so the 100-TB cost
     decays with the peel. Output is the surviving node set with its final
     in-core degree. The fixpoint is unique (the k-core is order-
-    independent) but the peel is iterative-stateful, so there is no SQL
-    oracle (rows-only driver check); pytest pins the result against a
-    brute-force peel, the kcenter_coreset precedent.
+    independent) and the peel is idempotent past it, so the oracle
+    unrolls exactly this loop's 30-round cap as chained MATERIALIZED
+    CTEs (``_k_core_oracle`` below) — extra rounds are no-ops, and both
+    sides agree whenever this side converges (it raises otherwise);
+    pytest additionally pins the result against a brute-force peel.
     """
     li = (
         _t(spark, sf, "lineitem")
@@ -942,13 +944,45 @@ def q_k_core(spark, sf):
     return deg.select(F.col("part").cast("long").alias("part"), "core_degree")
 
 
-# k=2 peel is iterative-stateful (each round's degree depends on the
-# previous round's survivor set); a SQL twin needs aggregation over the
-# recursive reference, which neither engine's recursive CTE allows — so
-# the oracle is omitted (rows-only driver check) and the fixpoint is
-# pinned in pytest against a brute-force peel (the kcenter_coreset
-# precedent for inherently iterative ops).
-ORACLES["k_core"] = None
+def _k_core_oracle(rounds: int = 30, k: int = 2) -> str:
+    """Unrolled peel as SQL: 30 chained MATERIALIZED CTE rounds.
+
+    A recursive CTE cannot express the peel (aggregation over the
+    recursive reference), but the peel is IDEMPOTENT past its fixpoint —
+    extra rounds are no-ops — so unrolling exactly the Spark side's
+    round cap (30 removal rounds; q_k_core raises if unconverged by
+    then) yields the identical fixpoint whenever the Spark side returns
+    at all. MATERIALIZED is load-bearing: inlined CTEs would expand the
+    30-deep chain exponentially (each round references its predecessor
+    three times). Post-fixpoint rounds cost one no-op degree pass each
+    (~4 s total at sf0.1 in DuckDB).
+    """
+    parts = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e{i-1}"
+            f" UNION ALL SELECT v FROM e{i-1}) GROUP BY n HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{i-1}"
+            f" WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(n AS BIGINT) AS part,"
+        " CAST(COUNT(*) AS BIGINT) AS core_degree\n"
+        f"FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})"
+        " GROUP BY n"
+    )
+
+
+ORACLES["k_core"] = _k_core_oracle()
 QUERIES["k_core"] = q_k_core
 
 
