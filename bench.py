@@ -158,7 +158,12 @@ def _print_regression_diff(timings: dict[str, float]) -> None:
     print(f"# regressions flagged: {flagged}", file=sys.stderr)
 
 
-def _bench_stream_batch(spark, sf_dir: str, state_buckets: int | None = None) -> float:
+def _bench_stream_batch(
+    spark,
+    sf_dir: str,
+    state_buckets: int | None = None,
+    max_files_per_trigger: int = 4,
+) -> float:
     """End-to-end availableNow streaming run: 24 hourly query-log files →
     incremental state merges (6 micro-batches of 4 files) → suggestions.
     File generation happens OUTSIDE the timed window.
@@ -194,7 +199,9 @@ def _bench_stream_batch(spark, sf_dir: str, state_buckets: int | None = None) ->
             with open(os.path.join(logs, f"2025-01-01-{h:02d}.txt"), "w") as f:
                 f.write("\n".join(chunk) + "\n")
         t0 = time.time()
-        stream = stream_query_log(spark, logs, max_files_per_trigger=4)
+        stream = stream_query_log(
+            spark, logs, max_files_per_trigger=max_files_per_trigger
+        )
         q = run_autocomplete_stream(
             stream,
             os.path.join(work, "state"),
@@ -315,11 +322,27 @@ def main() -> None:
     # streaming end-to-end (not a QUERIES entry: runs a full availableNow
     # job, not a single DataFrame action); simple mode + the bucketed-state
     # scale mode, each with its own regression row
-    for entry, buckets in (("stream_batch", None), ("stream_batch_bucketed", 8)):
-        dt = _bench_stream_batch(spark, sf_dir, state_buckets=buckets)
+    # the 6-trigger rows exercise the incremental merge-with-replay-guard
+    # path; the 1-trigger row records the overhead knee (PLANS.md round-8:
+    # per-micro-batch fixed cost ~1.5 s dominates at fixture scale, so
+    # wall time is linear in trigger count — the production 5-min-cron
+    # regime is ONE availableNow trigger)
+    for entry, buckets, mfpt in (
+        ("stream_batch", None, 4),
+        ("stream_batch_bucketed", 8, 4),
+        ("stream_batch_bucketed_1trigger", 8, 24),
+    ):
+        dt = _bench_stream_batch(
+            spark, sf_dir, state_buckets=buckets, max_files_per_trigger=mfpt
+        )
         if dt > 20.0:
             # ~10 s on a quiet host — a 2x+ reading is an external load spike
-            dt = min(dt, _bench_stream_batch(spark, sf_dir, state_buckets=buckets))
+            dt = min(
+                dt,
+                _bench_stream_batch(
+                    spark, sf_dir, state_buckets=buckets, max_files_per_trigger=mfpt
+                ),
+            )
         dt = round(dt, 3)
         timings[entry] = dt
         total += dt
