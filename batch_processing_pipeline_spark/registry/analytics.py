@@ -532,6 +532,17 @@ def q_bpe_encode(spark, sf):
     )
 
 
+def _bpe_replace_chain(var: str) -> str:
+    """The replace-chain SQL expression encoding one word (``var``) into
+    its space-joined BPE symbol string (shared with
+    eval_stats.bpe_compression_by_lang)."""
+    chain = f"' ' || regexp_replace({var}, '(.)', '\\1 ', 'g')"
+    for a, b in _BPE_PINNED_MERGES:
+        for _ in range(3):
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    return chain
+
+
 def _bpe_encode_oracle() -> str:
     """SQL twin of the greedy min-rank BPE apply, as a replace-chain.
 
@@ -545,10 +556,7 @@ def _bpe_encode_oracle() -> str:
     can miss alternate occurrences that share a boundary space; the
     survivors are then isolated); the third pass is margin.
     """
-    chain = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
-    for a, b in _BPE_PINNED_MERGES:
-        for _ in range(3):
-            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    chain = _bpe_replace_chain("w")
     return f"""
     WITH w AS (
       SELECT doc_id,

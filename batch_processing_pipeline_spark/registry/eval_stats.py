@@ -2780,3 +2780,426 @@ def q_incremental_dedup_near(spark, sf):
 
 ORACLES["incremental_dedup_near"] = None
 QUERIES["incremental_dedup_near"] = q_incremental_dedup_near
+
+
+def q_preference_winrate(spark, sf):
+    """Pairwise-preference aggregation — the statistic a preference-data
+    (RLHF/DPO) pipeline reads before training: consecutive events per
+    user form comparison pairs (earlier vs next, deterministic order
+    (ts, event_id)); the higher ``value`` wins, ties to the earlier
+    event; per unordered type pair report comparisons, wins for the
+    lexicographically-first type, its Laplace-smoothed win-rate
+    ((w+1)/(n+2)) and log-odds (the one-step Bradley-Terry strength
+    readout). Scale shape: one LEAD window per user partition (no
+    self-join — pairing is a window, candidate space O(events)), then a
+    25-key-bounded aggregation.
+    """
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("b_type"),
+        F.lead("value").over(w).alias("b_value"),
+    ).where(F.col("b_type").isNotNull() & (F.col("event_type") != F.col("b_type")))
+    type_a = F.least("event_type", "b_type")
+    type_b = F.greatest("event_type", "b_type")
+    # the EARLIER event wins ties
+    winner = F.when(F.col("value") >= F.col("b_value"), F.col("event_type")).otherwise(
+        F.col("b_type")
+    )
+    pairs = seq.select(
+        type_a.alias("type_a"),
+        type_b.alias("type_b"),
+        F.when(winner == type_a, 1).otherwise(0).alias("win_a"),
+    )
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_comparisons"),
+        F.sum("win_a").cast("long").alias("wins_a"),
+    )
+    wr = (F.col("wins_a").cast("double") + 1.0) / (
+        F.col("n_comparisons").cast("double") + 2.0
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_comparisons",
+        "wins_a",
+        round4(wr).alias("winrate_a"),
+        round4(F.log(wr / (1.0 - wr))).alias("logodds_a"),
+    )
+
+
+ORACLES["preference_winrate"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             LEAD(event_type) OVER w AS b_type,
+             LEAD(value) OVER w AS b_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pairs AS (
+      SELECT CASE WHEN event_type < b_type THEN event_type ELSE b_type END AS type_a,
+             CASE WHEN event_type < b_type THEN b_type ELSE event_type END AS type_b,
+             CASE WHEN (CASE WHEN value >= b_value THEN event_type ELSE b_type END)
+                       = (CASE WHEN event_type < b_type THEN event_type ELSE b_type END)
+                  THEN 1 ELSE 0 END AS win_a
+      FROM seq
+      WHERE b_type IS NOT NULL AND event_type <> b_type
+    ), agg AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS n_comparisons,
+             CAST(SUM(win_a) AS BIGINT) AS wins_a
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_comparisons, wins_a,
+           {R("(CAST(wins_a AS DOUBLE) + 1.0) / (CAST(n_comparisons AS DOUBLE) + 2.0)")}
+             AS winrate_a,
+           {R("ln(((CAST(wins_a AS DOUBLE) + 1.0) / (CAST(n_comparisons AS DOUBLE) + 2.0)) "
+              "/ (1.0 - (CAST(wins_a AS DOUBLE) + 1.0) / (CAST(n_comparisons AS DOUBLE) + 2.0)))")}
+             AS logodds_a
+    FROM agg
+"""
+QUERIES["preference_winrate"] = q_preference_winrate
+
+
+def q_pr_auc_eval(spark, sf):
+    """Average precision (area under the precision-recall curve by the
+    step interpolation) — the imbalanced-retrieval companion to
+    ``auc_eval``'s ROC: AP = mean over positives of precision@rank.
+    Scores/labels are the auc_eval construction under a fresh salt;
+    ranking is per-row with an (score desc, event_id asc) total order —
+    legitimate here because the relation is a bounded EVAL cohort
+    (user_id < 50), the dimension-sized regime every eval query in this
+    registry uses; production eval sets are sampled, not corpus-scale.
+    """
+    e = _events(spark, sf).where(F.col("user_id") < 50)
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("prauc:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    raw = F.when(label == 1, 0.3 + 0.7 * u).otherwise(0.7 * u)
+    scored = e.select(F.col("event_id"), raw.alias("s"), label.alias("y"))
+    w = Window.orderBy(F.col("s").desc(), F.col("event_id").asc())
+    ranked = scored.select(
+        "y",
+        F.row_number().over(w).alias("rk"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_pos"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("cum_pos").cast("double") / F.col("rk").cast("double"),
+            ).otherwise(0.0)
+        ).alias("sum_prec"),
+    )
+    return agg.select(
+        "n_eval",
+        "n_pos",
+        round4(F.col("sum_prec") / F.col("n_pos").cast("double")).alias(
+            "average_precision"
+        ),
+    )
+
+
+ORACLES["pr_auc_eval"] = f"""
+    WITH scored AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN event_type = 'purchase'
+                  THEN 0.3 + 0.7 * u ELSE 0.7 * u END AS s
+      FROM (
+        SELECT event_id, event_type,
+               CAST(CAST('0x' || substr(md5('prauc:' || CAST(event_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM events WHERE user_id < 50
+      )
+    ), ranked AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY s DESC, event_id ASC) AS rk,
+             SUM(y) OVER (ORDER BY s DESC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM scored
+    ), agg AS (
+      SELECT COUNT(*) AS n_eval,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(CASE WHEN y = 1
+                 THEN CAST(cum_pos AS DOUBLE) / CAST(rk AS DOUBLE)
+                 ELSE 0.0 END) AS sum_prec
+      FROM ranked
+    )
+    SELECT n_eval, n_pos,
+           {R("sum_prec / CAST(n_pos AS DOUBLE)")} AS average_precision
+    FROM agg
+"""
+QUERIES["pr_auc_eval"] = q_pr_auc_eval
+
+
+def q_annotator_kappa(spark, sf):
+    """Cohen's kappa — inter-annotator agreement, the quality gate every
+    labeling pipeline runs before trusting labels: two deterministic
+    'annotators' flag documents (A: >= 200 chars; B: >= 30 whitespace
+    tokens — correlated length-driven heuristics, the realistic case),
+    kappa = (po - pe) / (1 - pe) with pe from the marginals. Pure
+    aggregation — one pass, scalar output."""
+    d = _t(spark, sf, "documents")
+    a1 = F.when(F.length("text") >= 200, 1).otherwise(0)
+    a2 = F.when(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 30, 1
+    ).otherwise(0)
+    flags = d.select(a1.alias("a1"), a2.alias("a2"))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.when(F.col("a1") == F.col("a2"), 1.0).otherwise(0.0)).alias("po"),
+        F.avg(F.col("a1").cast("double")).alias("p1"),
+        F.avg(F.col("a2").cast("double")).alias("p2"),
+    )
+    pe = F.col("p1") * F.col("p2") + (1.0 - F.col("p1")) * (1.0 - F.col("p2"))
+    return agg.select(
+        "n_docs",
+        round4(F.col("po")).alias("po"),
+        round4(pe).alias("pe"),
+        round4((F.col("po") - pe) / (1.0 - pe)).alias("kappa"),
+    )
+
+
+ORACLES["annotator_kappa"] = f"""
+    WITH flags AS (
+      SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS a1,
+             CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 30
+                  THEN 1 ELSE 0 END AS a2
+      FROM documents
+    ), agg AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(CASE WHEN a1 = a2 THEN 1.0 ELSE 0.0 END) AS po,
+             AVG(CAST(a1 AS DOUBLE)) AS p1,
+             AVG(CAST(a2 AS DOUBLE)) AS p2
+      FROM flags
+    )
+    SELECT n_docs,
+           {R("po")} AS po,
+           {R("p1 * p2 + (1.0 - p1) * (1.0 - p2)")} AS pe,
+           {R("(po - (p1 * p2 + (1.0 - p1) * (1.0 - p2))) / "
+              "(1.0 - (p1 * p2 + (1.0 - p1) * (1.0 - p2)))")} AS kappa
+    FROM agg
+"""
+QUERIES["annotator_kappa"] = q_annotator_kappa
+
+
+def q_curriculum_order(spark, sf):
+    """Curriculum schedule — the document ORDERING a staged pretraining
+    run consumes: difficulty-rank documents (n_chars proxy, doc_id
+    tie-break), cut into 4 difficulty strata (NTILE over the total
+    order), then interleave the strata round-robin so every training
+    window sees the full difficulty mix while within-stratum order stays
+    easy-to-hard. Output (doc_id, stratum, position) — a deterministic
+    permutation. Two windows over one total order; no shuffle beyond
+    them (at 100 TB the same schedule is computed per-shard with a
+    range-partitioned rank, the global_shuffle discipline)."""
+    d = _t(spark, sf, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    strat = d.select(
+        "doc_id", "n_chars", F.ntile(4).over(w).alias("stratum")
+    )
+    w_in = Window.partitionBy("stratum").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return strat.select(
+        "doc_id",
+        "stratum",
+        ((F.row_number().over(w_in) - 1) * 4 + F.col("stratum"))
+        .cast("long")
+        .alias("position"),
+    )
+
+
+ORACLES["curriculum_order"] = """
+    WITH strat AS (
+      SELECT doc_id, n_chars,
+             NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS stratum
+      FROM documents
+    )
+    SELECT doc_id, stratum,
+           CAST((ROW_NUMBER() OVER (PARTITION BY stratum
+                   ORDER BY n_chars ASC, doc_id ASC) - 1) * 4 + stratum
+                AS BIGINT) AS position
+    FROM strat
+"""
+QUERIES["curriculum_order"] = q_curriculum_order
+
+
+def q_join_skew_audit(spark, sf):
+    """Pre-join skew diagnostic — the report to run BEFORE a self-join
+    (sessionization, co-occurrence) decides between plain, salted, or
+    broadcast handling: per-key frequency of events.user_id, estimated
+    self-join output f², and each hot key's share of the total join
+    output, top-10. At 100 TB this is the query whose output chooses the
+    skew strategy; it is itself one aggregation + a scalar broadcast
+    (the total) + a two-phase top-k."""
+    e = _events(spark, sf)
+    freq = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = freq.select(
+        "user_id", "freq", (F.col("freq") * F.col("freq")).alias("est_pairs")
+    )
+    total = pairs.agg(F.sum("est_pairs").alias("tot"))
+    ranked = top_k_per_group(
+        pairs.crossJoin(F.broadcast(total)),
+        [],
+        order_by=[F.col("est_pairs").desc(), F.col("user_id").asc()],
+        k=10,
+    )
+    return ranked.select(
+        F.col("rk").alias("rank"),
+        "user_id",
+        "freq",
+        "est_pairs",
+        round4(F.col("est_pairs").cast("double") / F.col("tot").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+ORACLES["join_skew_audit"] = f"""
+    WITH freq AS (
+      SELECT user_id, COUNT(*) AS freq FROM events GROUP BY user_id
+    ), pairs AS (
+      SELECT user_id, freq, freq * freq AS est_pairs FROM freq
+    ), tot AS (SELECT SUM(est_pairs) AS tot FROM pairs)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY est_pairs DESC, user_id ASC) AS INTEGER)
+             AS rank,
+           user_id, freq, est_pairs,
+           {R("CAST(est_pairs AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share
+    FROM pairs CROSS JOIN tot
+    ORDER BY rank LIMIT 10
+"""
+QUERIES["join_skew_audit"] = q_join_skew_audit
+
+
+def q_compaction_plan(spark, sf):
+    """Small-file compaction PLAN — the declarative half of
+    operators/maintenance.compact_files: given a file-metadata relation
+    (synthesized here: one 'file' per supplier, size = whole-unit
+    quantity mass, exact integer math so both engines agree bit-for-bit),
+    greedily pack files in id order into groups of >= 500 units by
+    cumulative-sum bucketing (grp = floor(cum_before / target)) and
+    report each compaction group's file count and bytes. The window
+    cumsum is the whole plan — no per-file loop, so planning 10^7 files
+    is one pass; the grouping key then drives the actual rewrite."""
+    li = _t(spark, sf, "lineitem")
+    files = li.groupBy(F.col("l_suppkey").alias("file_id")).agg(
+        F.sum(F.floor("l_quantity").cast("long")).alias("size_units")
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.select(
+        "file_id",
+        "size_units",
+        F.floor(
+            F.coalesce(F.sum("size_units").over(w), F.lit(0)) / F.lit(500)
+        ).cast("long").alias("grp"),
+    )
+    return (
+        planned.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_units").alias("group_units"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+
+
+ORACLES["compaction_plan"] = """
+    WITH files AS (
+      SELECT l_suppkey AS file_id,
+             SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS size_units
+      FROM lineitem GROUP BY l_suppkey
+    ), planned AS (
+      SELECT file_id, size_units,
+             CAST(FLOOR(COALESCE(SUM(size_units) OVER (ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0)
+               AS BIGINT) AS grp
+      FROM files
+    )
+    SELECT grp, COUNT(*) AS n_files,
+           CAST(SUM(size_units) AS BIGINT) AS group_units,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM planned GROUP BY grp
+"""
+QUERIES["compaction_plan"] = q_compaction_plan
+
+
+def q_bpe_compression_by_lang(spark, sf):
+    """Tokenizer compression audit by language — the fertility readout a
+    multilingual pretraining mix is balanced on: encode every document
+    with the PINNED merge table (registry.analytics._BPE_PINNED_MERGES,
+    the bpe_encode apply pass) and report per-language corpus mass as
+    chars, BPE tokens, and chars-per-token. A tokenizer trained on one
+    language compresses it better — the per-lang ratio gap IS the UniMax
+    / temperature-mix input. Arrow-batched encode + a 5-key aggregation;
+    oracle = the same replace-chain twin as bpe_encode."""
+    from batch_processing_pipeline_spark.functions.bpe import bpe_encode
+    from batch_processing_pipeline_spark.registry.analytics import (
+        _BPE_PINNED_MERGES,
+    )
+
+    d = _t(spark, sf, "documents")
+    enc = bpe_encode(d.select("doc_id", "lang", "text"), _BPE_PINNED_MERGES)
+    per_doc = enc.select(
+        "lang",
+        F.length(F.lower(F.trim(F.col("text")))).cast("long").alias("n_chars_norm"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_norm").alias("chars"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "tokens",
+        round4(F.col("chars").cast("double") / F.col("tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+from batch_processing_pipeline_spark.registry.analytics import (  # noqa: E402
+    _bpe_replace_chain,
+)
+
+_BPE_CHAIN = _bpe_replace_chain("w")
+ORACLES["bpe_compression_by_lang"] = f"""
+    WITH enc AS (
+      SELECT lang,
+             CAST(length(lower(trim(text))) AS BIGINT) AS n_chars_norm,
+             CAST(len(flatten(list_transform(
+               COALESCE(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> length(x) > 0), []),
+               w -> string_split(trim({_BPE_CHAIN}), ' ')))) AS BIGINT) AS n_tokens
+      FROM documents
+    ), agg AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars_norm) AS BIGINT) AS chars,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM enc GROUP BY lang
+    )
+    SELECT lang, n_docs, chars, tokens,
+           {R("CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE)")} AS chars_per_token
+    FROM agg
+"""
+QUERIES["bpe_compression_by_lang"] = q_bpe_compression_by_lang

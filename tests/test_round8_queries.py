@@ -1,0 +1,93 @@
+"""Round-8 registry additions: semantic invariants beyond the DuckDB
+hash-match (which tools/check_oracle.py covers tri-scale)."""
+
+from __future__ import annotations
+
+import math
+
+from batch_processing_pipeline_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_preference_winrate_matrix_shape_and_bounds(spark):
+    rows = QUERIES["preference_winrate"](spark, SF).collect()
+    # 5 event types -> 10 unordered pairs, each once
+    pairs = {(r.type_a, r.type_b) for r in rows}
+    assert len(rows) == 10 and len(pairs) == 10
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 <= r.wins_a <= r.n_comparisons
+        assert 0.0 < r.winrate_a < 1.0  # Laplace smoothing forbids 0/1
+        # logodds consistent with the smoothed winrate
+        expect = math.log(r.winrate_a / (1.0 - r.winrate_a))
+        assert abs(r.logodds_a - expect) < 5e-4
+
+
+def test_pr_auc_eval_beats_base_rate(spark):
+    r = QUERIES["pr_auc_eval"](spark, SF).collect()[0]
+    base_rate = r.n_pos / r.n_eval
+    # scores are label-shifted, so AP must clearly beat the random
+    # baseline (= positive prevalence) and stay a valid probability
+    assert 0.0 < base_rate < 1.0
+    assert base_rate < r.average_precision <= 1.0
+
+
+def test_annotator_kappa_in_meaningful_range(spark):
+    r = QUERIES["annotator_kappa"](spark, SF).collect()[0]
+    assert 0.0 < r.po <= 1.0 and 0.0 < r.pe < 1.0
+    # the two length-driven annotators correlate positively but not
+    # perfectly: kappa strictly between chance (0) and identity (1)
+    assert 0.0 < r.kappa < 1.0
+
+
+def test_curriculum_order_is_stratified_permutation(spark):
+    rows = QUERIES["curriculum_order"](spark, SF).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    by_stratum: dict[int, int] = {}
+    for r in rows:
+        by_stratum[r.stratum] = by_stratum.get(r.stratum, 0) + 1
+    assert set(by_stratum) == {1, 2, 3, 4}
+    assert max(by_stratum.values()) - min(by_stratum.values()) <= 1
+    # round-robin: positions of stratum s are s, s+4, s+8, ...
+    for r in rows:
+        assert (r.position - r.stratum) % 4 == 0
+
+
+def test_join_skew_audit_shares(spark):
+    rows = QUERIES["join_skew_audit"](spark, SF).collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    est = [r.est_pairs for r in rows]
+    assert est == sorted(est, reverse=True)
+    for r in rows:
+        assert r.est_pairs == r.freq * r.freq
+        assert 0.0 < r.share < 1.0
+    assert sum(r.share for r in rows) < 1.0  # top-10 of a longer tail
+
+
+def test_compaction_plan_conserves_mass(spark):
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["compaction_plan"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    total = li.select(
+        F.sum(F.floor("l_quantity").cast("long")).alias("t")
+    ).collect()[0].t
+    n_files = li.select("l_suppkey").distinct().count()
+    assert sum(r.group_units for r in rows) == total
+    assert sum(r.n_files for r in rows) == n_files
+    # greedy packing in file-id order -> group file ranges never overlap
+    spans = sorted((r.first_file, r.last_file, r.grp) for r in rows)
+    for (a_lo, a_hi, _), (b_lo, b_hi, _) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+
+
+def test_bpe_compression_by_lang_ratios(spark):
+    rows = QUERIES["bpe_compression_by_lang"](spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # BPE merges only ever shrink the token count below chars, and a
+        # whitespace char never becomes a token
+        assert 0 < r.tokens <= r.chars
+        assert r.chars_per_token > 1.0
