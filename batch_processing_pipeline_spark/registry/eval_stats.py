@@ -3203,3 +3203,302 @@ ORACLES["bpe_compression_by_lang"] = f"""
     FROM agg
 """
 QUERIES["bpe_compression_by_lang"] = q_bpe_compression_by_lang
+
+
+def q_hybrid_rrf_search(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.:
+    score = sum 1/(60+rank)) — the standard way production search fuses
+    a LEXICAL ranking (BM25 over posting lists) with a SEMANTIC one
+    (embedding cosine): rank-space fusion needs no score calibration
+    between the two systems. Lexical side = the bm25_search statistic
+    (k1=1.2, b=0.75, fixed terms); semantic side = exact cosine vs the
+    query embedding (vec_id 0; doc_id = vec_id in the fixture); a doc
+    absent from one list contributes only the other term. Both rankings
+    round4 before ranking (cross-engine ulp discipline); top-20."""
+    from batch_processing_pipeline_spark.functions.vector import cosine_similarity
+
+    k1, b = 1.2, 0.75
+    terms = ["data", "query", "user", "system"]
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        toks.where(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    lex_scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    w_lex = Window.orderBy(round4(F.col("score")).desc(), F.col("doc_id").asc())
+    lex = lex_scored.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    sem_scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round4(cosine_similarity(F.col("embedding"), F.col("q_vec"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = sem_scored.select("doc_id", F.row_number().over(w_sem).alias("r_sem"))
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (
+                F.coalesce(1.0 / (60.0 + F.col("r_lex").cast("double")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (60.0 + F.col("r_sem").cast("double")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.orderBy(round4(F.col("rrf")).desc(), F.col("doc_id").asc())
+    return (
+        fused.select(
+            F.row_number().over(w_f).alias("rank"),
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            round4(F.col("rrf")).alias("rrf"),
+        )
+        .where(F.col("rank") <= 20)
+    )
+
+
+ORACLES["hybrid_rrf_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      WHERE w IN ('data', 'query', 'user', 'system')
+      GROUP BY doc_id, w
+    ), df_t AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY w
+    ), lex_scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN df_t ON df_t.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY {R("score")} DESC, doc_id ASC)
+                  AS INTEGER) AS r_lex
+      FROM lex_scored
+    ), sem_scored AS (
+      SELECT c.vec_id AS doc_id,
+             {R("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+                " CAST(c.embedding AS DOUBLE[]))")} AS cos
+      FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+      WHERE c.vec_id <> 0
+    ), sem AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS INTEGER)
+               AS r_sem
+      FROM sem_scored
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.r_lex, sem.r_sem,
+             COALESCE(1.0 / (60.0 + CAST(lex.r_lex AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(sem.r_sem AS DOUBLE)), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT rank, doc_id, r_lex, r_sem, rrf FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY {R("rrf")} DESC, doc_id ASC)
+                  AS INTEGER) AS rank,
+             doc_id, r_lex, r_sem, {R("rrf")} AS rrf
+      FROM fused
+    ) WHERE rank <= 20
+"""
+QUERIES["hybrid_rrf_search"] = q_hybrid_rrf_search
+
+
+def q_distinct_ngram_ratio(spark, sf):
+    """Corpus diversity per source (distinct-n, the Self-BLEU-adjacent
+    readout synthetic-data curation gates on): distinct unigrams/total
+    unigrams and distinct bigrams/total bigrams per source — template
+    or model-generated slop collapses the bigram ratio long before the
+    unigram one moves. Bigrams form inside each document via one LEAD
+    window over token position (no self-join); everything else is
+    aggregation."""
+    d = _t(spark, sf, "documents").where(F.length(F.trim(F.col("text"))) > 0)
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "i", "w"
+        ),
+    ).where(F.col("w") != "")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    grams = toks.select(
+        "source",
+        "w",
+        F.concat_ws(" ", F.col("w"), F.lead("w").over(w_doc)).alias("bg"),
+        F.lead("w").over(w_doc).alias("nxt"),
+    )
+    agg = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_uni"),
+        F.countDistinct("w").alias("d_uni"),
+        F.count("nxt").alias("n_bi"),
+        F.countDistinct(F.when(F.col("nxt").isNotNull(), F.col("bg"))).alias(
+            "d_bi"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_uni",
+        "d_uni",
+        "n_bi",
+        "d_bi",
+        round4(F.col("d_uni").cast("double") / F.col("n_uni").cast("double")).alias(
+            "uni_ratio"
+        ),
+        round4(F.col("d_bi").cast("double") / F.col("n_bi").cast("double")).alias(
+            "bi_ratio"
+        ),
+    )
+
+
+ORACLES["distinct_ngram_ratio"] = f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), toks AS (
+      SELECT source, doc_id, t,
+             unnest(generate_series(1, len(t))) AS i
+      FROM d
+    ), grams AS (
+      SELECT source, t[i] AS w,
+             CASE WHEN i < len(t) THEN t[i] || ' ' || t[i + 1] END AS bg
+      FROM toks WHERE t[i] <> ''
+    ), agg AS (
+      SELECT source,
+             COUNT(*) AS n_uni,
+             COUNT(DISTINCT w) AS d_uni,
+             COUNT(bg) AS n_bi,
+             COUNT(DISTINCT bg) AS d_bi
+      FROM grams GROUP BY source
+    )
+    SELECT source, n_uni, d_uni, n_bi, d_bi,
+           {R("CAST(d_uni AS DOUBLE) / CAST(n_uni AS DOUBLE)")} AS uni_ratio,
+           {R("CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE)")} AS bi_ratio
+    FROM agg
+"""
+QUERIES["distinct_ngram_ratio"] = q_distinct_ngram_ratio
+
+
+def q_snapshot_diff(spark, sf):
+    """Row-level diff between two table snapshots — the audit every
+    data-versioned lake runs after a refresh (what changed, what
+    appeared, what vanished): FULL OUTER join on the key, classify
+    added / removed / changed / unchanged, report per-class row count,
+    key range, and net value drift. Snapshots are synthesized
+    deterministically from orders (old = keys % 7 != 0; new = keys
+    % 5 != 0 with a 10% price bump on keys % 3 == 0). One join, one
+    aggregation — at 100 TB both sides bucket by the key and the join
+    is co-located."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("key"), F.col("price").alias("old_price")
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("price") * 1.1
+        ).otherwise(F.col("price")).alias("new_price"),
+    )
+    joined = old.join(new, "key", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    diff = joined.select(
+        "key",
+        status.alias("status"),
+        (F.coalesce("new_price", F.lit(0.0)) - F.coalesce("old_price", F.lit(0.0))).alias(
+            "drift"
+        ),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        round4(F.sum("drift")).alias("net_drift"),
+    )
+
+
+ORACLES["snapshot_diff"] = f"""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+    ), old AS (
+      SELECT o_orderkey AS key, price AS old_price FROM o WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 3 = 0 THEN price * 1.1 ELSE price END AS new_price
+      FROM o WHERE o_orderkey % 5 <> 0
+    ), joined AS (
+      SELECT COALESCE(old.key, new.key) AS key, old_price, new_price
+      FROM old FULL OUTER JOIN new ON old.key = new.key
+    ), diff AS (
+      SELECT key,
+             CASE WHEN old_price IS NULL THEN 'added'
+                  WHEN new_price IS NULL THEN 'removed'
+                  WHEN old_price <> new_price THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(new_price, 0.0) - COALESCE(old_price, 0.0) AS drift
+      FROM joined
+    )
+    SELECT status, COUNT(*) AS n, MIN(key) AS min_key, MAX(key) AS max_key,
+           {R("SUM(drift)")} AS net_drift
+    FROM diff GROUP BY status
+"""
+QUERIES["snapshot_diff"] = q_snapshot_diff

@@ -91,3 +91,52 @@ def test_bpe_compression_by_lang_ratios(spark):
         # whitespace char never becomes a token
         assert 0 < r.tokens <= r.chars
         assert r.chars_per_token > 1.0
+
+
+def test_hybrid_rrf_search_fuses_both_rankings(spark):
+    rows = QUERIES["hybrid_rrf_search"](spark, SF).collect()
+    assert [r.rank for r in rows] == list(range(1, 21))
+    # RRF scores: valid bounds (two lists, rank >= 1 each) and descending
+    for r in rows:
+        assert 0.0 < r.rrf <= 2.0 / 61.0 + 1e-9
+        expect = (1.0 / (60 + r.r_lex) if r.r_lex is not None else 0.0) + (
+            1.0 / (60 + r.r_sem) if r.r_sem is not None else 0.0
+        )
+        assert abs(r.rrf - expect) < 5e-4
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the fusion must actually draw from both systems: some top rows
+    # carry a lexical rank, some a semantic one
+    assert any(r.r_lex is not None for r in rows)
+    assert any(r.r_sem is not None for r in rows)
+
+
+def test_distinct_ngram_ratio_bounds(spark):
+    rows = QUERIES["distinct_ngram_ratio"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.d_uni <= r.n_uni
+        assert 0 <= r.d_bi <= max(r.n_bi, 1)
+        assert 0.0 < r.uni_ratio <= 1.0
+        # template-generated fixture: bigram diversity must collapse
+        # below unigram diversity per source... both are ratios in (0,1]
+        assert 0.0 < r.bi_ratio <= 1.0
+
+
+def test_snapshot_diff_partitions_the_keyspace(spark):
+    from pyspark.sql import functions as F
+
+    rows = {r.status: r for r in QUERIES["snapshot_diff"](spark, SF).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n_keys = o.where(
+        (F.col("o_orderkey") % 7 != 0) | (F.col("o_orderkey") % 5 != 0)
+    ).count()
+    assert sum(r.n for r in rows.values()) == n_keys
+    # added = in new only (% 5 != 0 and % 7 == 0); changed = in both and % 3 == 0
+    added = o.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+    ).count()
+    assert rows["added"].n == added
+    assert rows["removed"].net_drift < 0 and rows["changed"].net_drift > 0
+    assert rows["unchanged"].net_drift == 0.0
