@@ -300,3 +300,29 @@ def test_topk_zipf_skew_two_phase(spark, sf_dir):
         assert naive.exceptAll(top).isEmpty()
     finally:
         spark.conf.set(key, prior)
+
+
+def test_incremental_neardedup_plan_no_cartesian_no_python(spark, sf_dir):
+    """The corpus-refresh near-dup probe must stay a banded equi-join
+    engine: no CartesianProduct / BroadcastNestedLoopJoin anywhere in
+    the kept-survivors plan, and no Python evaluation (the whole path is
+    column expressions). The snapshot side must contribute no text
+    column through the probe join — only (id, sig, band) index rows."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_band_index,
+        neardedup_against_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    kept, acct = neardedup_against_index(
+        batch, minhash_band_index(snap), snapshot=snap
+    )
+    for df in (kept, acct):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
