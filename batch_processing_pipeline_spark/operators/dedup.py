@@ -181,6 +181,77 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def banded_signatures(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, sig, band_id, band_key): one row per band membership. The
+    signature rides along so an estimate prefilter can apply directly to
+    a band join's output without a second join back to the signatures."""
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
+def signature_agreement(num_perm: int, left: str, right: str) -> Column:
+    """Fraction of matching minhash slots between two signature columns —
+    the LSH Jaccard estimate. Unrolled sum of when-expressions, NOT a
+    zip_with HOF: array lambdas run interpreted and this evaluates once
+    per band collision (the widest row set in the funnel)."""
+    matches = sum(
+        (
+            F.when(F.col(left)[i] == F.col(right)[i], 1).otherwise(0)
+            for i in range(num_perm)
+        ),
+        start=F.lit(0),
+    )
+    return matches.cast("double") / F.lit(float(num_perm))
+
+
+def shingle_hash_sets(
+    docs: DataFrame,
+    only_ids: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, shingles array<bigint>) — the exact-verification relation.
+
+    Codegen bulk path: explode shingle START positions, hash each n-gram
+    once (seed 1_000_003 — an independent channel from the signature
+    family), ``collect_set`` the longs (dedups AND keeps shuffle rows
+    fixed-width). ``only_ids`` (one ``id_col`` column) semi-joins FIRST
+    so only candidate documents are ever re-shingled. Texts shorter than
+    ``shingle_n`` are excluded (their shingle set is empty — without the
+    guard ``F.sequence`` would run descending and hash wrapped
+    substrings into garbage shingles)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    scoped = docs.where(F.length(norm) >= shingle_n)
+    if only_ids is not None:
+        scoped = scoped.join(only_ids, id_col, "left_semi")
+    return (
+        scoped.select(F.col(id_col), norm.alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            F.xxhash64(
+                F.col("_t").substr(F.col("_i"), F.lit(shingle_n)), F.lit(1_000_003)
+            ).alias("_h"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("shingles"))
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -201,6 +272,9 @@ def minhash_lsh_dedup(
     sample_mod) family — callers that already paid the signature pass
     (e.g. the incremental probe in ``neardedup_against_index``) reuse it
     instead of re-shingling the corpus, which is the dominant cost.
+    OWNERSHIP: a supplied relation is read by two join branches but is
+    neither persisted nor unpersisted here — pass one that is persisted
+    or cheap to recompute; its cache stays the caller's to release.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard ≥
     threshold. Three-stage funnel, each stage strictly cheaper per pair:
@@ -251,29 +325,18 @@ def minhash_lsh_dedup(
     # the cache EAGERLY: a lazy persist lets the self-join's two branches
     # race and each computes the full signature pass before the cache is
     # populated (~2× the dominant cost).
-    sigs = (
-        sigs
-        if sigs is not None
-        else minhash_signatures(
+    owns_sigs = sigs is None
+    if owns_sigs:
+        sigs = minhash_signatures(
             docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
-        )
-    ).persist()
-    sigs.count()
+        ).persist()
+        sigs.count()
     # The signature travels WITH the band keys through the self-join
     # (num_perm·8 B extra per banded row) so the estimate prefilter applies
     # to the raw join output — BEFORE the distinct — and no join back to
-    # the signature relation is needed. Elementwise signature agreement is
-    # a SUM of when-expressions, not a zip_with HOF: array lambdas run
-    # interpreted, and this runs once per band collision (the widest row
-    # set in the funnel) — the unrolled form stays inside whole-stage
-    # codegen.
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
-            "band_id", "band_key"
-        ),
-    )
+    # the signature relation is needed (see signature_agreement for why
+    # the estimate is unrolled, not a HOF).
+    banded = banded_signatures(sigs, id_col, bands, rows_per_band)
     # Singleton-bucket pruning (opt-in; see docstring): the count runs as
     # a window over the SAME hash-partitioning the equi-join needs, so it
     # adds no extra exchange — one shuffle of the banded relation feeds
@@ -288,13 +351,6 @@ def minhash_lsh_dedup(
         )
     left = banded.alias("a")
     right = banded.alias("b")
-    est_matches = sum(
-        (
-            F.when(F.col("a.sig")[i] == F.col("b.sig")[i], 1).otherwise(0)
-            for i in range(num_perm)
-        ),
-        start=F.lit(0),
-    )
     prefiltered = (
         left.join(
             right,
@@ -305,7 +361,7 @@ def minhash_lsh_dedup(
             ],
         )
         .where(
-            est_matches.cast("double") / F.lit(float(num_perm))
+            signature_agreement(num_perm, "a.sig", "b.sig")
             >= F.lit(threshold - estimate_slack)
         )
         .select(
@@ -319,46 +375,24 @@ def minhash_lsh_dedup(
     )
     prefiltered.count()  # eager, for the same race reason as sigs
     # prefiltered is materialized; nothing downstream reads sigs — release
-    # the big cached relation now instead of leaking it into the session
-    # (the prefiltered pair cache is 16 B/pair and documented to live until
-    # the caller materializes the returned DataFrame).
-    sigs.unpersist()
+    # an owned cache now instead of leaking it into the session (the
+    # prefiltered pair cache is 16 B/pair and documented to live until
+    # the caller materializes the returned DataFrame); a caller-supplied
+    # sigs cache stays the caller's to release.
+    if owns_sigs:
+        sigs.unpersist()
     # Exact verification: shingles are recomputed ONLY for candidate ids —
-    # the semi-join happens BEFORE the shingle projection, so the full
-    # corpus text is never re-shingled for this stage. Shingles are compared
-    # as 64-bit hashes (seed independent of the signature family): Jaccard
-    # over hashed shingle sets equals Jaccard over the string sets up to a
-    # ~d²/2⁶⁴ within-pair collision chance (d = shingles/doc). The shingle
-    # sets are built by the codegen bulk path — explode start positions,
-    # hash each 5-gram once, collect_set the longs — NOT an array-transform
-    # HOF (array lambdas run interpreted and this pass touches every
-    # candidate document; the bulk form is ~5× faster). collect_set both
-    # dedups and keeps the shuffle rows fixed-width (id, 8 B hash).
+    # shingle_hash_sets semi-joins BEFORE the shingle projection, so the
+    # full corpus text is never re-shingled for this stage. Shingles are
+    # compared as 64-bit hashes: Jaccard over hashed shingle sets equals
+    # Jaccard over the string sets up to a ~d²/2⁶⁴ within-pair collision
+    # chance (d = shingles/doc).
     cand_ids = (
         prefiltered.select(F.col("id_a").alias(id_col))
         .unionByName(prefiltered.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    norm = F.lower(F.trim(F.col(text_col)))
-    sh = (
-        docs.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), norm.alias("_t"))
-        .select(
-            F.col(id_col),
-            "_t",
-            F.explode(
-                F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
-            ).alias("_i"),
-        )
-        .select(
-            F.col(id_col),
-            F.xxhash64(
-                F.col("_t").substr(F.col("_i"), F.lit(shingle_n)), F.lit(1_000_003)
-            ).alias("_h"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("shingles"))
-    )
+    sh = shingle_hash_sets(docs, cand_ids, id_col, text_col, shingle_n)
     verified = (
         prefiltered.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"),
@@ -648,13 +682,7 @@ def minhash_band_index(
         num_perm,
         sample_mod=sample_mod,
     )
-    return sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
-            "band_id", "band_key"
-        ),
-    )
+    return banded_signatures(sigs, id_col, bands, rows_per_band)
 
 
 def neardedup_against_index(
@@ -694,36 +722,28 @@ def neardedup_against_index(
     * the within-batch pass is ``minhash_lsh_dedup`` + greedy keep-min-id
       (a batch doc drops if it is the larger id of any verified pair —
       deterministic; chains collapse toward the smallest id, the same
-      survivor rule as the exact path).
+      survivor rule as the exact path);
+    * batch docs shorter than ``shingle_n`` cannot near-dup anything
+      (empty shingle set) — they PASS THROUGH to ``kept`` rather than
+      silently vanishing, matching the exact twin's keep-everything
+      contract.
 
     Returns ``(kept, accounting)``: kept = (id) batch survivors;
     accounting = new_batch / after_snapshot_neardedup / after_within_batch.
     """
     rows_per_band = num_perm // bands
-    batch_docs = batch.select(F.col(id_col), F.col(text_col)).where(
-        F.length(F.lower(F.trim(F.col(text_col)))) >= shingle_n
-    )
+    base = batch.select(F.col(id_col), F.col(text_col))
+    norm_len = F.length(F.lower(F.trim(F.col(text_col))))
+    eligible = base.where(norm_len >= shingle_n)
+    short = base.where(norm_len < shingle_n).select(id_col)
     default_par = batch.sparkSession.sparkContext.defaultParallelism
-    if batch_docs.rdd.getNumPartitions() < default_par:
-        batch_docs = batch_docs.repartition(default_par)
+    if eligible.rdd.getNumPartitions() < default_par:
+        eligible = eligible.repartition(default_par)
     bsigs = minhash_signatures(
-        batch_docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
+        eligible, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
     ).persist()
     bsigs.count()
-    bband = bsigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias(
-            "band_id", "band_key"
-        ),
-    )
-    est_matches = sum(
-        (
-            F.when(F.col("b.sig")[i] == F.col("s.sig")[i], 1).otherwise(0)
-            for i in range(num_perm)
-        ),
-        start=F.lit(0),
-    )
+    bband = banded_signatures(bsigs, id_col, bands, rows_per_band)
     cand = (
         bband.alias("b")
         .join(
@@ -736,7 +756,7 @@ def neardedup_against_index(
         .select(
             F.col(f"b.{id_col}").alias("batch_id"),
             F.col(f"s.{id_col}").alias("snap_id"),
-            (est_matches.cast("double") / F.lit(float(num_perm))).alias("est"),
+            signature_agreement(num_perm, "b.sig", "s.sig").alias("est"),
         )
         # a pair colliding in several bands appears once per band — keep
         # the max estimate (they are identical anyway: est depends only on
@@ -746,44 +766,33 @@ def neardedup_against_index(
         .where(F.col("est") >= F.lit(threshold - estimate_slack))
     )
     if snapshot is not None:
-        # exact verification over candidate ids only; shingle-hash sets
-        # via the codegen bulk path (same family as minhash_lsh_dedup's
-        # verify stage: explode positions, hash once, collect_set)
-        def _shingle_sets(docs: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
-            norm = F.lower(F.trim(F.col(text_col)))
-            return (
-                docs.join(ids.withColumnRenamed("_cid", id_col), id_col, "left_semi")
-                .select(F.col(id_col).alias(out_id), norm.alias("_t"))
-                .select(
-                    out_id,
-                    "_t",
-                    F.explode(
-                        F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
-                    ).alias("_i"),
-                )
-                .select(
-                    out_id,
-                    F.xxhash64(
-                        F.col("_t").substr(F.col("_i"), F.lit(shingle_n)),
-                        F.lit(1_000_003),
-                    ).alias("_h"),
-                )
-                .groupBy(out_id)
-                .agg(F.collect_set("_h").alias(f"sh_{out_id}"))
-            )
-
-        b_sh = _shingle_sets(
-            batch_docs, cand.select(F.col("batch_id").alias("_cid")), "batch_id"
+        # the candidate relation feeds three branches below (two semi-join
+        # id sets + the verify join) — persist so the index probe runs
+        # once, not per branch; tiny rows (two ids + a double)
+        cand = cand.persist()
+        cand.count()
+        b_sh = shingle_hash_sets(
+            eligible,
+            cand.select(F.col("batch_id").alias(id_col)),
+            id_col,
+            text_col,
+            shingle_n,
+        ).withColumnRenamed(id_col, "batch_id").withColumnRenamed(
+            "shingles", "sh_batch"
         )
-        s_sh = _shingle_sets(
+        s_sh = shingle_hash_sets(
             snapshot.select(F.col(id_col), F.col(text_col)),
-            cand.select(F.col("snap_id").alias("_cid")),
-            "snap_id",
+            cand.select(F.col("snap_id").alias(id_col)),
+            id_col,
+            text_col,
+            shingle_n,
+        ).withColumnRenamed(id_col, "snap_id").withColumnRenamed(
+            "shingles", "sh_snap"
         )
         dup_vs_snap = (
             cand.join(b_sh, "batch_id")
             .join(s_sh, "snap_id")
-            .where(jaccard(F.col("sh_batch_id"), F.col("sh_snap_id")) >= threshold)
+            .where(jaccard(F.col("sh_batch"), F.col("sh_snap")) >= threshold)
             .select("batch_id")
             .distinct()
         )
@@ -795,14 +804,24 @@ def neardedup_against_index(
             .select("batch_id")
             .distinct()
         )
-    survivors = batch_docs.join(
+    # localCheckpoint, not persist: survivors backs BOTH returned frames,
+    # so there is no safe place to unpersist before the caller
+    # materializes them — the checkpoint is released by the
+    # ContextCleaner when the frames are dropped (the pq_topk precedent)
+    survivors = eligible.join(
         dup_vs_snap.withColumnRenamed("batch_id", id_col), id_col, "left_anti"
-    ).persist()
-    survivors.count()
+    ).localCheckpoint(eager=True)
+    if snapshot is not None:
+        cand.unpersist()
     # within-batch pass REUSES the probe's signatures (semi-joined down to
     # survivors) — the signature pass is the dominant cost and the batch
-    # was already paid for once
-    survivor_sigs = bsigs.join(survivors.select(id_col), id_col, "left_semi")
+    # was already paid for once. Persisted here (the lsh pass reads it
+    # from two join branches; ownership stays with this function) and
+    # released right after the call, which materializes its own
+    # prefiltered relation eagerly.
+    survivor_sigs = bsigs.join(
+        survivors.select(id_col), id_col, "left_semi"
+    ).persist()
     within_pairs = minhash_lsh_dedup(
         survivors,
         id_col=id_col,
@@ -815,13 +834,18 @@ def neardedup_against_index(
         sample_mod=sample_mod,
         sigs=survivor_sigs,
     )
+    survivor_sigs.unpersist()
     bsigs.unpersist()
     drop_within = within_pairs.select(F.col("id_b").alias(id_col)).distinct()
-    kept = survivors.join(drop_within, id_col, "left_anti").select(id_col)
+    kept = (
+        survivors.join(drop_within, id_col, "left_anti")
+        .select(id_col)
+        .unionByName(short)
+    )
     acct = _funnel(
         [
-            (0, "new_batch", batch_docs),
-            (1, "after_snapshot_neardedup", survivors),
+            (0, "new_batch", base),
+            (1, "after_snapshot_neardedup", survivors.select(id_col).unionByName(short)),
             (2, "after_within_batch", kept),
         ]
     )

@@ -254,6 +254,9 @@ NEAR_BATCH = [
     (9, "spark structured streaming maintains incremental state across micro batches with checkpointed offset"),
     # genuinely new -> kept
     (12, "a totally fresh document with vocabulary overlapping neither the snapshot nor its batch siblings"),
+    # shorter than shingle_n=5 after normalize: cannot near-dup anything,
+    # must PASS THROUGH to kept (not silently vanish)
+    (15, "hi"),
 ]
 
 
@@ -282,12 +285,12 @@ def test_neardedup_against_index_planted(spark):
 
     index = minhash_band_index(snap)
     kept, acct = neardedup_against_index(batch, index, snapshot=snap)
-    assert sorted(r.doc_id for r in kept.collect()) == [6, 12]
+    assert sorted(r.doc_id for r in kept.collect()) == [6, 12, 15]
     got = {r.stage: r.n_docs for r in acct.collect()}
     assert got == {
-        "new_batch": 4,
-        "after_snapshot_neardedup": 3,
-        "after_within_batch": 2,
+        "new_batch": 5,
+        "after_snapshot_neardedup": 4,
+        "after_within_batch": 3,
     }
 
 
