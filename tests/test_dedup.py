@@ -314,3 +314,99 @@ def test_neardedup_against_index_index_only_mode(spark):
     # doc 3 must drop (near-dup of snapshot); doc 12 must survive.
     ids = sorted(r.doc_id for r in kept.collect())
     assert 3 not in ids and 12 in ids
+
+
+def test_shingle_hash_sets_jaccard_matches_string_shingles(spark):
+    """Hashed-shingle-set Jaccard must equal string-shingle-set Jaccard
+    (the verify-stage contract: hashing is a fixed-width transport, not
+    an approximation — collisions are ~d^2/2^64). Checked over planted
+    pairs spanning near-dup, partial-overlap, and disjoint regimes,
+    including a doc that triggers the short-text guard."""
+    from pyspark.sql import functions as SF
+
+    from batch_processing_pipeline_spark.operators.dedup import (
+        jaccard,
+        shingle_hash_sets,
+    )
+
+    docs = spark.createDataFrame(
+        NEAR_SNAP + NEAR_BATCH, "doc_id long, text string"
+    )
+    n = 5
+    sh = shingle_hash_sets(docs, None, "doc_id", "text", n)
+    # short doc (id 15, "hi") must be excluded by the length guard
+    assert sorted(r.doc_id for r in sh.collect()) == [1, 2, 3, 6, 9, 12]
+    hashed = {
+        (a, b): v
+        for a, b, v in (
+            sh.alias("a")
+            .join(sh.alias("b"), SF.col("a.doc_id") < SF.col("b.doc_id"))
+            .select(
+                SF.col("a.doc_id"),
+                SF.col("b.doc_id"),
+                jaccard(SF.col("a.shingles"), SF.col("b.shingles")),
+            )
+            .collect()
+        )
+    }
+    texts = {r.doc_id: r.text.lower().strip() for r in docs.collect()}
+    for (a, b), got in hashed.items():
+        sa = {texts[a][i : i + n] for i in range(len(texts[a]) - n + 1)}
+        sb = {texts[b][i : i + n] for i in range(len(texts[b]) - n + 1)}
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(got - want) < 1e-12, (a, b, got, want)
+
+
+def test_signature_agreement_bounds_and_identity(spark):
+    """signature_agreement is 1.0 for identical signatures, in [0, 1]
+    always, and symmetric — over real fixture signatures."""
+    from pyspark.sql import functions as SF
+
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        signature_agreement,
+    )
+
+    docs = spark.createDataFrame(
+        NEAR_SNAP + NEAR_BATCH[:3], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", 5, 32, sample_mod=2)
+    pairs = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), SF.lit(True))
+        .select(
+            SF.col("a.doc_id").alias("ia"),
+            SF.col("b.doc_id").alias("ib"),
+            signature_agreement(32, "a.sig", "b.sig").alias("est"),
+        )
+        .collect()
+    )
+    got = {(r.ia, r.ib): r.est for r in pairs}
+    for (ia, ib), est in got.items():
+        assert 0.0 <= est <= 1.0
+        assert est == got[(ib, ia)]  # symmetric
+        if ia == ib:
+            assert est == 1.0
+
+
+def test_banded_signatures_shape_and_collision(spark):
+    """bands x rows_per_band banding: every doc emits exactly `bands`
+    rows, and two docs with IDENTICAL text collide in every band."""
+    from batch_processing_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "identical banding text for collision"), (2, "identical banding text for collision"),
+         (3, "a completely different corpus entry here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", 5, 32, sample_mod=1)
+    banded = banded_signatures(sigs, "doc_id", 8, 4).collect()
+    per_doc: dict[int, dict[int, int]] = {}
+    for r in banded:
+        per_doc.setdefault(r.doc_id, {})[r.band_id] = r.band_key
+    assert all(len(v) == 8 for v in per_doc.values())
+    assert per_doc[1] == per_doc[2]          # exact dup: all bands collide
+    assert per_doc[1] != per_doc[3]          # distinct text: some band differs
