@@ -113,3 +113,134 @@ def run_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _merge_batch_near(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> None:
+    """Near-dup one micro-batch against the durable band index + corpus.
+
+    Same idempotency discipline as ``_merge_batch``: both writes are
+    overwrites of batch-id-keyed partitions, and the probe reads only
+    ``batch < epoch_id`` partitions of the index AND the corpus, so a
+    replayed batch neither double-appends nor near-dedups against its own
+    failed attempt's output. Exact verification reads the accumulated
+    survivor corpus — but only for candidate ids (semi-join inside
+    ``neardedup_against_index``), so per-batch corpus I/O is bounded by
+    the candidate set, not history size. The kept docs' band rows are
+    appended to the index (one signature pass over kept docs — the
+    index-maintenance cost every LSH-indexed corpus pays on ingest).
+    """
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_band_index,
+        neardedup_against_index,
+    )
+
+    spark = batch.sparkSession
+    docs = batch.select(F.col(id_col), F.col(text_col))
+    history = os.path.exists(index_path)
+    if history:
+        index = spark.read.parquet(index_path).where(
+            F.col("batch") < F.lit(int(epoch_id))
+        )
+        corpus = (
+            spark.read.parquet(out_path)
+            .where(F.col("batch") < F.lit(int(epoch_id)))
+            .select(F.col(id_col), F.col(text_col))
+        )
+        kept_ids, _acct = neardedup_against_index(
+            docs,
+            index,
+            snapshot=corpus,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+    else:
+        # bootstrap: no history — within-batch pass only, via an empty
+        # index (schema: id, sig, band_id, band_key)
+        empty = spark.createDataFrame(
+            [],
+            f"{id_col} long, sig array<bigint>, band_id int, band_key bigint",
+        )
+        kept_ids, _acct = neardedup_against_index(
+            docs,
+            empty,
+            snapshot=None,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+    kept_docs = docs.join(kept_ids.select(id_col), id_col, "left_semi").persist()
+    try:
+        kept_docs.write.mode("overwrite").parquet(
+            f"{out_path}/batch={int(epoch_id)}"
+        )
+        minhash_band_index(
+            kept_docs,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_perm=num_perm,
+            bands=bands,
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={int(epoch_id)}")
+    finally:
+        kept_docs.unpersist()
+
+
+def run_neardedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    available_now: bool = True,
+):
+    """Cross-history streaming NEAR-dedup: the durable state is the LSH
+    band index (operators/dedup.py ``minhash_band_index`` rows, batch-id
+    partitioned), the streaming twin of the ``neardedup_against_index``
+    corpus-refresh operator. Exact dedup's durable state is 16 B/doc of
+    digests; near-dedup's is ~(num_perm+2)·8 B/doc/band of index rows —
+    still O(history docs), never history text, and the probe touches
+    text only for verified candidates."""
+    writer = (
+        docs.writeStream.foreachBatch(
+            lambda b, epoch: _merge_batch_near(
+                b,
+                epoch,
+                index_path,
+                out_path,
+                id_col,
+                text_col,
+                shingle_n,
+                num_perm,
+                bands,
+                threshold,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

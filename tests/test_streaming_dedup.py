@@ -108,3 +108,57 @@ def test_dedup_within_watermark_drops_stream_dups(spark, tmp_path):
     rows = spark.sql("SELECT doc_id FROM wm_dedup").collect()
     kept = {r.doc_id for r in rows}
     assert len(kept) == 2 and 3 in kept and len(kept & {1, 2}) == 1
+
+
+def test_cross_batch_neardedup_band_index_survives_restart(spark, tmp_path):
+    """Streaming NEAR-dedup: the durable state is the LSH band index.
+    A later batch's doc that is a near-dup (one-word edit, not exact)
+    of an earlier batch's survivor must drop; within-batch near-dups
+    collapse to min id; the index accumulates across a restart."""
+    from batch_processing_pipeline_spark.streaming.dedup import run_neardedup_stream
+
+    src = str(tmp_path / "in")
+    index = str(tmp_path / "band_index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(
+        f"{src}/b1.json",
+        [
+            (1, "2024-01-01 00:00:00",
+             "the quick brown fox jumps over the lazy dog and runs far away into the dark woods tonight"),
+            (2, "2024-01-01 00:01:00",
+             "completely unrelated snapshot prose about distributed query engines and columnar parquet files"),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = run_neardedup_stream(stream, index, out, ckpt)
+    q.awaitTermination(120 * 1000)
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    _write_docs(
+        f"{src}/b2.json",
+        [
+            # near-dup of history doc 1 (cat for dog) -> dropped via index probe
+            (3, "2024-01-01 01:00:00",
+             "the quick brown fox jumps over the lazy cat and runs far away into the dark woods tonight"),
+            # within-batch near-dups -> 4 kept, 5 dropped
+            (4, "2024-01-01 01:01:00",
+             "spark structured streaming maintains incremental state across micro batches with checkpointed offsets"),
+            (5, "2024-01-01 01:02:00",
+             "spark structured streaming maintains incremental state across micro batches with checkpointed offset"),
+            # genuinely new -> kept
+            (6, "2024-01-01 01:03:00",
+             "a totally fresh document with vocabulary overlapping neither history nor its batch siblings"),
+        ],
+    )
+    stream2 = spark.readStream.schema(SCHEMA).json(src)
+    q2 = run_neardedup_stream(stream2, index, out, ckpt)
+    q2.awaitTermination(120 * 1000)
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert final == {1, 2, 4, 6}
+    # the index holds band rows ONLY for survivors, batch-partitioned
+    idx = spark.read.parquet(index)
+    assert set(idx.columns) >= {"doc_id", "sig", "band_id", "band_key", "batch"}
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 4, 6}
