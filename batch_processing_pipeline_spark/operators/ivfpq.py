@@ -144,6 +144,8 @@ def ivfpq_topk(
     refine: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+    prune_scan: bool = False,
 ) -> DataFrame:
     """IVFADC top-k: per-(query, probed-cell) residual ADC tables joined
     against the cell-pruned code relation, optional exact re-rank.
@@ -151,6 +153,15 @@ def ivfpq_topk(
     Output: (query_id, vec_id, rank [, cosine]); deterministic tie-break
     on (distance, vec_id). L2-over-unit-vectors is monotone in cosine, so
     ranks are comparable with the other ANN paths' cosine ground truth.
+
+    ``encoded``: a prebuilt (id, cell, pq_code) inverted file (e.g. from
+    ``load_ivfpq_index``) — skips the per-call encode pass, the
+    production shape (the index is built once per corpus version, not
+    per query batch). ``prune_scan=True`` additionally filters the code
+    relation to the union of all probed cells BEFORE the join: the set
+    is bounded by k_coarse (one tiny collect), and on a cell-partitioned
+    stored index the filter becomes parquet PARTITION PRUNING — unprobed
+    cell directories are never read at all.
     """
     spark = queries.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
@@ -217,13 +228,20 @@ def ivfpq_topk(
 
     # ---- corpus side: the inverted file, materialized once (same
     # barrier rationale as pq_topk: without it the encode expression is
-    # re-evaluated per generated row).
-    encoded = ivfpq_encode(
-        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=True)
+    # re-evaluated per generated row). A caller-supplied index (already
+    # on disk / materialized) is used as-is.
+    if encoded is None:
+        encoded = ivfpq_encode(
+            corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
     codes = encoded.select(
         F.col(id_col).alias("vec_id"), "cell", F.posexplode("pq_code").alias("j", "code")
     )
+    if prune_scan:
+        probed = [
+            r.cell for r in dtab.select("cell").distinct().collect()
+        ]  # bounded by k_coarse
+        codes = codes.where(F.col("cell").isin(probed))
 
     # cell pruning IS the join: rows in unprobed cells meet no dtab row.
     # Self-matches drop (the cosine_topk / ivf_topk convention).
@@ -258,3 +276,38 @@ def ivfpq_topk(
         order_by=[F.col("cosine").desc(), F.col("vec_id").asc()],
         k=k,
     ).select("query_id", "vec_id", F.col("rk").alias("rank"), "cosine")
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFADC index: codes as parquet PARTITIONED BY cell
+    (so a probe's cell filter becomes directory-level partition pruning
+    — unprobed inverted lists are never read), plus the tiny model
+    (centroids + codebooks) as JSON next to it. The compressed index IS
+    a table: m bytes/vector + the partition column."""
+    import json
+    import os
+
+    encoded = ivfpq_encode(corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col)
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
+
+
+def load_ivfpq_index(spark, path: str):
+    """(centroids, codebooks, encoded_df) from ``save_ivfpq_index``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        model = json.load(f)
+    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    return model["centroids"], model["codebooks"], encoded

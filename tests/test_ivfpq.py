@@ -113,3 +113,39 @@ def test_ivfpq_cell_pruning_in_plan(spark, ivfpq_model):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_index_roundtrip_and_partition_pruning(spark, ivfpq_model, tmp_path):
+    """save/load the inverted file and search FROM the stored index:
+    results must be identical to the in-memory path, and with
+    prune_scan=True the probed-cell filter must reach the parquet scan
+    as a PARTITION filter (unprobed inverted lists never read)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        ivfpq_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq_index")
+    save_ivfpq_index(emb, path, cents, books)
+    l_cents, l_books, encoded = load_ivfpq_index(spark, path)
+    assert l_cents == cents and l_books == books
+
+    direct = ivfpq_topk(queries, emb, cents, books, k=10, nprobe=2, refine=50)
+    from_index = ivfpq_topk(
+        queries, emb, cents, books, k=10, nprobe=2, refine=50,
+        encoded=encoded, prune_scan=True,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, from_index.collect())
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
