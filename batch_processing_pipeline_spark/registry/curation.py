@@ -11,6 +11,7 @@ from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     ORACLES,
     QUERIES,
     _t,
+    round4,
     sql_round4,
 )
 
@@ -297,3 +298,116 @@ ORACLES["profile"] = """
 QUERIES["profile"] = q_profile
 
 
+
+
+def q_split_leakage(spark, sf):
+    """Train/test split LEAKAGE audit — the check every eval pipeline
+    must run when splits hash on the document ID: near-duplicate content
+    landing on both sides of a split boundary leaks eval answers into
+    training. The content key is the md5 of the first 8 whitespace
+    tokens — the boilerplate/template prefix key, which is how template
+    families actually leak (the fixture, like real web text, has no
+    byte-exact dups but plenty of shared-prefix families). One row per
+    split pair with the number of leaking keys and the document mass on
+    each side; a content-keyed split (or dedup-before-split) drives this
+    to zero, which is exactly what this readout argues for. Digest-only
+    shuffles (16 B/doc), one self-join on the key of the distinct
+    (key, split) relation."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8)
+        )
+    )
+    s = assign_split(d, _SPLIT_WEIGHTS, key_col="doc_id", seed="sp").select(
+        fp.alias("fp"), "split"
+    )
+    per = s.groupBy("fp", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.split") < F.col("b.split")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("a.n_docs").alias("docs_a"),
+            F.sum("b.n_docs").alias("docs_b"),
+        )
+    )
+
+
+def q_dedup_cluster_stats(spark, sf):
+    """Duplicate-cluster SIZE distribution — the shape report a dedup
+    run is judged by (how much mass sits in how-big clusters): content
+    keys (md5 of the first 8 normalized tokens — the boilerplate/
+    template prefix key; see split_leakage for why) bucketed by cluster
+    size, with cluster count, document mass, and corpus share per size.
+    Two aggregations over digests."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8)
+        )
+    )
+    sizes = (
+        d.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    total = d.count()
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            round4(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.lit(float(total))
+            ).alias("corpus_share"),
+        )
+    )
+
+
+ORACLES.update(
+    {
+        "split_leakage": f"""
+            WITH s AS (
+              SELECT md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[1:8], ' ')) AS fp, {_split_case_sql()} AS split
+              FROM documents
+            ), per AS (
+              SELECT fp, split, COUNT(*) AS n_docs FROM s GROUP BY fp, split
+            )
+            SELECT a.split AS split_a, b.split AS split_b,
+                   COUNT(*) AS n_fingerprints,
+                   CAST(SUM(a.n_docs) AS BIGINT) AS docs_a,
+                   CAST(SUM(b.n_docs) AS BIGINT) AS docs_b
+            FROM per a JOIN per b ON a.fp = b.fp AND a.split < b.split
+            GROUP BY a.split, b.split
+        """,
+        "dedup_cluster_stats": f"""
+            WITH sizes AS (
+              SELECT md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[1:8], ' ')) AS fp, COUNT(*) AS cluster_size
+              FROM documents GROUP BY fp
+            ), tot AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT cluster_size,
+                   COUNT(*) AS n_clusters,
+                   cluster_size * COUNT(*) AS n_docs,
+                   {sql_round4("CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE)")}
+                     AS corpus_share
+            FROM sizes CROSS JOIN tot
+            GROUP BY cluster_size, tot.n
+        """,
+    }
+)
+QUERIES.update(
+    {
+        "split_leakage": q_split_leakage,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+    }
+)

@@ -140,3 +140,27 @@ def test_snapshot_diff_partitions_the_keyspace(spark):
     assert rows["added"].n == added
     assert rows["removed"].net_drift < 0 and rows["changed"].net_drift > 0
     assert rows["unchanged"].net_drift == 0.0
+
+
+def test_split_leakage_detects_template_families(spark):
+    rows = QUERIES["split_leakage"](spark, SF).collect()
+    assert rows  # the template fixture MUST show cross-split leakage
+    for r in rows:
+        assert r.split_a < r.split_b
+        assert {r.split_a, r.split_b} <= {"test", "train", "val"}
+        # every leaking key contributes >= 1 doc to each side
+        assert r.docs_a >= r.n_fingerprints
+        assert r.docs_b >= r.n_fingerprints
+
+
+def test_dedup_cluster_stats_conserves_corpus(spark):
+    rows = QUERIES["dedup_cluster_stats"](spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    total = d.count()
+    assert sum(r.n_docs for r in rows) == total
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 5e-3
+    by_size = {r.cluster_size: r for r in rows}
+    assert 1 in by_size  # singletons exist
+    assert any(s > 1 for s in by_size)  # and so do real clusters
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
