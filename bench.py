@@ -100,6 +100,10 @@ HEADLINE = [
     "spell_correct",
     "mm_image_phash",
     "rolling_dau",
+    # round-8 additions: rank-space retrieval fusion (BM25 + cosine) and
+    # the per-source distinct-n diversity readout
+    "hybrid_rrf_search",
+    "distinct_ngram_ratio",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
