@@ -2306,3 +2306,114 @@ ORACLES["auc_eval"] = f"""
 QUERIES["auc_eval"] = q_auc_eval
 
 
+
+
+def q_label_propagation(spark, sf):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) on the co-purchase part graph — the missing graph family
+    beside connectivity (dedup_clusters), centrality (pagerank), density
+    (k_core), and counting (triangle_count). Exactly 5 synchronized
+    rounds: every node simultaneously adopts its neighbors' most frequent
+    label, ties to the SMALLEST label — a fixed round count makes the
+    result deterministic without a convergence predicate (synchronous
+    LPA can oscillate, so 'run to convergence' is not well-defined;
+    fixed-horizon LPA is the standard spark/graphframes semantics).
+    Output: per final label, community size and min/max member — the
+    community-structure readout. The graph keeps only small orders
+    (<=3 distinct parts) so real community structure survives — the
+    full co-purchase graph is so dense that LPA degenerately collapses
+    it to one label. Each round is one explode-both-ways join + a
+    windowed argmax; the oracle unrolls the same 5 rounds as
+    MATERIALIZED CTEs."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "_osz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .where(F.col("_osz") <= 3)
+        .drop("_osz")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    both = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        both.select(F.col("u").alias("n")).distinct().select("n", F.col("n").alias("label"))
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(5):
+        neigh = both.join(
+            labels.withColumnRenamed("n", "v"), "v"
+        ).select(F.col("u").alias("n"), "label")
+        counted = neigh.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counted.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("n", "label")
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("community_size"),
+            F.min("n").alias("min_member"),
+            F.max("n").alias("max_member"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "community_size",
+            F.col("min_member").cast("long").alias("min_member"),
+            F.col("max_member").cast("long").alias("max_member"),
+        )
+    )
+
+
+def _label_propagation_oracle(rounds: int = 5) -> str:
+    parts = [
+        # DuckDB evaluates QUALIFY's window BEFORE DISTINCT, so the
+        # distinct-parts-per-order count needs an explicit inner subquery
+        "li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM"
+        " (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+        " QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 3)",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey)",
+        "bidir AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS label FROM bidir)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n, label FROM ("
+            f" SELECT b.u AS n, l.label, COUNT(*) AS c,"
+            f" ROW_NUMBER() OVER (PARTITION BY b.u"
+            f" ORDER BY COUNT(*) DESC, l.label ASC) AS rk"
+            f" FROM bidir b JOIN l{i-1} l ON l.n = b.v"
+            f" GROUP BY b.u, l.label) WHERE rk = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS community_size,
+           CAST(MIN(n) AS BIGINT) AS min_member,
+           CAST(MAX(n) AS BIGINT) AS max_member
+    FROM l{rounds} GROUP BY label"""
+    )
+
+
+ORACLES["label_propagation"] = _label_propagation_oracle()
+QUERIES["label_propagation"] = q_label_propagation
