@@ -238,8 +238,11 @@ def ivfpq_topk(
         F.col(id_col).alias("vec_id"), "cell", F.posexplode("pq_code").alias("j", "code")
     )
     if prune_scan:
+        # qprobe (nprobe*m rows/query) has the same distinct cell set as
+        # dtab (its ksub-times-larger join with the codebooks) — collect
+        # from the small side so the probes UDF doesn't run an extra pass
         probed = [
-            r.cell for r in dtab.select("cell").distinct().collect()
+            r.cell for r in qprobe.select("cell").distinct().collect()
         ]  # bounded by k_coarse
         codes = codes.where(F.col("cell").isin(probed))
 

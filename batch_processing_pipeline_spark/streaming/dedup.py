@@ -147,8 +147,7 @@ def _merge_batch_near(
 
     spark = batch.sparkSession
     docs = batch.select(F.col(id_col), F.col(text_col))
-    history = os.path.exists(index_path)
-    if history:
+    if os.path.exists(index_path):
         index = spark.read.parquet(index_path).where(
             F.col("batch") < F.lit(int(epoch_id))
         )
@@ -157,36 +156,30 @@ def _merge_batch_near(
             .where(F.col("batch") < F.lit(int(epoch_id)))
             .select(F.col(id_col), F.col(text_col))
         )
-        kept_ids, _acct = neardedup_against_index(
-            docs,
-            index,
-            snapshot=corpus,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_n=shingle_n,
-            num_perm=num_perm,
-            bands=bands,
-            threshold=threshold,
-        )
     else:
         # bootstrap: no history — within-batch pass only, via an empty
         # index (schema: id, sig, band_id, band_key)
-        empty = spark.createDataFrame(
+        index = spark.createDataFrame(
             [],
             f"{id_col} long, sig array<bigint>, band_id int, band_key bigint",
         )
-        kept_ids, _acct = neardedup_against_index(
-            docs,
-            empty,
-            snapshot=None,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_n=shingle_n,
-            num_perm=num_perm,
-            bands=bands,
-            threshold=threshold,
-        )
-    kept_docs = docs.join(kept_ids.select(id_col), id_col, "left_semi").persist()
+        corpus = None
+    kept_ids, _acct = neardedup_against_index(
+        docs,
+        index,
+        snapshot=corpus,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+    )
+    # survivors keep the batch's FULL schema (like _merge_batch, which
+    # only drops its own fingerprint column) — the probe relation above
+    # is id+text because that's all the index needs, but downstream
+    # consumers of out_path get every input column back
+    kept_docs = batch.join(kept_ids.select(id_col), id_col, "left_semi").persist()
     try:
         kept_docs.write.mode("overwrite").parquet(
             f"{out_path}/batch={int(epoch_id)}"

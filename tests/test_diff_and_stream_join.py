@@ -74,7 +74,7 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120_000)
+    assert q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM ssjoin").collect()
     # view id=0 at 00:00 matches click id=0 at 00:10 (within 30 min);
     # view id=1 at 02:00 has no click

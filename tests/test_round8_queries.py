@@ -164,3 +164,40 @@ def test_dedup_cluster_stats_conserves_corpus(spark):
     assert any(s > 1 for s in by_size)  # and so do real clusters
     for r in rows:
         assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_label_propagation_partitions_the_graph(spark):
+    rows = QUERIES["label_propagation"](spark, SF).collect()
+    assert len(rows) >= 2  # the <=3-parts-per-order graph must not collapse
+    # communities partition the node set: sizes are positive, labels
+    # unique, and the total node count matches the graph the query built
+    assert len({r.label for r in rows}) == len(rows)
+    for r in rows:
+        assert r.community_size >= 1
+        assert r.min_member <= r.max_member
+        # a label is always some node id that existed in the graph
+        # (labels only ever propagate, never get invented)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn("_osz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")))
+        .where(F.col("_osz") <= 3)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    nodes = {
+        r.n
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("n"))
+        .distinct()
+        .collect()
+    }
+    assert sum(r.community_size for r in rows) == len(nodes)
+    assert all(r.label in nodes for r in rows)

@@ -51,7 +51,7 @@ def test_running_key_stats_accumulates_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120_000)
+        assert q.awaitTermination(180)
 
     run_once()
     got = {r.key: (r.n, r.total, r.peak) for r in spark.read.parquet(out).collect()}
@@ -106,7 +106,7 @@ def test_running_key_stats_tws_matches_legacy_api(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120_000)
+        assert q.awaitTermination(180)
 
     try:
         run_once()

@@ -45,7 +45,7 @@ def _write_json(path, rows):
 
 
 def _await(query, timeout=60):
-    query.awaitTermination(timeout * 1000)
+    assert query.awaitTermination(timeout)
 
 
 def test_tumbling_stream_matches_batch(spark, tmp_path):

@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from batch_processing_pipeline_spark.streaming.dedup import (
     dedup_within_watermark,
     run_dedup_stream,
@@ -37,7 +39,7 @@ def test_cross_batch_dedup_survives_restart(spark, tmp_path):
     )
     stream = spark.readStream.schema(SCHEMA).json(src)
     q = run_dedup_stream(stream, store, out, ckpt)
-    q.awaitTermination(60 * 1000)
+    assert q.awaitTermination(120)
 
     first = {r.doc_id for r in spark.read.parquet(out).collect()}
     # doc 3 normalizes ("alpha doc") to doc 1's fingerprint → dropped
@@ -53,7 +55,7 @@ def test_cross_batch_dedup_survives_restart(spark, tmp_path):
     )
     stream2 = spark.readStream.schema(SCHEMA).json(src)
     q2 = run_dedup_stream(stream2, store, out, ckpt)
-    q2.awaitTermination(60 * 1000)
+    assert q2.awaitTermination(120)
 
     final = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert final == {1, 2, 5}  # 4 deduped against the durable store
@@ -104,7 +106,7 @@ def test_dedup_within_watermark_drops_stream_dups(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60 * 1000)
+    assert q.awaitTermination(120)
     rows = spark.sql("SELECT doc_id FROM wm_dedup").collect()
     kept = {r.doc_id for r in rows}
     assert len(kept) == 2 and 3 in kept and len(kept & {1, 2}) == 1
@@ -133,7 +135,7 @@ def test_cross_batch_neardedup_band_index_survives_restart(spark, tmp_path):
     )
     stream = spark.readStream.schema(SCHEMA).json(src)
     q = run_neardedup_stream(stream, index, out, ckpt)
-    q.awaitTermination(120 * 1000)
+    assert q.awaitTermination(180)
     first = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert first == {1, 2}
 
@@ -155,9 +157,14 @@ def test_cross_batch_neardedup_band_index_survives_restart(spark, tmp_path):
     )
     stream2 = spark.readStream.schema(SCHEMA).json(src)
     q2 = run_neardedup_stream(stream2, index, out, ckpt)
-    q2.awaitTermination(120 * 1000)
-    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert q2.awaitTermination(180)
+    survivors = spark.read.parquet(out)
+    final = {r.doc_id for r in survivors.collect()}
     assert final == {1, 2, 4, 6}
+    # survivors keep the FULL input schema (like the exact twin), not
+    # just (id, text): ts must survive for downstream watermarking
+    assert {"doc_id", "ts", "text"} <= set(survivors.columns)
+    assert survivors.where(F.col("ts").isNull()).count() == 0
     # the index holds band rows ONLY for survivors, batch-partitioned
     idx = spark.read.parquet(index)
     assert set(idx.columns) >= {"doc_id", "sig", "band_id", "band_key", "batch"}

@@ -34,7 +34,7 @@ def test_trending_window_topk(spark, tmp_path):
     )
     stream = spark.readStream.schema(SCHEMA).json(str(src))
     q = run_trending_stream(stream, out, ckpt, window="1 hour", watermark="30 minutes", k=5)
-    q.awaitTermination(120_000)
+    assert q.awaitTermination(180)
 
     rows = spark.read.parquet(out).collect()
     byprefix = {r.prefix: r for r in rows if r.ws.hour == 0}

@@ -53,7 +53,7 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120_000)
+        assert q.awaitTermination(180)
 
     run()
     # batch 2 (new run, same checkpoint): a VERY late event for hour 00
@@ -78,7 +78,7 @@ def test_sliding_windows_overlap(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120_000)
+    assert q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM slide").collect()
     # one event at 00:40 belongs to windows [00:00,01:00) and [00:30,01:30)
     starts = sorted(r.ws.strftime("%H:%M") for r in rows)

@@ -180,7 +180,16 @@ def main() -> int:
     from batch_processing_pipeline_spark import get_spark
     from batch_processing_pipeline_spark.registry import ORACLES, QUERIES
 
-    spark = get_spark("check-oracle", master="local[8]", shuffle_partitions=16)
+    # one long-lived JVM runs every registry query back-to-back; the
+    # Spark default (1g driver in local mode) is enough until sf0.1's
+    # hash-join builds meet 298 queries' accumulated broadcasts — size
+    # it like bench.py does rather than let a late SHJ build OOM
+    spark = get_spark(
+        "check-oracle",
+        master="local[8]",
+        shuffle_partitions=16,
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

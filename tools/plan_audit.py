@@ -38,6 +38,7 @@ DEFAULT_QUERIES = [
     "curriculum_order",
     "hybrid_rrf_search",
     "snapshot_diff",
+    "label_propagation",
 ]
 
 MARKERS = [
@@ -63,6 +64,9 @@ def main() -> int:
     out = "PLAN_AUDIT.md"
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: plan_audit.py [--out PLAN_AUDIT_rN.md] [sf_dir] [query ...]")
+            return 2
         out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
