@@ -112,6 +112,7 @@ HEADLINE = [
     "pretrain_pipeline",
     "entity_resolution",
     "pagerank",
+    "label_propagation",
     "sim_topk_pq",
     "sim_topk_ivfpq",
     "incremental_dedup_near",
