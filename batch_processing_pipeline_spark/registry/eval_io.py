@@ -2417,3 +2417,205 @@ def _label_propagation_oracle(rounds: int = 5) -> str:
 
 ORACLES["label_propagation"] = _label_propagation_oracle()
 QUERIES["label_propagation"] = q_label_propagation
+
+
+def q_bfs_hops(spark, sf):
+    """Fixed-horizon breadth-first search — the graph-TRAVERSAL family
+    beside connectivity (dedup_clusters), centrality (pagerank), density
+    (k_core), counting (triangle_count), and community
+    (label_propagation). Single source = the smallest part id in the
+    sparsified co-purchase graph (same <=3-distinct-parts-per-order graph
+    as label_propagation); exactly 4 synchronized expansion rounds, so
+    the result is the hop-distance histogram over the 4-hop ball:
+    per hop, node count and min/max node. Each round is one
+    neighbor-join + a min-merge groupBy; at 100 TB the production form
+    expands only the FRONTIER (nodes whose distance changed last round)
+    so the per-round join is frontier-sized, not ball-sized — the
+    fixed-horizon full-merge here keeps the readout deterministic and
+    the oracle unrollable. The oracle replays the same 4 rounds as
+    MATERIALIZED CTEs."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "_osz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .where(F.col("_osz") <= 3)
+        .drop("_osz")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    bidir = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dist = (
+        bidir.groupBy()
+        .agg(F.min("u").alias("n"))
+        .select("n", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(4):
+        nxt = bidir.join(
+            dist.select(F.col("n").alias("v"), "d"), "v"
+        ).select(F.col("u").alias("n"), (F.col("d") + F.lit(1)).alias("d"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return (
+        dist.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("n").alias("min_node"),
+            F.max("n").alias("max_node"),
+        )
+        .select(
+            F.col("d").cast("long").alias("hop"),
+            "n_nodes",
+            F.col("min_node").cast("long").alias("min_node"),
+            F.col("max_node").cast("long").alias("max_node"),
+        )
+    )
+
+
+def _bfs_hops_oracle(rounds: int = 4) -> str:
+    parts = [
+        # QUALIFY windows evaluate BEFORE DISTINCT in DuckDB: inner subquery
+        "li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM"
+        " (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+        " QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 3)",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey)",
+        "bidir AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        "d0 AS MATERIALIZED (SELECT MIN(u) AS n, 0 AS d FROM bidir)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, MIN(d) AS d FROM ("
+            f" SELECT n, d FROM d{i-1}"
+            f" UNION ALL SELECT b.u, x.d + 1 FROM bidir b JOIN d{i-1} x ON x.n = b.v"
+            f") GROUP BY n)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(d AS BIGINT) AS hop, COUNT(*) AS n_nodes,
+           CAST(MIN(n) AS BIGINT) AS min_node,
+           CAST(MAX(n) AS BIGINT) AS max_node
+    FROM d{rounds} GROUP BY d"""
+    )
+
+
+ORACLES["bfs_hops"] = _bfs_hops_oracle()
+QUERIES["bfs_hops"] = q_bfs_hops
+
+
+_SURV_PRICE = 450000  # ~63% of customers event at every fixture scale
+_SURV_BUCKET_DAYS = 90
+
+
+def q_survival_curve(spark, sf):
+    """Nelson-Aalen survival analysis — censored time-to-event, the one
+    product-analytics family the registry lacked. Subject = customer;
+    origin = first order date; event = first order above
+    _SURV_PRICE (the 'time to first high-value order' question);
+    censored at the last observed order if it never happens (~37% of
+    customers at every fixture scale). Durations bucket to 90-day
+    intervals; per bucket the estimator needs n_risk (subjects still
+    under observation), n_events, and the cumulative hazard
+    H(t) = sum d_i/n_i, with S(t) = exp(-H) — the additive Nelson-Aalen
+    form rather than the Kaplan-Meier product, so there is no log-of-
+    zero edge case when a bucket's events exhaust its risk set. Shape:
+    one groupBy(customer) over the fact, then pure window math on the
+    27-row bucket relation — the fact never shuffles twice, and the
+    unpartitioned windows run on a dimension-sized relation (the
+    eval_stats discipline). Oracle: identical bucket aggregation and
+    ordered window sums, so the IEEE accumulation order is pinned."""
+    per = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+            F.min(
+                F.when(
+                    F.col("o_totalprice") > _SURV_PRICE, F.col("o_orderdate")
+                )
+            ).alias("ev_d"),
+        )
+        .select(
+            F.floor(
+                F.datediff(F.coalesce("ev_d", "last_d"), F.col("first_d"))
+                / F.lit(float(_SURV_BUCKET_DAYS))
+            )
+            .cast("int")
+            .alias("bucket"),
+            F.col("ev_d").isNotNull().alias("is_event"),
+        )
+    )
+    b = per.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1)).alias("n_censored"),
+    )
+    w_risk = Window.orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = b.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_risk)
+    )
+    hazard = F.col("n_events").cast("double") / F.col("n_risk")
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        round4(F.sum(hazard).over(w_cum)).alias("cum_hazard"),
+        round4(F.exp(-F.sum(hazard).over(w_cum))).alias("survival"),
+    )
+
+
+_SURV_EV = f"MIN(CASE WHEN o_totalprice > {_SURV_PRICE} THEN o_orderdate END)"
+ORACLES["survival_curve"] = f"""
+    WITH per AS MATERIALIZED (
+      SELECT CAST(FLOOR(DATE_DIFF('day', MIN(o_orderdate),
+                                  COALESCE({_SURV_EV}, MAX(o_orderdate)))
+                        / {float(_SURV_BUCKET_DAYS)}) AS INT) AS bucket,
+             ({_SURV_EV} IS NOT NULL) AS is_event
+      FROM orders GROUP BY o_custkey),
+    b AS MATERIALIZED (
+      SELECT bucket,
+             SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS n_events,
+             SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS n_censored
+      FROM per GROUP BY bucket),
+    r AS MATERIALIZED (
+      SELECT bucket, n_events, n_censored,
+             SUM(n_events + n_censored) OVER (
+               ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS n_risk
+      FROM b)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           {R("SUM(CAST(n_events AS DOUBLE)/n_risk) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_hazard,
+           {R("EXP(-SUM(CAST(n_events AS DOUBLE)/n_risk) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")} AS survival
+    FROM r
+"""
+QUERIES["survival_curve"] = q_survival_curve

@@ -100,10 +100,12 @@ HEADLINE = [
     "spell_correct",
     "mm_image_phash",
     "rolling_dau",
-    # round-8 additions: rank-space retrieval fusion (BM25 + cosine) and
-    # the per-source distinct-n diversity readout
+    # round-8 additions: rank-space retrieval fusion (BM25 + cosine),
+    # the per-source distinct-n diversity readout, and the Nelson-Aalen
+    # censored time-to-event curve (window math on a 27-row relation)
     "hybrid_rrf_search",
     "distinct_ngram_ratio",
+    "survival_curve",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a
@@ -113,6 +115,7 @@ HEADLINE = [
     "entity_resolution",
     "pagerank",
     "label_propagation",
+    "bfs_hops",
     "sim_topk_pq",
     "sim_topk_ivfpq",
     "incremental_dedup_near",

@@ -201,3 +201,41 @@ def test_label_propagation_partitions_the_graph(spark):
     }
     assert sum(r.community_size for r in rows) == len(nodes)
     assert all(r.label in nodes for r in rows)
+
+
+def test_bfs_hops_ball_structure(spark):
+    rows = sorted(QUERIES["bfs_hops"](spark, SF).collect(), key=lambda r: r.hop)
+    hops = [r.hop for r in rows]
+    # consecutive hop levels starting at the source
+    assert hops == list(range(len(hops))) and len(hops) >= 2
+    src = rows[0]
+    assert src.n_nodes == 1 and src.min_node == src.max_node
+    for r in rows:
+        assert r.n_nodes >= 1 and r.min_node <= r.max_node
+        # the source is the global min node, so no level can undercut it
+        assert r.min_node >= src.min_node
+
+
+def test_survival_curve_estimator_invariants(spark):
+    rows = sorted(
+        QUERIES["survival_curve"](spark, SF).collect(), key=lambda r: r.bucket
+    )
+    n_customers = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_risk == n_customers
+    assert sum(r.n_events + r.n_censored for r in rows) == n_customers
+    ev = sum(r.n_events for r in rows)
+    assert 0 < ev < n_customers  # real mix of events and censoring
+    prev_h, prev_s, prev_risk = -1.0, 2.0, n_customers + 1
+    for r in rows:
+        assert 0 <= r.n_events <= r.n_risk
+        assert r.n_risk < prev_risk  # every output bucket retires someone
+        assert r.cum_hazard >= prev_h  # H non-decreasing
+        assert r.survival <= prev_s  # S non-increasing
+        assert 0.0 < r.survival <= 1.0
+        assert abs(r.survival - math.exp(-r.cum_hazard)) < 5e-4
+        prev_h, prev_s, prev_risk = r.cum_hazard, r.survival, r.n_risk
