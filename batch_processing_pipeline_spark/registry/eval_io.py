@@ -2308,6 +2308,58 @@ QUERIES["auc_eval"] = q_auc_eval
 
 
 
+def _copurchase_graph(spark, sf, max_parts: int = 3):
+    """The sparsified co-purchase part graph shared by the graph-family
+    queries (label_propagation, bfs_hops): orders with <= ``max_parts``
+    distinct parts contribute an undirected clique over their parts.
+    The full co-purchase graph is so dense that community/traversal
+    readouts degenerate (LPA collapses to one label), so only small
+    orders keep edges. Returns ``(edges, bidir)``: ``edges`` is the
+    deduped u<v relation, PERSISTED (caller must unpersist after its
+    iteration severs lineage); ``bidir`` is both directions of it."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "_osz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .where(F.col("_osz") <= max_parts)
+        .drop("_osz")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    bidir = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return edges, bidir
+
+
+def _copurchase_graph_ctes(max_parts: int = 3) -> list[str]:
+    """The oracle twin of ``_copurchase_graph``: the li/e/bidir CTE
+    strings every graph-family oracle opens with. QUALIFY windows
+    evaluate BEFORE DISTINCT in DuckDB, so the distinct-parts-per-order
+    count needs an explicit inner subquery."""
+    return [
+        "li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM"
+        " (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+        f" QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {max_parts})",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey)",
+        "bidir AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+    ]
+
+
 def q_label_propagation(spark, sf):
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
     al. 2007) on the co-purchase part graph — the missing graph family
@@ -2325,30 +2377,7 @@ def q_label_propagation(spark, sf):
     it to one label. Each round is one explode-both-ways join + a
     windowed argmax; the oracle unrolls the same 5 rounds as
     MATERIALIZED CTEs."""
-    li = (
-        _t(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .withColumn(
-            "_osz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
-        )
-        .where(F.col("_osz") <= 3)
-        .drop("_osz")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
-    both = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    edges, both = _copurchase_graph(spark, sf)
     labels = (
         both.select(F.col("u").alias("n")).distinct().select("n", F.col("n").alias("label"))
     ).localCheckpoint(eager=True)
@@ -2382,16 +2411,7 @@ def q_label_propagation(spark, sf):
 
 
 def _label_propagation_oracle(rounds: int = 5) -> str:
-    parts = [
-        # DuckDB evaluates QUALIFY's window BEFORE DISTINCT, so the
-        # distinct-parts-per-order count needs an explicit inner subquery
-        "li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM"
-        " (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
-        " QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 3)",
-        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
-        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
-        " AND a.l_partkey < b.l_partkey)",
-        "bidir AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+    parts = _copurchase_graph_ctes() + [
         "l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS label FROM bidir)",
     ]
     for i in range(1, rounds + 1):
@@ -2434,30 +2454,7 @@ def q_bfs_hops(spark, sf):
     fixed-horizon full-merge here keeps the readout deterministic and
     the oracle unrollable. The oracle replays the same 4 rounds as
     MATERIALIZED CTEs."""
-    li = (
-        _t(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .withColumn(
-            "_osz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
-        )
-        .where(F.col("_osz") <= 3)
-        .drop("_osz")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
-    bidir = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    edges, bidir = _copurchase_graph(spark, sf)
     dist = (
         bidir.groupBy()
         .agg(F.min("u").alias("n"))
@@ -2492,15 +2489,7 @@ def q_bfs_hops(spark, sf):
 
 
 def _bfs_hops_oracle(rounds: int = 4) -> str:
-    parts = [
-        # QUALIFY windows evaluate BEFORE DISTINCT in DuckDB: inner subquery
-        "li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM"
-        " (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
-        " QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 3)",
-        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
-        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
-        " AND a.l_partkey < b.l_partkey)",
-        "bidir AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+    parts = _copurchase_graph_ctes() + [
         "d0 AS MATERIALIZED (SELECT MIN(u) AS n, 0 AS d FROM bidir)",
     ]
     for i in range(1, rounds + 1):

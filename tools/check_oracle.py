@@ -182,8 +182,9 @@ def main() -> int:
 
     # one long-lived JVM runs every registry query back-to-back; the
     # Spark default (1g driver in local mode) is enough until sf0.1's
-    # hash-join builds meet 298 queries' accumulated broadcasts — size
-    # it like bench.py does rather than let a late SHJ build OOM
+    # hash-join builds meet ~300 queries' accumulated broadcasts — set
+    # an explicit size (bench.py defaults to 24g; 16g suffices here)
+    # rather than let a late SHJ build OOM
     spark = get_spark(
         "check-oracle",
         master="local[8]",
