@@ -1,0 +1,110 @@
+"""Fixed-horizon iterative graph operators: label propagation and BFS.
+
+Community detection (synchronous LPA, Raghavan et al. 2007) and
+single-source hop distance complete the graph family next to
+connectivity (operators/components.py), centrality
+(operators/pagerank.py), and the counting/density queries. Both use
+the driver-controlled loop skeleton shared by pagerank/components:
+each round is one equi-join with the static symmetrized edge relation,
+one partial-aggregating groupBy, and a ``localCheckpoint`` to truncate
+lineage (without it the plan doubles per round).
+
+Both run a FIXED number of synchronized rounds rather than "to
+convergence": synchronous LPA can oscillate between two labelings, so
+a convergence predicate is not well-defined, and a fixed horizon makes
+the result deterministic and oracle-replayable (the registry queries'
+DuckDB twins unroll the same rounds as materialized CTEs). This is
+the graphframes semantics as well.
+
+Scale notes: only (node, label) / (node, dist) pairs shuffle per
+round — never adjacency lists. For BFS at 100 TB the production
+refinement is FRONTIER expansion (join only nodes whose distance
+changed last round) so per-round join input is frontier-sized; the
+full min-merge here keeps the fixed-horizon result identical while
+staying simplest-correct. Callers pass the one-direction (u < v)
+edge relation; symmetrization is internal and the relation should be
+persisted by the caller for the duration of the loop (both registry
+users do, via ``_copurchase_graph``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _symmetrize(edges: DataFrame, u_col: str, v_col: str) -> DataFrame:
+    une = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    return une.unionByName(
+        une.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    rounds: int = 5,
+) -> DataFrame:
+    """Synchronous LPA over an undirected edge relation.
+
+    Every node starts as its own label; each round ALL nodes
+    simultaneously adopt their neighbors' most frequent label, ties to
+    the SMALLEST label (the deterministic argmax: one groupBy count +
+    one row_number window per round). Returns ``(n, label)``.
+    """
+    bidir = _symmetrize(edges, u_col, v_col)
+    labels = (
+        bidir.select(F.col("u").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        neigh = bidir.join(
+            labels.withColumnRenamed("n", "v"), "v"
+        ).select(F.col("u").alias("n"), "label")
+        counted = neigh.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counted.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("n", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop distances within ``max_hops`` of the source set.
+
+    ``sources`` is a one-column relation of start nodes (distance 0);
+    when omitted, the single smallest node id in the graph starts the
+    search. Each round min-merges the current distances with every
+    neighbor's distance + 1. Returns ``(n, d)`` for reached nodes only.
+    """
+    bidir = _symmetrize(edges, u_col, v_col)
+    if sources is None:
+        sources = bidir.groupBy().agg(F.min("u").alias("n"))
+    else:
+        sources = sources.select(F.col(sources.columns[0]).alias("n")).distinct()
+    dist = sources.select(
+        "n", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        nxt = bidir.join(
+            dist.select(F.col("n").alias("v"), "d"), "v"
+        ).select(F.col("u").alias("n"), (F.col("d") + F.lit(1)).alias("d"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

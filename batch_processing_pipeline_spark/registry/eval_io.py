@@ -2314,9 +2314,9 @@ def _copurchase_graph(spark, sf, max_parts: int = 3):
     distinct parts contribute an undirected clique over their parts.
     The full co-purchase graph is so dense that community/traversal
     readouts degenerate (LPA collapses to one label), so only small
-    orders keep edges. Returns ``(edges, bidir)``: ``edges`` is the
-    deduped u<v relation, PERSISTED (caller must unpersist after its
-    iteration severs lineage); ``bidir`` is both directions of it."""
+    orders keep edges. Returns the deduped u<v edge relation,
+    PERSISTED (caller must unpersist after its iteration severs
+    lineage); the graph_iter operators symmetrize it internally."""
     li = (
         _t(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2338,10 +2338,7 @@ def _copurchase_graph(spark, sf, max_parts: int = 3):
         .distinct()
         .persist()
     )
-    bidir = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    return edges, bidir
+    return edges
 
 
 def _copurchase_graph_ctes(max_parts: int = 3) -> list[str]:
@@ -2377,22 +2374,12 @@ def q_label_propagation(spark, sf):
     it to one label. Each round is one explode-both-ways join + a
     windowed argmax; the oracle unrolls the same 5 rounds as
     MATERIALIZED CTEs."""
-    edges, both = _copurchase_graph(spark, sf)
-    labels = (
-        both.select(F.col("u").alias("n")).distinct().select("n", F.col("n").alias("label"))
-    ).localCheckpoint(eager=True)
-    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label").asc())
-    for _ in range(5):
-        neigh = both.join(
-            labels.withColumnRenamed("n", "v"), "v"
-        ).select(F.col("u").alias("n"), "label")
-        counted = neigh.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            counted.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("n", "label")
-            .localCheckpoint(eager=True)
-        )
+    from batch_processing_pipeline_spark.operators.graph_iter import (
+        label_propagation,
+    )
+
+    edges = _copurchase_graph(spark, sf)
+    labels = label_propagation(edges, rounds=5)
     edges.unpersist()
     return (
         labels.groupBy("label")
@@ -2454,23 +2441,12 @@ def q_bfs_hops(spark, sf):
     fixed-horizon full-merge here keeps the readout deterministic and
     the oracle unrollable. The oracle replays the same 4 rounds as
     MATERIALIZED CTEs."""
-    edges, bidir = _copurchase_graph(spark, sf)
-    dist = (
-        bidir.groupBy()
-        .agg(F.min("u").alias("n"))
-        .select("n", F.lit(0).cast("long").alias("d"))
-        .localCheckpoint(eager=True)
+    from batch_processing_pipeline_spark.operators.graph_iter import (
+        bfs_distances,
     )
-    for _ in range(4):
-        nxt = bidir.join(
-            dist.select(F.col("n").alias("v"), "d"), "v"
-        ).select(F.col("u").alias("n"), (F.col("d") + F.lit(1)).alias("d"))
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("n")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
+
+    edges = _copurchase_graph(spark, sf)
+    dist = bfs_distances(edges, max_hops=4)
     edges.unpersist()
     return (
         dist.groupBy("d")
