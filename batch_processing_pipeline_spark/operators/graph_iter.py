@@ -17,14 +17,12 @@ DuckDB twins unroll the same rounds as materialized CTEs). This is
 the graphframes semantics as well.
 
 Scale notes: only (node, label) / (node, dist) pairs shuffle per
-round — never adjacency lists. For BFS at 100 TB the production
-refinement is FRONTIER expansion (join only nodes whose distance
-changed last round) so per-round join input is frontier-sized; the
-full min-merge here keeps the fixed-horizon result identical while
-staying simplest-correct. Callers pass the one-direction (u < v)
-edge relation; symmetrization is internal and the relation should be
-persisted by the caller for the duration of the loop (both registry
-users do, via ``_copurchase_graph``).
+round — never adjacency lists — and BFS expands the FRONTIER only
+(see ``bfs_distances``), so its per-round join input is bounded by
+last round's discoveries, not the whole reached set. Callers pass
+the one-direction (u < v) edge relation; symmetrization is internal
+and the relation should be persisted by the caller for the duration
+of the loop (both registry users do, via ``_copurchase_graph``).
 """
 
 from __future__ import annotations
@@ -86,8 +84,15 @@ def bfs_distances(
 
     ``sources`` is a one-column relation of start nodes (distance 0);
     when omitted, the single smallest node id in the graph starts the
-    search. Each round min-merges the current distances with every
-    neighbor's distance + 1. Returns ``(n, d)`` for reached nodes only.
+    search. FRONTIER expansion: a BFS distance is final the round it
+    is first discovered, so each round joins the edge relation with
+    only LAST round's newly-discovered nodes and anti-joins the result
+    against everything already reached — per-round shuffle input is
+    frontier-sized + reached node IDS, never reached × degree the way
+    a full min-merge re-aggregation would be. An exhausted frontier
+    makes the remaining rounds empty-relation no-ops, so no per-round
+    driver action (count) is needed to stop early. Returns ``(n, d)``
+    for reached nodes only.
     """
     bidir = _symmetrize(edges, u_col, v_col)
     if sources is None:
@@ -97,14 +102,16 @@ def bfs_distances(
     dist = sources.select(
         "n", F.lit(0).cast("long").alias("d")
     ).localCheckpoint(eager=True)
-    for _ in range(max_hops):
-        nxt = bidir.join(
-            dist.select(F.col("n").alias("v"), "d"), "v"
-        ).select(F.col("u").alias("n"), (F.col("d") + F.lit(1)).alias("d"))
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("n")
-            .agg(F.min("d").alias("d"))
+    frontier = dist.select("n")
+    for i in range(max_hops):
+        new = (
+            bidir.join(frontier.select(F.col("n").alias("v")), "v")
+            .select(F.col("u").alias("n"))
+            .distinct()
+            .join(dist.select("n"), "n", "left_anti")
+            .select("n", F.lit(i + 1).cast("long").alias("d"))
             .localCheckpoint(eager=True)
         )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("n")
     return dist
