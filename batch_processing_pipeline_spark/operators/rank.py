@@ -1,0 +1,168 @@
+"""Exact distributed global ordering — rank / ntile without a
+single-partition sort.
+
+A plain ``row_number() OVER (ORDER BY ...)`` (no PARTITION BY) funnels the
+whole relation through ONE reducer: correct at sf0.1, a straggler at 100 TB.
+Spark's own ``WindowGroupLimit`` rewrite rescues the *filtered* form
+(``WHERE rn <= k`` keeps only local top-k per map task), but an UNFILTERED
+global rank — every row keeps its exact position — has no such rescue.
+
+``exact_global_rank`` gives the exact 1-based global row number with ONE
+range shuffle (``global_shuffle``'s discipline):
+
+1. ``repartitionByRange(order_by)`` — partitions become non-overlapping,
+   ordered ranges of the total order;
+2. ``sortWithinPartitions(order_by)`` — a local sort, no data movement;
+3. ``monotonically_increasing_id()`` ABOVE the sort (nondeterministic
+   expressions are never pushed through a Sort by Catalyst) yields, per
+   its documented bit layout, ``partition_id`` in the upper bits and the
+   0-based record number within the partition in the lower 33 — i.e. the
+   local row number with no Window and no second shuffle;
+4. a one-row-per-partition count relation (P rows, P = shuffle
+   parallelism) is ranked into cumulative offsets and **broadcast** back;
+   global rank = local row number + partition offset.
+
+The only unpartitioned window in the plan runs over P rows, not N.
+``tests/test_rank.py`` pins the output against the naive global window.
+
+Caller contract: ``order_by`` must end in a unique tie-break (a total
+order). Ties straddling a range boundary would otherwise get
+nondeterministic ranks — same contract as ``top_k_per_group``.
+
+``ntile_from_rank`` turns that exact rank into SQL-standard ``NTILE(k)``
+buckets by pure arithmetic (first ``n mod k`` buckets get ``ceil(n/k)``
+rows), so a curriculum / stratification query never needs the global
+window at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LOW33 = (1 << 33) - 1
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_by``, range-sharded.
+
+    Returns ``df``'s columns plus ``out_col`` (LongType). Identical rows to
+    ``row_number() OVER (ORDER BY order_by)`` when ``order_by`` is a total
+    order; the physical plan moves the relation exactly once (the range
+    exchange) and its only global sort sees one row per partition.
+
+    Invariant this leans on: the counts branch and the rank branch share
+    ONE materialized range exchange (``spark.sql.exchange.reuse`` /
+    AQE stage reuse, both on by default — ``tests/test_rank.py`` asserts
+    the ``ReusedExchange`` node), so both sides observe identical sampled
+    partition boundaries. Range boundaries come from a sampling pass, so
+    two INDEPENDENT shuffles of the same data need not agree; reuse makes
+    the offsets provably consistent with the local row numbers.
+    """
+    order_by = list(order_by)
+    if num_partitions is not None:
+        parts = df.repartitionByRange(num_partitions, *order_by)
+    else:
+        parts = df.repartitionByRange(*order_by)
+    local = (
+        parts.sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
+        .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit(_LOW33)))
+        .drop("__mid")
+    )
+    # P-row side relation: rows-per-partition -> exclusive running offsets.
+    # The unpartitioned window here is safe BY CONSTRUCTION: its input is
+    # one row per shuffle partition.
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off") + F.lit(1)).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def global_topk(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global top-``k`` rows with exact 1-based ranks, two-phase.
+
+    Spark's ``InferWindowGroupLimit`` performs this rewrite automatically
+    for PARTITIONED rank filters (``tests/test_plans.py`` pins it) but NOT
+    for the empty-partition-spec global form (verified on 4.1 — the rule
+    requires a non-empty partitionSpec). This is the manual equivalent:
+
+    1. local sort per input partition (``sortWithinPartitions`` — no data
+       movement) + ``monotonically_increasing_id``'s lower 33 bits = local
+       row number; keep only each partition's first ``k`` rows;
+    2. the unpartitioned rank window then sees at most ``k * P`` survivor
+       rows instead of the whole relation.
+
+    The global top-k is necessarily a subset of the per-partition top-k,
+    so the output is identical to the naive global window + filter.
+    ``order_by`` must be a total order (unique tie-break), as everywhere.
+    """
+    order_by = list(order_by)
+    pruned = (
+        df.sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .where(F.col("__mid").bitwiseAND(F.lit(_LOW33)) < k)
+        .drop("__mid")
+    )
+    w = Window.orderBy(*order_by)
+    return pruned.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` bucket (1-based) from an exact global
+    ``rank`` (1-based) and the relation's row count ``n_rows``.
+
+    Standard semantics: with ``n = n_rows``, the first ``n mod k`` buckets
+    hold ``floor(n/k) + 1`` rows, the rest ``floor(n/k)`` — exactly what
+    Spark's and DuckDB's NTILE produce over the same total order. Pure
+    arithmetic; pair with :func:`exact_global_rank` and a broadcast scalar
+    count to eliminate the global window entirely.
+    """
+    base = F.floor(n_rows / F.lit(k)).cast("long")  # floor(n/k)
+    rem = (n_rows % F.lit(k)).cast("long")  # n mod k
+    big = base + F.lit(1)  # size of the first `rem` buckets
+    threshold = rem * big  # rows covered by the big buckets
+    r = rank.cast("long")
+    # greatest(base, 1): when n < k the small-bucket branch is never taken
+    # for a real row, but keep the expression division-safe under ANSI
+    return (
+        F.when(r <= threshold, F.floor((r - 1) / big) + 1)
+        .otherwise(
+            rem + F.floor((r - threshold - 1) / F.greatest(base, F.lit(1))) + 1
+        )
+        .cast("int")
+    )
+
+
+def rows_before_ntile_bucket(bucket: Column, n_rows: Column, k: int) -> Column:
+    """Number of rows in NTILE buckets strictly before ``bucket`` —
+    i.e. the within-bucket row number is ``rank - rows_before``. Same
+    standard semantics as :func:`ntile_from_rank`.
+    """
+    base = F.floor(n_rows / F.lit(k)).cast("long")
+    rem = (n_rows % F.lit(k)).cast("long")
+    b = bucket.cast("long") - 1  # buckets before this one
+    n_big = F.least(b, rem)  # how many of them are big
+    return (n_big * (base + 1) + (b - n_big) * base).cast("long")

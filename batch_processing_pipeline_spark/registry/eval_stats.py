@@ -3005,23 +3005,36 @@ def q_curriculum_order(spark, sf):
     order), then interleave the strata round-robin so every training
     window sees the full difficulty mix while within-stratum order stays
     easy-to-hard. Output (doc_id, stratum, position) — a deterministic
-    permutation. Two windows over one total order; no shuffle beyond
-    them (at 100 TB the same schedule is computed per-shard with a
-    range-partitioned rank, the global_shuffle discipline)."""
-    d = _t(spark, sf, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    strat = d.select(
-        "doc_id", "n_chars", F.ntile(4).over(w).alias("stratum")
+    permutation.
+
+    Scale shape (round-9 fix, the docstring's old promise implemented):
+    the total order is materialized ONCE as an exact range-partitioned
+    global rank (``exact_global_rank``: range shuffle + per-partition
+    row_number + broadcast partition offsets — the global_shuffle
+    discipline), then BOTH the NTILE stratum and the within-stratum row
+    number are pure arithmetic on that rank (``ntile_from_rank`` /
+    ``rows_before_ntile_bucket`` + a broadcast scalar count). One corpus
+    shuffle total; no partition-less window ever sees a corpus-sized
+    input."""
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_rank,
+        ntile_from_rank,
+        rows_before_ntile_bucket,
     )
-    w_in = Window.partitionBy("stratum").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    ranked = exact_global_rank(
+        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], out_col="__r"
     )
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.crossJoin(F.broadcast(n))
+    stratum = ntile_from_rank(F.col("__r"), F.col("__n"), 4)
+    strat = ranked.select("doc_id", F.col("__r"), F.col("__n"), stratum.alias("stratum"))
+    rn_in = F.col("__r") - rows_before_ntile_bucket(F.col("stratum"), F.col("__n"), 4)
     return strat.select(
         "doc_id",
         "stratum",
-        ((F.row_number().over(w_in) - 1) * 4 + F.col("stratum"))
-        .cast("long")
-        .alias("position"),
+        ((rn_in - 1) * 4 + F.col("stratum")).cast("long").alias("position"),
     )
 
 
@@ -3214,8 +3227,22 @@ def q_hybrid_rrf_search(spark, sf):
     (k1=1.2, b=0.75, fixed terms); semantic side = exact cosine vs the
     query embedding (vec_id 0; doc_id = vec_id in the fixture); a doc
     absent from one list contributes only the other term. Both rankings
-    round4 before ranking (cross-engine ulp discipline); top-20."""
+    round4 before ranking (cross-engine ulp discipline); top-20.
+
+    Scale shape (round-9 fix): the lexical and semantic lists carry their
+    EXACT corpus-wide rank into the output, so they use
+    ``exact_global_rank`` (range shuffle + broadcast partition offsets —
+    operators/rank.py) instead of a partition-less window; the only
+    single-reducer sorts left in the plan see P rows (one per shuffle
+    partition). The final fused rank is ``global_topk`` — Spark's
+    InferWindowGroupLimit does NOT fire on empty-partition-spec windows,
+    so the two-phase prune (local sort + keep 20 per partition, then rank
+    <= 20*P survivors) is done explicitly."""
     from batch_processing_pipeline_spark.functions.vector import cosine_similarity
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_rank,
+        global_topk,
+    )
 
     k1, b = 1.2, 0.75
     terms = ["data", "query", "user", "system"]
@@ -3249,8 +3276,11 @@ def q_hybrid_rrf_search(spark, sf):
         .groupBy("doc_id")
         .agg(F.sum("score").alias("score"))
     )
-    w_lex = Window.orderBy(round4(F.col("score")).desc(), F.col("doc_id").asc())
-    lex = lex_scored.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+    lex = exact_global_rank(
+        lex_scored.select("doc_id", round4(F.col("score")).alias("__s")),
+        [F.col("__s").desc(), F.col("doc_id").asc()],
+        out_col="r_lex",
+    ).select("doc_id", F.col("r_lex").cast("int").alias("r_lex"))
 
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select(
@@ -3266,8 +3296,11 @@ def q_hybrid_rrf_search(spark, sf):
             ),
         )
     )
-    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-    sem = sem_scored.select("doc_id", F.row_number().over(w_sem).alias("r_sem"))
+    sem = exact_global_rank(
+        sem_scored,
+        [F.col("cos").desc(), F.col("doc_id").asc()],
+        out_col="r_sem",
+    ).select("doc_id", F.col("r_sem").cast("int").alias("r_sem"))
 
     fused = (
         lex.join(sem, "doc_id", "full_outer")
@@ -3283,16 +3316,14 @@ def q_hybrid_rrf_search(spark, sf):
             ).alias("rrf"),
         )
     )
-    w_f = Window.orderBy(round4(F.col("rrf")).desc(), F.col("doc_id").asc())
-    return (
-        fused.select(
-            F.row_number().over(w_f).alias("rank"),
-            "doc_id",
-            "r_lex",
-            "r_sem",
-            round4(F.col("rrf")).alias("rrf"),
-        )
-        .where(F.col("rank") <= 20)
+    top = global_topk(
+        fused,
+        [round4(F.col("rrf")).desc(), F.col("doc_id").asc()],
+        k=20,
+        rank_col="rank",
+    )
+    return top.select(
+        "rank", "doc_id", "r_lex", "r_sem", round4(F.col("rrf")).alias("rrf")
     )
 
 

@@ -1,0 +1,110 @@
+"""operators/rank.py — exact distributed global rank / ntile / top-k.
+
+Differentials against the naive single-partition window forms (which are
+the DEFINITION of the semantics), plus the plan-shape invariants the
+round-9 fix exists for: one range shuffle, a ReusedExchange between the
+rank branch and the counts branch, and no corpus-sized input to any
+unpartitioned window.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.operators.rank import (
+    exact_global_rank,
+    global_topk,
+    ntile_from_rank,
+    rows_before_ntile_bucket,
+)
+
+
+def _fixture(spark, n=997, parts=7):
+    # heavy duplication on the order key (97 distinct values over ~1000
+    # rows) so ties straddle range boundaries; id is the unique tie-break
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.col("id"), (F.hash(F.col("id")) % 97).alias("v")
+        )
+    )
+
+
+def test_exact_global_rank_matches_naive_window(spark):
+    df = _fixture(spark)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = exact_global_rank(df, order, out_col="r")
+    naive = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert got.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(got).isEmpty()
+
+
+def test_exact_global_rank_reuses_the_range_exchange(spark):
+    """The counts branch MUST observe the same sampled range boundaries as
+    the rank branch — guaranteed by exchange/stage reuse, not by sampling
+    determinism. Pin the ReusedExchange node in the final adaptive plan."""
+    df = _fixture(spark)
+    out = exact_global_rank(df, [F.col("v").asc(), F.col("id").asc()])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "rangepartitioning" in plan
+
+
+def test_exact_global_rank_empty_and_tiny(spark):
+    empty = _fixture(spark).where(F.lit(False))
+    assert exact_global_rank(empty, [F.col("id").asc()]).count() == 0
+    one = spark.range(1).select("id")
+    rows = exact_global_rank(one, [F.col("id").asc()], out_col="r").collect()
+    assert [(r.id, r.r) for r in rows] == [(0, 1)]
+
+
+def test_global_topk_matches_naive_filtered_window(spark):
+    df = _fixture(spark)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = global_topk(df, order, k=25, rank_col="rk")
+    naive = (
+        df.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        .where(F.col("rk") <= 25)
+    )
+    assert got.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(got).isEmpty()
+
+
+def test_global_topk_k_larger_than_input(spark):
+    df = spark.range(5).select("id")
+    got = global_topk(df, [F.col("id").desc()], k=50, rank_col="rk")
+    assert [(r.id, r.rk) for r in got.orderBy("rk").collect()] == [
+        (4, 1), (3, 2), (2, 3), (1, 4), (0, 5),
+    ]
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 7, 8, 100, 101, 997])
+@pytest.mark.parametrize("k", [3, 4])
+def test_ntile_arithmetic_matches_spark_ntile(spark, n, k):
+    df = spark.range(n).select("id")
+    w = Window.orderBy("id")
+    naive = df.select(
+        "id", F.ntile(k).over(w).alias("nt"), F.row_number().over(w).alias("r")
+    )
+    got = naive.select(
+        "id",
+        "nt",
+        ntile_from_rank(F.col("r"), F.lit(n), k).alias("nt2"),
+        (F.col("r") - rows_before_ntile_bucket(F.col("nt"), F.lit(n), k)).alias(
+            "rn_in"
+        ),
+        F.row_number()
+        .over(Window.partitionBy(F.ntile(k).over(w)).orderBy("id"))
+        .alias("rn_naive"),
+    )
+    bad = got.where(
+        (F.col("nt") != F.col("nt2")) | (F.col("rn_in") != F.col("rn_naive"))
+    )
+    assert bad.count() == 0
