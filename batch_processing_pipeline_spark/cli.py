@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checkpoint-dir", help="stream checkpoint location (with --stream)")
     p.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="files per stream micro-batch (default: one 24-file day per "
+        "trigger — streaming.jobs.DEFAULT_MAX_FILES_PER_TRIGGER; 0 = no cap)",
+    )
+    p.add_argument(
         "--state-buckets", type=int, default=None,
         help="bucket cumulative state; batches rewrite only touched buckets",
     )
@@ -97,13 +102,20 @@ def main(argv: list[str] | None = None) -> int:
                 "restart counts from zero."
             )
         from batch_processing_pipeline_spark.streaming.jobs import (
+            DEFAULT_MAX_FILES_PER_TRIGGER,
             run_autocomplete_stream,
             stream_query_log,
         )
 
+        if args.max_files_per_trigger is None:
+            mfpt = DEFAULT_MAX_FILES_PER_TRIGGER
+        elif args.max_files_per_trigger == 0:
+            mfpt = None  # explicit no-cap: whole backlog in one trigger
+        else:
+            mfpt = args.max_files_per_trigger
         spark = get_spark("incremental-autocomplete-stream", master=args.master)
         q = run_autocomplete_stream(
-            stream_query_log(spark, args.logs),
+            stream_query_log(spark, args.logs, max_files_per_trigger=mfpt),
             args.state_dir,
             args.suggestions_dir,
             args.checkpoint_dir,

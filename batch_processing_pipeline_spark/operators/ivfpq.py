@@ -205,6 +205,13 @@ def ivfpq_topk(
             F.array(*[F.slice("p.res", j * sub + 1, sub) for j in range(m)])
         ).alias("j", "qs"),
     )
+    if prune_scan:
+        # materialize the probe relation ONCE: both the probed-cell
+        # collect below and the ADC join read qprobe, and without the
+        # barrier each consumer re-runs the probes kernel over all
+        # queries (nprobe*m rows/query — small; the kernel pass is the
+        # cost being deduplicated)
+        qprobe = qprobe.localCheckpoint(eager=True)
 
     book_df = spark.createDataFrame(
         [
@@ -238,9 +245,8 @@ def ivfpq_topk(
         F.col(id_col).alias("vec_id"), "cell", F.posexplode("pq_code").alias("j", "code")
     )
     if prune_scan:
-        # qprobe (nprobe*m rows/query) has the same distinct cell set as
-        # dtab (its ksub-times-larger join with the codebooks) — collect
-        # from the small side so the probes UDF doesn't run an extra pass
+        # distinct probed cells off the materialized qprobe (one tiny
+        # scan of the checkpoint, no re-run of the probes kernel)
         probed = [
             r.cell for r in qprobe.select("cell").distinct().collect()
         ]  # bounded by k_coarse
@@ -281,6 +287,105 @@ def ivfpq_topk(
     ).select("query_id", "vec_id", F.col("rk").alias("rank"), "cosine")
 
 
+def residual_stats(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell residual-magnitude profile: (cell, n, mean_res_norm).
+
+    ``mean_res_norm`` is the average L2 norm of the IVF residual
+    (unit-normalized vector minus its nearest coarse centroid) — the
+    quantity the residual codebooks were trained to quantize. When new
+    data drifts away from the training distribution, residuals grow and
+    PQ precision decays; this relation is the audit that detects it.
+    One Arrow map pass + a k_coarse-row aggregate."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("struct<cell: int, rn: double>")
+    def cell_rn(vecs: pd.Series) -> pd.DataFrame:
+        X = np.asarray(list(vecs), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        d2 = (
+            (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        )
+        cells = d2.argmin(1)
+        rn = np.linalg.norm(X - C[cells], axis=1)
+        return pd.DataFrame({"cell": cells.astype("int32"), "rn": rn})
+
+    return (
+        df.select(cell_rn(F.col(vec_col)).alias("_r"))
+        .select(F.col("_r.cell").alias("cell"), F.col("_r.rn").alias("rn"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("rn").alias("mean_res_norm"),
+        )
+    )
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus refresh WITHOUT re-training or re-encoding history: assign
+    the new vectors to cells with the index's FROZEN centroids, encode
+    them with the FROZEN residual codebooks, and append the code rows
+    into the cell-partitioned parquet — identical rows to what a
+    from-scratch ``save_ivfpq_index`` over (old + new) would have written
+    for these ids (pinned in tests/test_ivfpq.py), at O(new) cost.
+
+    Returns the residual-drift audit: per cell, the appended batch's
+    (n_new, mean_res_norm_new) against the baseline recorded at
+    ``save_ivfpq_index`` time, with ``drift = new / baseline``. A drift
+    ratio creeping past ~1.2–1.5 is the re-train signal: frozen codebooks
+    are quantizing residuals they were not trained on, and recall decays
+    silently otherwise — this completes the corpus-refresh story the
+    dedup side already has (dedup_against_index / minhash_band_index)."""
+    import json
+
+    spark = new_vectors.sparkSession
+    model = json.loads(_hadoop_read_text(spark, f"{path}/model.json"))
+    centroids, codebooks = model["centroids"], model["codebooks"]
+    encoded = ivfpq_encode(
+        new_vectors, centroids, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    encoded.write.partitionBy("cell").mode("append").parquet(f"{path}/codes")
+
+    new_stats = residual_stats(new_vectors, centroids, vec_col=vec_col)
+    baseline_rows = [
+        (int(c), float(v)) for c, v in model.get("res_norm_baseline", {}).items()
+    ]
+    if not baseline_rows:
+        # pre-baseline index (older save format): report new stats only
+        return new_stats.select(
+            "cell",
+            F.col("n").alias("n_new"),
+            F.col("mean_res_norm").alias("mean_res_norm_new"),
+            F.lit(None).cast("double").alias("mean_res_norm_baseline"),
+            F.lit(None).cast("double").alias("drift"),
+        )
+    baseline = spark.createDataFrame(
+        baseline_rows, "cell int, mean_res_norm_baseline double"
+    )
+    return (
+        new_stats.join(F.broadcast(baseline), "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_new"),
+            F.col("mean_res_norm").alias("mean_res_norm_new"),
+            "mean_res_norm_baseline",
+            (F.col("mean_res_norm") / F.col("mean_res_norm_baseline")).alias(
+                "drift"
+            ),
+        )
+    )
+
+
 def save_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -293,24 +398,72 @@ def save_ivfpq_index(
     (so a probe's cell filter becomes directory-level partition pruning
     — unprobed inverted lists are never read), plus the tiny model
     (centroids + codebooks) as JSON next to it. The compressed index IS
-    a table: m bytes/vector + the partition column."""
-    import json
-    import os
+    a table: m bytes/vector + the partition column.
 
+    model.json goes through the Hadoop FileSystem API, so the index can
+    live on any filesystem the parquet half supports (HDFS, s3a, local),
+    not just the driver's local disk.
+
+    Alongside the model, the per-cell mean residual norm of the indexed
+    corpus is recorded (``res_norm_baseline``) — the reference point
+    ``append_to_ivfpq_index``'s drift audit compares refresh batches
+    against."""
+    import json
+
+    spark = corpus.sparkSession
     encoded = ivfpq_encode(corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col)
-    encoded.write.partitionBy("cell").mode("overwrite").parquet(
-        os.path.join(path, "codes")
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    baseline = {
+        str(r["cell"]): float(r["mean_res_norm"])
+        for r in residual_stats(corpus, centroids, vec_col=vec_col).collect()
+    }
+    _hadoop_write_text(
+        spark,
+        f"{path}/model.json",
+        json.dumps(
+            {
+                "centroids": centroids,
+                "codebooks": codebooks,
+                "res_norm_baseline": baseline,
+            }
+        ),
     )
-    with open(os.path.join(path, "model.json"), "w") as f:
-        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
 
 
 def load_ivfpq_index(spark, path: str):
     """(centroids, codebooks, encoded_df) from ``save_ivfpq_index``."""
     import json
-    import os
 
-    with open(os.path.join(path, "model.json")) as f:
-        model = json.load(f)
-    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    model = json.loads(_hadoop_read_text(spark, f"{path}/model.json"))
+    encoded = spark.read.parquet(f"{path}/codes")
     return model["centroids"], model["codebooks"], encoded
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, hpath
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    """Small sidecar file via the Hadoop FileSystem API (filesystem-
+    agnostic twin of a local ``open(..., 'w')``)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

@@ -2014,6 +2014,53 @@ ORACLES["sim_topk_ivfpq"] = None
 QUERIES["sim_topk_ivfpq"] = q_sim_topk_ivfpq
 
 
+def q_ivfpq_index_drift(spark, sf):
+    """Incremental ANN index maintenance accounting (operators/ivfpq.py
+    ``append_to_ivfpq_index``): persist the IVFADC index over a corpus
+    snapshot (vec_id % 3 != 0), append the refresh batch (vec_id % 3 == 0)
+    at the FROZEN centroids/codebooks — O(batch) work, history never
+    re-encoded — and return the per-cell residual-drift audit: appended
+    count, the batch's mean residual norm vs the baseline recorded at
+    save time, and their ratio (the re-train signal; ~1.0 here because
+    fixture halves share one distribution). Rows-only by design (k-means
+    is seed-dependent); appended == from-scratch-encode at frozen books
+    is pinned exactly in tests/test_ivfpq.py. The audit materializes
+    (localCheckpoint) before the scratch index is removed.
+    """
+    import shutil
+    import tempfile
+
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        save_ivfpq_index,
+        train_ivfpq,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    snap = emb.where(F.col("vec_id") % 3 != 0)
+    fresh = emb.where(F.col("vec_id") % 3 == 0)
+    cents, books = train_ivfpq(snap, k_coarse=8, m=16, ksub=16, seed=42)
+    work = tempfile.mkdtemp(prefix="ivfpq_drift_")
+    try:
+        save_ivfpq_index(snap, f"{work}/index", cents, books)
+        audit = append_to_ivfpq_index(fresh, f"{work}/index").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return audit.select(
+        "cell",
+        "n_new",
+        round4(F.col("mean_res_norm_new")).alias("mean_res_norm_new"),
+        round4(F.col("mean_res_norm_baseline")).alias("mean_res_norm_baseline"),
+        round4(F.col("drift")).alias("drift"),
+    )
+
+
+ORACLES["ivfpq_index_drift"] = None
+QUERIES["ivfpq_index_drift"] = q_ivfpq_index_drift
+
+
 def q_dup_spans(spark, sf):
     """Repeated-span detection (the substring-level dedup of Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"):

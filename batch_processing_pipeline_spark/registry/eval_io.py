@@ -2434,13 +2434,14 @@ def q_bfs_hops(spark, sf):
     sparsified co-purchase graph (same <=3-distinct-parts-per-order graph
     as label_propagation); exactly 4 synchronized expansion rounds, so
     the result is the hop-distance histogram over the 4-hop ball:
-    per hop, node count and min/max node. Each round is one
-    neighbor-join + a min-merge groupBy; at 100 TB the production form
-    expands only the FRONTIER (nodes whose distance changed last round)
-    so the per-round join is frontier-sized, not ball-sized — the
-    fixed-horizon full-merge here keeps the readout deterministic and
-    the oracle unrollable. The oracle replays the same 4 rounds as
-    MATERIALIZED CTEs."""
+    per hop, node count and min/max node. ``bfs_distances`` expands only
+    the FRONTIER each round (nodes first reached last round), so the
+    per-round join is frontier-sized, not ball-sized, and newly-reached
+    nodes are an anti-join against the settled set — BFS distances are
+    final on first touch, so no min-merge over the whole ball is ever
+    needed (commit af4c16b; results identical to the full-merge form).
+    The oracle replays the same 4 rounds as MATERIALIZED min-merge CTEs —
+    same fixpoint, SQL-expressible."""
     from batch_processing_pipeline_spark.operators.graph_iter import (
         bfs_distances,
     )

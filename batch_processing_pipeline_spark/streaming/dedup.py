@@ -24,6 +24,7 @@ minimum durable state any exact cross-history dedup must carry.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from batch_processing_pipeline_spark.functions.text_analysis import doc_fingerprint
+
+
+def _has_committed_batches(path: str) -> bool:
+    """True iff the batch-partitioned store holds at least one COMMITTED
+    partition (a ``batch=*/`` dir with its ``_SUCCESS`` marker).
+
+    ``os.path.exists(path)`` alone is not a safe replay guard: a
+    first-epoch attempt that died mid-write leaves only ``_temporary``
+    files under ``path``, and schema inference over those fails exactly
+    the replay that is trying to repair that state. Local-FS check, like
+    every path handled by these jobs (the sandbox has no HDFS; at scale
+    swap for a FileSystem.globStatus on the same pattern).
+    """
+    if not os.path.isdir(path):
+        return False
+    return bool(glob.glob(os.path.join(path, "batch=*", "_SUCCESS")))
 
 
 def dedup_within_watermark(
@@ -74,7 +91,7 @@ def _merge_batch(
     # within-batch survivor: deterministic min id per fingerprint
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     fresh = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-    if os.path.exists(store_path):
+    if _has_committed_batches(store_path):
         seen = (
             spark.read.parquet(store_path)
             .where(F.col("batch") < F.lit(int(epoch_id)))
@@ -147,7 +164,7 @@ def _merge_batch_near(
 
     spark = batch.sparkSession
     docs = batch.select(F.col(id_col), F.col(text_col))
-    if os.path.exists(index_path):
+    if _has_committed_batches(index_path):
         index = spark.read.parquet(index_path).where(
             F.col("batch") < F.lit(int(epoch_id))
         )
@@ -158,10 +175,13 @@ def _merge_batch_near(
         )
     else:
         # bootstrap: no history — within-batch pass only, via an empty
-        # index (schema: id, sig, band_id, band_key)
+        # index (schema: id, sig, band_id, band_key); the id field's type
+        # follows the batch schema so a string-keyed corpus bootstraps the
+        # same index schema later batches will write
+        id_type = batch.schema[id_col].dataType.simpleString()
         index = spark.createDataFrame(
             [],
-            f"{id_col} long, sig array<bigint>, band_id int, band_key bigint",
+            f"{id_col} {id_type}, sig array<bigint>, band_id int, band_key bigint",
         )
         corpus = None
     kept_ids, _acct = neardedup_against_index(

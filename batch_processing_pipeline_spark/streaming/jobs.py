@@ -23,10 +23,31 @@ from pyspark.sql import functions as F
 from batch_processing_pipeline_spark.plans.autocomplete import autocomplete_batch
 
 
+# Default trigger batching for the hourly-log stream. Chosen from the
+# round-8 profile (PLANS.md, commit b34a4ed): wall time is LINEAR in
+# trigger count at fixture scale — each micro-batch pays ~1.5 s of fixed
+# overhead (state read + plan + commit) regardless of rows, so 24 files in
+# 6 triggers ran 9.9 s where 1 trigger ran 1.9 s. One reference day = 24
+# hourly files (README.md:86's "last 24 hours"), so the default folds a
+# full day's backlog into ONE trigger (cron parity: the reference's 5-min
+# batch job also merges its window in one pass) while still bounding a
+# multi-day backfill to day-sized batches instead of one giant batch.
+DEFAULT_MAX_FILES_PER_TRIGGER = 24
+
+
 def stream_query_log(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = DEFAULT_MAX_FILES_PER_TRIGGER,
 ) -> DataFrame:
-    """File-source stream over the hourly query-log directory."""
+    """File-source stream over the hourly query-log directory.
+
+    ``max_files_per_trigger`` bounds each micro-batch; results are
+    batch-split invariant (the foreachBatch merge is associative and
+    replay-guarded — pinned by ``tests/test_streaming.py``), so the knob
+    trades per-trigger fixed cost against per-batch memory only. ``None``
+    = no cap (availableNow folds the whole backlog into one trigger).
+    """
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -149,3 +149,83 @@ def test_ivfpq_index_roundtrip_and_partition_pruning(spark, ivfpq_model, tmp_pat
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:2000]
+
+
+def test_ivfpq_append_equals_retrain_at_frozen_codebooks(spark, ivfpq_model, tmp_path):
+    """Corpus refresh: save the index over a snapshot, append the rest via
+    append_to_ivfpq_index — the resulting stored code relation must equal
+    a from-scratch encode of the FULL corpus at the same frozen model
+    (same cells, same codes, every id exactly once), and search from the
+    appended index must match search from a full in-memory encode."""
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    snap = emb.where(F.col("vec_id") % 3 != 0)
+    fresh = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivfpq_index")
+    save_ivfpq_index(snap, path, cents, books)
+    audit = append_to_ivfpq_index(fresh, path)
+    audit_rows = audit.collect()
+
+    _, _, stored = load_ivfpq_index(spark, path)
+    stored_rows = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code)) for r in stored.collect()
+    )
+    scratch_rows = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in ivfpq_encode(emb, cents, books).collect()
+    )
+    assert stored_rows == scratch_rows
+
+    queries = emb.where(F.col("vec_id") < 5)
+    direct = ivfpq_topk(queries, emb, cents, books, k=10, nprobe=4, refine=50)
+    from_index = ivfpq_topk(
+        queries, emb, cents, books, k=10, nprobe=4, refine=50,
+        encoded=stored, prune_scan=True,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, from_index.collect())
+    )
+
+    # drift audit sanity: same-distribution refresh -> drift ~ 1 where
+    # both sides have data (isotropic fixture; loose band, exactness is
+    # covered by the residual_stats differential below)
+    with_both = [r for r in audit_rows if r.drift is not None and r.n_new > 0]
+    assert with_both, audit_rows
+    for r in with_both:
+        assert 0.5 < r.drift < 2.0, r
+
+
+def test_residual_stats_matches_numpy(spark, ivfpq_model):
+    """residual_stats differential: per-cell mean residual norm equals an
+    exact numpy recomputation over the collected fixture."""
+    import numpy as np
+
+    from batch_processing_pipeline_spark.operators.ivfpq import residual_stats
+
+    cents, _ = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        r.cell: (r.n, r.mean_res_norm)
+        for r in residual_stats(emb, cents).collect()
+    }
+    X = np.asarray(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(cents, dtype=np.float64)
+    d2 = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    cells = d2.argmin(1)
+    rn = np.linalg.norm(X - C[cells], axis=1)
+    for c in sorted(set(cells.tolist())):
+        n_exp = int((cells == c).sum())
+        mean_exp = float(rn[cells == c].mean())
+        assert got[c][0] == n_exp
+        assert abs(got[c][1] - mean_exp) < 1e-9

@@ -386,3 +386,40 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
     }
     assert got == want
     assert got == {(0, 1), (0, 2), (4, 6), (5, 6)}
+
+
+def test_stream_batch_split_invariance_across_trigger_knob(spark, tmp_path):
+    """The max_files_per_trigger knob (round-9 API promotion of the r8
+    trigger-batching profile) must change ONLY how the backlog is split
+    into micro-batches, never the result: same logs run with 2-file
+    triggers, with the 24-file default, and with no cap at all produce
+    identical cumulative state and identical suggestions."""
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    words = ["alpha", "alpine", "beta", "betamax", "gamma", "alpha"]
+    for h in range(6):
+        (logs / f"2025-01-01-{h:02d}.txt").write_text(
+            "\n".join(words[: h + 1]) + "\n"
+        )
+
+    results = {}
+    for label, mfpt in (("two", 2), ("default", None), ("nocap", 0)):
+        base = tmp_path / f"run_{label}"
+        kwargs = {} if mfpt is None else {"max_files_per_trigger": mfpt or None}
+        q = run_autocomplete_stream(
+            stream_query_log(spark, str(logs), **kwargs),
+            str(base / "state"),
+            str(base / "sugg"),
+            str(base / "ckpt"),
+            k=5,
+        )
+        _await(q)
+        state = spark.read.parquet(os.path.join(str(base / "state"), "current"))
+        results[label] = (
+            {(r.prefix, r.query): r.frequency for r in state.collect()},
+            {
+                r.prefix: list(r.completions)
+                for r in spark.read.parquet(str(base / "sugg")).collect()
+            },
+        )
+    assert results["two"] == results["default"] == results["nocap"]
