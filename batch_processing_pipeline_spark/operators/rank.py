@@ -94,6 +94,87 @@ def exact_global_rank(
     )
 
 
+def exact_global_cumagg(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    measures: Sequence[tuple[str, str, str]],
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact RUNNING aggregates over a total order without a
+    single-partition sort — the cumulative-sum sibling of
+    :func:`exact_global_rank`.
+
+    ``measures``: ``(out_col, in_col, op)`` triples, ``op`` in
+    ``{"sum", "max", "min"}``. ``inclusive=False`` gives the
+    strictly-preceding frame (``ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING`` — NULL on the global first row, like the window form).
+
+    Shape: range shuffle (partitions = ordered ranges) → per-partition
+    running aggregate (the ``partitionBy(spark_partition_id())`` window
+    costs ONE more balanced hash exchange — a running aggregate, unlike a
+    rank, cannot ride the monotonic-id bit trick) → one-row-per-partition
+    totals combined into exclusive per-partition offsets, broadcast back
+    and merged (sum: ``+``; max/min: ``greatest``/``least``, which skip
+    NULLs). Two balanced corpus exchanges total; nothing single-partition
+    but the P-row offsets window.
+
+    Float caveat: running SUM of doubles re-associates additions relative
+    to the sequential window form (partition partials + offset) — same
+    cross-engine exposure class the repo's round4-before-compare
+    discipline already covers; integer/date measures are exact.
+
+    Same exchange-reuse invariant as exact_global_rank (the totals branch
+    must see the rank branch's boundaries), same total-order caller
+    contract.
+    """
+    order_by = list(order_by)
+    measures = list(measures)
+    ops = {"sum": F.sum, "max": F.max, "min": F.min}
+    for _, _, op in measures:
+        if op not in ops:
+            raise ValueError(f"unsupported op: {op!r}")
+    if num_partitions is not None:
+        parts = df.repartitionByRange(num_partitions, *order_by)
+    else:
+        parts = df.repartitionByRange(*order_by)
+    local = parts.withColumn("__pid", F.spark_partition_id())
+    end = 0 if inclusive else -1
+    w_run = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    run = local.select(
+        "*", *[ops[op](in_col).over(w_run).alias(f"__run_{out}") for out, in_col, op in measures]
+    )
+    totals = local.groupBy("__pid").agg(
+        *[ops[op](in_col).alias(f"__tot_{out}") for out, in_col, op in measures]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            ops[op](f"__tot_{out}").over(w_off).alias(f"__off_{out}")
+            for out, _, op in measures
+        ],
+    )
+    combined = run.join(F.broadcast(offsets), "__pid")
+    for out, _, op in measures:
+        r, o = F.col(f"__run_{out}"), F.col(f"__off_{out}")
+        if op == "sum":
+            expr = F.when(o.isNull(), r).when(r.isNull(), o).otherwise(r + o)
+        elif op == "max":
+            expr = F.greatest(r, o)
+        else:
+            expr = F.least(r, o)
+        combined = combined.withColumn(out, expr)
+    drop = ["__pid"] + [f"__run_{o}" for o, _, _ in measures] + [
+        f"__off_{o}" for o, _, _ in measures
+    ]
+    return combined.drop(*drop)
+
+
 def global_topk(
     df: DataFrame,
     order_by: Sequence[Column],

@@ -38,7 +38,16 @@ def top_k_per_group(
     ``order_by`` must end in a unique tie-break (caller contract — asserted
     nowhere cheaper than here, so it is documented instead: pass e.g.
     ``[F.desc("frequency"), F.asc("query")]``).
+
+    Empty ``group_cols`` = GLOBAL top-k: InferWindowGroupLimit does NOT
+    fire on an empty partitionSpec (verified on 4.1), so the naive window
+    would be a single-partition sort of the whole relation — that case
+    delegates to the explicit two-phase ``operators.rank.global_topk``.
     """
+    if not group_cols:
+        from batch_processing_pipeline_spark.operators.rank import global_topk
+
+        return global_topk(df, order_by, k, rank_col=rank_col)
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 

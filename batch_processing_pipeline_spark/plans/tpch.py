@@ -485,8 +485,11 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(round4(F.sum(_rev())).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("_mx", F.max("total_revenue").over(w)).where(
+    # scalar max via aggregate + broadcast, not a whole-relation window
+    # (supplier is SF-growing; Window.partitionBy() would funnel every
+    # supplier row through one reducer)
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("_mx")
     )
     s = _t(spark, sf, "supplier")

@@ -2213,10 +2213,12 @@ def q_quantile_normalize(spark, sf):
     every domain fairly).  Deterministic tie-break (score, doc_id) on both
     the domain rank and the global reference ladder.
 
-    Scale note: the global ladder here is an exact single-window
-    row_number (fixture-sized); at corpus scale the ladder is an
-    approx_percentile grid of a few hundred knots broadcast to the
-    domain-ranked rows — same join shape, bounded reference.
+    Scale note (round 9): the global reference ladder is an exact
+    range-partitioned global rank (operators/rank.py), and the
+    percentile lookup is a shuffle equi-join on the rank — both sides
+    corpus-sized, neither broadcast, no unpartitioned window anywhere.
+    (An approx_percentile knot grid remains a cheaper lossy alternative,
+    but the exact form is itself scale-shaped now.)
     """
     from batch_processing_pipeline_spark.functions.text_analysis import (
         quality_score,
@@ -2239,16 +2241,19 @@ def q_quantile_normalize(spark, sf):
         ).alias("pr"),  # greatest(...,1): a single-doc language gets pr=0
         # instead of 0/0 -> NULL -> silently dropped from the join
     )
-    wg = Window.orderBy("score", "doc_id")
-    glob = scored.select(
-        F.col("score").alias("gscore"), F.row_number().over(wg).alias("rn")
-    )
+    from batch_processing_pipeline_spark.operators.rank import exact_global_rank
+
+    glob = exact_global_rank(
+        scored.select(F.col("score").alias("gscore"), "doc_id"),
+        [F.col("gscore").asc(), F.col("doc_id").asc()],
+        out_col="rn",
+    ).select("gscore", "rn")
     n = scored.count()
     target = ranked.withColumn(
-        "target_rn", (F.floor(F.col("pr") * (n - 1)) + 1).cast("int")
+        "target_rn", (F.floor(F.col("pr") * (n - 1)) + 1).cast("bigint")
     )
     return (
-        target.join(F.broadcast(glob), F.col("target_rn") == F.col("rn"))
+        target.join(glob, F.col("target_rn") == F.col("rn"))
         .select(
             "doc_id",
             "lang",

@@ -1359,22 +1359,27 @@ def q_skyline_2d(spark, sf):
 
     The classic sort-filter skyline: order by (price asc, date desc) and
     keep a point iff its date strictly exceeds the running max over all
-    STRICTLY preceding points — one dimension-ordered window over the
+    STRICTLY preceding points — a dimension-ordered running max over the
     distinct-pair relation, no pairwise dominance join (the O(n²) trap).
     Distinct-pair collapse first makes equal-point handling exact:
-    duplicates are one point, and the window needs no tie rules."""
+    duplicates are one point, and the running max needs no tie rules.
+    The distinct-pair relation is fact-cardinality-bounded but SF-growing,
+    so the running max is range-sharded (operators/rank.py
+    exact_global_cumagg, round 9), never a whole-relation window."""
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
+    )
+
     o = _t(spark, sf, "orders")
     pts = o.select(
         F.col("o_totalprice").alias("price"),
         F.to_date("o_orderdate").alias("d"),
     ).distinct()
-    w = Window.orderBy(F.col("price").asc(), F.col("d").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    flagged = pts.select(
-        "price",
-        "d",
-        F.max("d").over(w).alias("best_prev"),
+    flagged = exact_global_cumagg(
+        pts,
+        [F.col("price").asc(), F.col("d").desc()],
+        [("best_prev", "d", "max")],
+        inclusive=False,
     )
     return (
         flagged.where(

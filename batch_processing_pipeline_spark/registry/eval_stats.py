@@ -1000,9 +1000,12 @@ def q_qini_uplift(spark, sf):
     control-rate, scaled to the treated count) accumulate into the Qini
     curve; the endpoint is the overall incremental lift and the curve
     shape is what a targeting model is judged on. Deciles come from
-    NTILE over the per-user relation (users, not events — the correct
-    uplift unit); everything else is conditional aggregation + one
-    cumulative window over 10 rows."""
+    NTILE semantics over the per-user relation (users, not events — the
+    correct uplift unit), computed since round 9 as arithmetic on an
+    exact range-partitioned global rank (operators/rank.py — the user
+    dimension is corpus-scale, so no unpartitioned window may see it);
+    everything else is conditional aggregation + one cumulative window
+    over 10 rows."""
     e = _events(spark, sf)
     per_user = e.groupBy("user_id").agg(
         F.max(
@@ -1026,12 +1029,21 @@ def q_qini_uplift(spark, sf):
         # deterministic targeting score: activity blended with a hash
         (F.col("n_events") * 1000.0 + (h % 997).cast("double")).alias("score"),
     )
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_rank,
+        ntile_from_rank,
+    )
+
     # user_id tie-break gives NTILE a TOTAL order — equal scores would
     # otherwise bucket engine-dependently
-    decile = F.ntile(10).over(
-        Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+    ranked = exact_global_rank(
+        scored, [F.col("score").desc(), F.col("user_id").asc()], out_col="__r"
+    ).crossJoin(F.broadcast(scored.agg(F.count(F.lit(1)).alias("__n"))))
+    binned = ranked.select(
+        "converted",
+        "treat",
+        ntile_from_rank(F.col("__r"), F.col("__n"), 10).alias("decile"),
     )
-    binned = scored.select("converted", "treat", decile.alias("decile"))
     per_dec = binned.groupBy("decile").agg(
         F.sum(F.when(F.col("treat") == 1, F.col("converted"))).cast("double").alias("conv_t"),
         F.sum("treat").cast("double").alias("n_t"),
@@ -1375,21 +1387,22 @@ def q_bm25_search(spark, sf):
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("score"))
     )
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
     # rank on the ROUND4-ed score: raw-double ordering can flip near-ties
     # on cross-engine ulp drift (partial-agg sum order); equal rounded
-    # scores resolve by the md5 tie-break
-    w_rank = Window.orderBy(
-        round4(F.col("score")).desc(),
-        F.md5(F.col("doc_id").cast("string")).asc(),
-    )
-    return (
-        scored.select(
-            "doc_id", round4(F.col("score")).alias("bm25"),
-            F.row_number().over(w_rank).alias("rk"),
-        )
-        .where(F.col("rk") <= 20)
-        .select("rk", "doc_id", "bm25")
-    )
+    # scores resolve by the md5 tie-break. global_topk: the scored
+    # relation is corpus-sized (every doc with >= 1 query term), so the
+    # top-20 must be two-phase, not an unpartitioned window (round 9)
+    return global_topk(
+        scored.select("doc_id", round4(F.col("score")).alias("bm25")),
+        [
+            F.col("bm25").desc(),
+            F.md5(F.col("doc_id").cast("string")).asc(),
+        ],
+        k=20,
+        rank_col="rk",
+    ).select("rk", "doc_id", "bm25")
 
 
 ORACLES["bm25_search"] = f"""
@@ -2382,21 +2395,21 @@ def q_keyword_trends(spark, sf):
         F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).cast("double").alias("f1"),
         F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("double").alias("f2"),
     ).where(F.col("f1") + F.col("f2") >= 10)
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
     rise = (F.col("f2") + 1.0) / (F.col("f1") + 1.0)
-    w_rank = Window.orderBy(
-        round4(rise).desc(), F.md5(F.col("w")).asc()
-    )
-    return (
+    # vocabulary-sized input -> two-phase global top-k (round 9)
+    return global_topk(
         counts.select(
             F.col("w").alias("term"),
             F.col("f1").cast("long").alias("n_first_half"),
             F.col("f2").cast("long").alias("n_second_half"),
             round4(rise).alias("rise_ratio"),
-            F.row_number().over(w_rank).alias("rk"),
-        )
-        .where(F.col("rk") <= 15)
-        .select("rk", "term", "n_first_half", "n_second_half", "rise_ratio")
-    )
+        ),
+        [F.col("rise_ratio").desc(), F.md5(F.col("term")).asc()],
+        k=15,
+        rank_col="rk",
+    ).select("rk", "term", "n_first_half", "n_second_half", "rise_ratio")
 
 
 ORACLES["keyword_trends"] = f"""
@@ -2431,8 +2444,10 @@ def q_stratified_ate(spark, sf):
     outcomes — the classic observational adjustment when randomization
     can't be trusted (Cochran's subclassification; five strata remove
     ~90% of the bias a raw difference carries). Per-user rollup, NTILE
-    with a total-order tie-break (the qini_uplift lesson), one
-    conditional aggregation per stratum, weighted reduce; empty arms
+    semantics with a total-order tie-break (the qini_uplift lesson) —
+    computed since round 9 as arithmetic on an exact range-partitioned
+    global rank (operators/rank.py; the user dimension is corpus-scale) —
+    one conditional aggregation per stratum, weighted reduce; empty arms
     yield NULL cell means and drop from the weighted sum in both
     engines."""
     e = _events(spark, sf)
@@ -2453,12 +2468,26 @@ def q_stratified_ate(spark, sf):
         16,
         10,
     ).cast("bigint")
-    scored = per_user.select(
-        "y",
-        (h % 2 == 0).cast("int").alias("t"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("activity").desc(), F.col("user_id").asc()))
-        .alias("stratum"),
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_rank,
+        ntile_from_rank,
+    )
+
+    pre = per_user.select(
+        "y", "activity", "user_id", (h % 2 == 0).cast("int").alias("t")
+    )
+    scored = (
+        exact_global_rank(
+            pre,
+            [F.col("activity").desc(), F.col("user_id").asc()],
+            out_col="__r",
+        )
+        .crossJoin(F.broadcast(pre.agg(F.count(F.lit(1)).alias("__n"))))
+        .select(
+            "y",
+            "t",
+            ntile_from_rank(F.col("__r"), F.col("__n"), 5).alias("stratum"),
+        )
     )
     per_s = scored.groupBy("stratum").agg(
         F.count(F.lit(1)).cast("double").alias("n_s"),
@@ -2558,13 +2587,16 @@ def q_ndcg_eval(spark, sf):
     per_prefix = per_item.groupBy("prefix").agg(
         F.sum("dg").alias("dcg"), F.sum("ig").alias("idcg")
     )
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
     busy = freq.groupBy("prefix").agg(F.sum("frequency").alias("total"))
-    w_busy = Window.orderBy(F.col("total").desc(), F.md5("prefix").asc())
-    top_busy = (
-        busy.withColumn("brk", F.row_number().over(w_busy))
-        .where(F.col("brk") <= 20)
-        .select("prefix", "total", "brk")
-    )
+    # prefix-dimension-sized input -> two-phase global top-k (round 9)
+    top_busy = global_topk(
+        busy,
+        [F.col("total").desc(), F.md5("prefix").asc()],
+        k=20,
+        rank_col="brk",
+    ).select("prefix", "total", "brk")
     return (
         top_busy.join(per_prefix, "prefix")
         .select(
@@ -2647,21 +2679,22 @@ def q_bayes_smooth_rank(spark, sf):
         F.sum("l_quantity").alias("sx"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
     c = 25.0
     smoothed = (F.lit(c) * F.col("m") + F.col("sx")) / (F.lit(c) + F.col("n"))
-    w = Window.orderBy(round4(smoothed).desc(), F.col("l_partkey").asc())
-    return (
-        per_part.crossJoin(F.broadcast(g))
-        .select(
+    # part-dimension-sized input -> two-phase global top-k (round 9)
+    return global_topk(
+        per_part.crossJoin(F.broadcast(g)).select(
             F.col("l_partkey").cast("long").alias("part"),
             F.col("n").alias("n_lineitems"),
             round4(F.col("sx") / F.col("n")).alias("raw_mean"),
             round4(smoothed).alias("smoothed_mean"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .where(F.col("rk") <= 20)
-        .select("rk", "part", "n_lineitems", "raw_mean", "smoothed_mean")
-    )
+        ),
+        [F.col("smoothed_mean").desc(), F.col("part").asc()],
+        k=20,
+        rank_col="rk",
+    ).select("rk", "part", "n_lineitems", "raw_mean", "smoothed_mean")
 
 
 ORACLES["bayes_smooth_rank"] = f"""
@@ -3114,12 +3147,23 @@ def q_compaction_plan(spark, sf):
     files = li.groupBy(F.col("l_suppkey").alias("file_id")).agg(
         F.sum(F.floor("l_quantity").cast("long")).alias("size_units")
     )
-    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
-    planned = files.select(
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
+    )
+
+    # 10^7-file metadata relations are real at 100 TB: the exclusive
+    # cumsum is range-sharded (round 9), never a whole-relation window;
+    # integer units keep the re-association exact
+    planned = exact_global_cumagg(
+        files,
+        [F.col("file_id").asc()],
+        [("cum_before", "size_units", "sum")],
+        inclusive=False,
+    ).select(
         "file_id",
         "size_units",
         F.floor(
-            F.coalesce(F.sum("size_units").over(w), F.lit(0)) / F.lit(500)
+            F.coalesce(F.col("cum_before"), F.lit(0)) / F.lit(500)
         ).cast("long").alias("grp"),
     )
     return (

@@ -662,13 +662,13 @@ def q_bpe_merge_candidates(spark, sf):
         .groupBy("pair")
         .agg(F.sum("n").alias("cnt"))
     )
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
     tie = F.md5(F.encode(F.col("pair"), "UTF-8"))
-    wr = Window.partitionBy().orderBy(F.desc("cnt"), tie.asc())
-    return (
-        pairs.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= 20)
-        .select(F.col("rk").cast("int").alias("rk"), "pair", "cnt")
-    )
+    # pair-vocabulary-sized input -> two-phase global top-k (round 9)
+    return global_topk(
+        pairs, [F.desc("cnt"), tie.asc()], k=20, rank_col="rk"
+    ).select(F.col("rk").cast("int").alias("rk"), "pair", "cnt")
 
 
 ORACLES["bpe_merge_candidates"] = r"""
@@ -917,12 +917,12 @@ def q_udtf_ngrams(spark, sf):
         GROUP BY t.ngram
         """
     )
-    wr = Window.partitionBy().orderBy(F.desc("n"), F.asc("ngram"))
-    return (
-        counted.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= 25)
-        .select(F.col("rk").cast("int").alias("rk"), "ngram", "n")
-    )
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
+    # trigram-vocabulary-sized input -> two-phase global top-k (round 9)
+    return global_topk(
+        counted, [F.desc("n"), F.asc("ngram")], k=25, rank_col="rk"
+    ).select(F.col("rk").cast("int").alias("rk"), "ngram", "n")
 
 
 ORACLES["udtf_ngrams"] = r"""

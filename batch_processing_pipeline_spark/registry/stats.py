@@ -1057,13 +1057,21 @@ def q_ks_test(spark, sf):
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("nb"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = per_v.select(
-        F.sum("na").over(w_cum).alias("ca"),
-        F.sum("nb").over(w_cum).alias("cb"),
-        F.sum("na").over(w_all).alias("ta"),
-        F.sum("nb").over(w_all).alias("tb"),
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
+    )
+
+    # distinct-value support can approach corpus size at 100 TB: running
+    # ECDFs via the range-sharded cumagg (round 9), totals via a
+    # broadcast scalar aggregate — no whole-relation window
+    cum = exact_global_cumagg(
+        per_v,
+        [F.col("v").asc()],
+        [("ca", "na", "sum"), ("cb", "nb", "sum")],
+    ).crossJoin(
+        F.broadcast(
+            per_v.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+        )
     )
     return cum.agg(
         F.max("ta").cast("long").alias("n_click"),
@@ -1124,12 +1132,20 @@ def q_mannwhitney_u(spark, sf):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na_v"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_v.select(
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
+    )
+
+    # midranks from the range-sharded running count (round 9 — the
+    # distinct-value support is the ks_test scale case); integer sums,
+    # so the re-association is exact
+    ranked = exact_global_cumagg(
+        per_v, [F.col("v").asc()], [("ccnt", "cnt", "sum")]
+    ).select(
         "cnt",
         "na_v",
         (
-            (F.sum("cnt").over(w_cum) - F.col("cnt")).cast("double")
+            (F.col("ccnt") - F.col("cnt")).cast("double")
             + (F.col("cnt").cast("double") + 1.0) / 2.0
         ).alias("avg_rank"),
     )
@@ -1261,15 +1277,20 @@ def q_zipf_fit(spark, sf):
     portable split — regex whitespace classes drift between engines),
     rank with a deterministic (count DESC, word ASC) tie-break, and
     reduce the log-log cloud to the five OLS sums in one aggregate.
-    The only global window runs over the DISTINCT vocabulary."""
+    The vocabulary rank is an exact range-partitioned global rank
+    (operators/rank.py — round 9): a 100 TB corpus's distinct vocabulary
+    is itself huge, so no unpartitioned window may see it."""
+    from batch_processing_pipeline_spark.operators.rank import exact_global_rank
+
     d = _t(spark, sf, "documents")
     words = d.select(
         F.explode(F.split("text", " ", -1)).alias("w")
     ).where(F.col("w") != "")
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("w").asc())
-    pts = freq.select(
-        F.log(F.row_number().over(w_rank).cast("double")).alias("x"),
+    pts = exact_global_rank(
+        freq, [F.col("n").desc(), F.col("w").asc()], out_col="__r"
+    ).select(
+        F.log(F.col("__r").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
     agg = pts.agg(
@@ -1532,20 +1553,27 @@ def q_pareto_abc(spark, sf):
             "revenue"
         )
     )
-    w_cum = Window.orderBy(F.col("revenue").desc(), F.col("p").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
     )
-    w_tot = Window.partitionBy()
+
     # the class boundary is tested on a round4-ed share: Spark's running
-    # window sum and DuckDB's segment-tree window aggregation can
-    # associate float additions differently, so a raw cum_share within
-    # ~1ulp of 0.80/0.95 could flip class between engines (ADVICE r4)
-    classed = rev.select(
+    # window sum, DuckDB's segment-tree window aggregation, AND the
+    # range-sharded cumagg (round 9 — partition partials + offset) can
+    # all associate float additions differently, so a raw cum_share
+    # within ~1ulp of 0.80/0.95 could flip class between engines
+    # (ADVICE r4); the part dimension is SF-growing, hence no
+    # whole-relation window
+    classed = exact_global_cumagg(
+        rev,
+        [F.col("revenue").desc(), F.col("p").asc()],
+        [("cum_rev", "revenue", "sum")],
+    ).crossJoin(
+        F.broadcast(rev.agg(F.sum("revenue").alias("__t")))
+    ).select(
         "p",
         "revenue",
-        round4(
-            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot)
-        ).alias("cum_share"),
+        round4(F.col("cum_rev") / F.col("__t")).alias("cum_share"),
     ).select(
         "p",
         "revenue",

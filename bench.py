@@ -139,6 +139,17 @@ def _load_previous() -> tuple[str, dict[str, float]] | None:
         with open(best[1]) as f:
             doc = json.load(f)
         queries = (doc.get("parsed") or doc).get("queries") or {}
+        if not queries and isinstance(doc.get("tail"), str):
+            # driver wrapper with parsed=null: the bench JSON line lives
+            # (possibly front-truncated) in "tail" — recover the queries
+            # object by decoding from the '"queries":' position, else the
+            # regression diff and the min-of-N retry silently disarm
+            t = doc["tail"]
+            i = t.find('"queries"')
+            if i != -1:
+                j = t.find("{", i)
+                if j != -1:
+                    queries = json.JSONDecoder().raw_decode(t, j)[0]
         return os.path.basename(best[1]), {k: float(v) for k, v in queries.items()}
     except (OSError, ValueError, AttributeError):
         return None

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from batch_processing_pipeline_spark.operators.rank import (
+    exact_global_cumagg,
     exact_global_rank,
     global_topk,
     ntile_from_rank,
@@ -108,3 +109,60 @@ def test_ntile_arithmetic_matches_spark_ntile(spark, n, k):
         (F.col("nt") != F.col("nt2")) | (F.col("rn_in") != F.col("rn_naive"))
     )
     assert bad.count() == 0
+
+
+def test_exact_global_cumagg_matches_naive_window(spark):
+    df = _fixture(spark).select(
+        "id", "v", (F.col("id") % 13).cast("long").alias("m")
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = exact_global_cumagg(
+        df,
+        order,
+        [("cs", "m", "sum"), ("cm", "m", "max"), ("cn", "m", "min")],
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.select(
+        "id",
+        "v",
+        "m",
+        F.sum("m").over(w).alias("cs"),
+        F.max("m").over(w).alias("cm"),
+        F.min("m").over(w).alias("cn"),
+    )
+    cols = ["id", "v", "m", "cs", "cm", "cn"]
+    assert got.select(cols).exceptAll(naive.select(cols)).isEmpty()
+    assert naive.select(cols).exceptAll(got.select(cols)).isEmpty()
+
+
+def test_exact_global_cumagg_exclusive_matches_naive(spark):
+    df = _fixture(spark).select(
+        "id", "v", (F.col("id") % 13).cast("long").alias("m")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = exact_global_cumagg(
+        df, order, [("cs", "m", "sum"), ("cm", "m", "max")], inclusive=False
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.select(
+        "id",
+        "v",
+        "m",
+        F.sum("m").over(w).alias("cs"),
+        F.max("m").over(w).alias("cm"),
+    )
+    cols = ["id", "v", "m", "cs", "cm"]
+    assert got.select(cols).exceptAll(naive.select(cols)).isEmpty()
+    assert naive.select(cols).exceptAll(got.select(cols)).isEmpty()
+    # the global first row must be NULL under the exclusive frame
+    first = got.orderBy(F.col("v").desc(), F.col("id").asc()).limit(1).collect()[0]
+    assert first.cs is None and first.cm is None
+
+
+def test_exact_global_cumagg_empty_and_bad_op(spark):
+    df = _fixture(spark).where(F.lit(False)).select(
+        "id", "v", F.col("id").alias("m")
+    )
+    assert exact_global_cumagg(df, [F.col("id").asc()], [("c", "m", "sum")]).count() == 0
+    with pytest.raises(ValueError):
+        exact_global_cumagg(df, [F.col("id").asc()], [("c", "m", "avg")])
