@@ -2205,9 +2205,10 @@ def q_auc_eval(spark, sf):
     the label so AUC lands strictly between 0.5 and 1 — a degenerate
     0.5 or 1.0 AUC would not exercise the rank math).
 
-    Scale shape: ranks come from one cumulative window over DISTINCT
-    scores (value-cardinality bounded, the ks_test discipline), never a
-    global per-row sort."""
+    Scale shape: midranks come from a running count over DISTINCT
+    scores — value-cardinality bounded at ~10^6 by the 6-decimal floor,
+    and since round 9 range-sharded anyway (exact_global_cumagg, the
+    ks_test discipline) — never a global per-row sort."""
     e = _events(spark, sf)
     label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     u = (
@@ -2233,13 +2234,18 @@ def q_auc_eval(spark, sf):
         F.count(F.lit(1)).alias("cnt"),
         F.sum("y").alias("pos"),
     )
-    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_s.select(
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
+    )
+
+    ranked = exact_global_cumagg(
+        per_s, [F.col("s").asc()], [("ccnt", "cnt", "sum")]
+    ).select(
         "s",
         "cnt",
         "pos",
         (
-            (F.sum("cnt").over(w_cum) - F.col("cnt")).cast("double")
+            (F.col("ccnt") - F.col("cnt")).cast("double")
             + (F.col("cnt").cast("double") + 1.0) / 2.0
         ).alias("midrank"),
     )
