@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): the operators/rank.py total-order
+family vs exact pure-python references on random small relations —
+global rank, ntile bucketing, global top-k, and running aggregates are
+all trivially replayable in python, so the differential is full
+list/dict equality, not just invariants. Duplicated order-key values are
+generated on purpose: the range shuffle may split ties across partition
+boundaries, which is exactly the regime the unique-tie-break contract
+plus the offsets math must survive."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from batch_processing_pipeline_spark.operators.rank import (
+    exact_global_cumagg,
+    exact_global_rank,
+    global_topk,
+    ntile_from_rank,
+)
+
+# (id, key) rows: ids unique, keys heavily duplicated (0..3)
+_ROWS = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=1, max_size=40
+).map(lambda keys: [(i, k) for i, k in enumerate(keys)])
+
+
+def _sorted_rows(rows):
+    # the order every test uses: key desc, id asc (unique tie-break)
+    return sorted(rows, key=lambda r: (-r[1], r[0]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_ROWS)
+def test_exact_global_rank_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "id long, k long").repartition(5)
+    got = {
+        r.id: r.rnk
+        for r in exact_global_rank(
+            df, [F.col("k").desc(), F.col("id").asc()], out_col="rnk"
+        ).collect()
+    }
+    expected = {r[0]: i + 1 for i, r in enumerate(_sorted_rows(rows))}
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_ROWS, k=st.integers(min_value=1, max_value=7))
+def test_global_topk_matches_python(spark, rows, k):
+    df = spark.createDataFrame(rows, "id long, k long").repartition(5)
+    got = sorted(
+        (r.rk, r.id)
+        for r in global_topk(
+            df, [F.col("k").desc(), F.col("id").asc()], k=k, rank_col="rk"
+        ).collect()
+    )
+    expected = [(i + 1, r[0]) for i, r in enumerate(_sorted_rows(rows)[:k])]
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(n=st.integers(min_value=1, max_value=60), k=st.integers(min_value=1, max_value=7))
+def test_ntile_from_rank_matches_python(spark, n, k):
+    # pure-python NTILE: first n%k buckets get n//k+1 rows
+    base, rem = divmod(n, k)
+    expected = []
+    for b in range(1, k + 1):
+        expected.extend([b] * (base + (1 if b <= rem else 0)))
+    df = spark.range(1, n + 1).select(F.col("id").alias("r"))
+    got = {
+        r.r: r.nt
+        for r in df.select(
+            "r", ntile_from_rank(F.col("r"), F.lit(n), k).alias("nt")
+        ).collect()
+    }
+    assert got == {i + 1: expected[i] for i in range(n)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_ROWS, inclusive=st.booleans())
+def test_exact_global_cumagg_matches_python(spark, rows, inclusive):
+    df = spark.createDataFrame(rows, "id long, k long").repartition(5)
+    got = {
+        r.id: (r.cs, r.cm)
+        for r in exact_global_cumagg(
+            df,
+            [F.col("k").desc(), F.col("id").asc()],
+            [("cs", "k", "sum"), ("cm", "id", "max")],
+            inclusive=inclusive,
+        ).collect()
+    }
+    ordered = _sorted_rows(rows)
+    expected = {}
+    run_sum, run_max, first = 0, None, True
+    for rid, key in ordered:
+        if inclusive:
+            run_sum += key
+            run_max = rid if run_max is None else max(run_max, rid)
+            expected[rid] = (run_sum, run_max)
+        else:
+            # Spark's empty exclusive frame on the global first row is NULL
+            expected[rid] = (None if first else run_sum, run_max)
+            first = False
+            run_sum += key
+            run_max = rid if run_max is None else max(run_max, rid)
+    assert got == expected
