@@ -3577,3 +3577,134 @@ ORACLES["snapshot_diff"] = f"""
     FROM diff GROUP BY status
 """
 QUERIES["snapshot_diff"] = q_snapshot_diff
+
+
+def q_weighted_sample(spark, sf):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    A-RES): each doc draws a deterministic md5-uniform u and competes on
+    key = ln(u) / weight (weight = n_chars, clamped >= 1); the k largest
+    keys ARE an exact weighted sample without replacement — the standard
+    way a training-data mix oversamples long/high-quality documents
+    without a global RNG. Deterministic (seeded by doc_id, no RNG state,
+    identical under retries/repartitioning — the sampling.py discipline)
+    and ORACLE-CHECKABLE because both engines compute the same md5
+    arithmetic. Keys round4 before ranking with an md5 tie-break
+    (cross-engine ulp discipline on ln/division); top-50 selected by the
+    two-phase global_topk — corpus-sized input, never an unpartitioned
+    window (operators/rank.py)."""
+    from batch_processing_pipeline_spark.operators.rank import global_topk
+
+    d = _t(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    wt = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        round4(F.log(u) / wt).alias("key"),
+    )
+    return global_topk(
+        scored,
+        [
+            F.col("key").desc(),
+            F.md5(F.col("doc_id").cast("string")).asc(),
+        ],
+        k=50,
+        rank_col="rank",
+    ).select("rank", "doc_id", "weight", "key")
+
+
+ORACLES["weighted_sample"] = f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars AS weight,
+             {R("ln((CAST(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+                " AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)"
+                " / GREATEST(CAST(n_chars AS DOUBLE), 1.0)")} AS key
+      FROM documents
+    )
+    SELECT rank, doc_id, weight, key FROM (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY key DESC, md5(CAST(doc_id AS VARCHAR)) ASC)
+             AS INTEGER) AS rank,
+             doc_id, weight, key
+      FROM scored
+    ) WHERE rank <= 50
+"""
+QUERIES["weighted_sample"] = q_weighted_sample
+
+
+def q_exact_quantiles(spark, sf):
+    """EXACT global quantiles of a fact-sized column (nearest-rank,
+    type-1) without a single-partition sort: the quantile at q is the
+    value whose exact global rank is ceil(q*n) under the (value, unique
+    id) total order. Ranks come from the range-sharded
+    exact_global_rank; the four target ranks are computed from one
+    broadcast scalar count and picked by a bounded IN filter — so the
+    whole query is one range shuffle + a 4-row semi-filter, where
+    percentile_cont/_disc aggregate implementations funnel the sorted
+    relation through their aggregation path and approx_percentile trades
+    exactness away. Integer comparisons only: no float-order exposure."""
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_rank,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("v"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    ranked = exact_global_rank(
+        li,
+        [
+            F.col("v").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        out_col="r",
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+    targets = n.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.ceil(F.lit(q) * F.col("n")).cast("long").alias("r"),
+                    )
+                    for q in (0.25, 0.5, 0.9, 0.99)
+                ]
+            )
+        ).alias("t")
+    ).select(F.col("t.q").alias("q"), F.col("t.r").alias("r"))
+    return (
+        ranked.join(F.broadcast(targets), "r")
+        .select("q", round4(F.col("v")).alias("value"))
+    )
+
+
+ORACLES["exact_quantiles"] = f"""
+    WITH ranked AS (
+      SELECT l_quantity AS v,
+             ROW_NUMBER() OVER (
+               ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC
+             ) AS r
+      FROM lineitem
+    ), n AS (SELECT COUNT(*) AS n FROM lineitem),
+    targets AS (
+      SELECT q, CAST(CEIL(q * n.n) AS BIGINT) AS r
+      FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q) CROSS JOIN n
+    )
+    SELECT t.q AS q, {R("ranked.v")} AS value
+    FROM ranked JOIN targets t USING (r)
+"""
+QUERIES["exact_quantiles"] = q_exact_quantiles
