@@ -166,3 +166,18 @@ def test_exact_global_cumagg_empty_and_bad_op(spark):
     assert exact_global_cumagg(df, [F.col("id").asc()], [("c", "m", "sum")]).count() == 0
     with pytest.raises(ValueError):
         exact_global_cumagg(df, [F.col("id").asc()], [("c", "m", "avg")])
+
+
+def test_exact_global_cumagg_reuses_the_range_exchange(spark):
+    """Same invariant as exact_global_rank: the totals branch must see
+    the running branch's sampled range boundaries — exchange/stage reuse
+    is the mechanism, so pin the ReusedExchange node."""
+    df = _fixture(spark).select("id", "v", (F.col("id") % 13).alias("m"))
+    out = exact_global_cumagg(
+        df, [F.col("v").asc(), F.col("id").asc()], [("cs", "m", "sum")]
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "rangepartitioning" in plan
