@@ -111,6 +111,10 @@ def main(argv: list[str] | None = None) -> int:
             mfpt = DEFAULT_MAX_FILES_PER_TRIGGER
         elif args.max_files_per_trigger == 0:
             mfpt = None  # explicit no-cap: whole backlog in one trigger
+        elif args.max_files_per_trigger < 0:
+            raise SystemExit(
+                "--max-files-per-trigger must be >= 0 (0 = no cap)"
+            )
         else:
             mfpt = args.max_files_per_trigger
         spark = get_spark("incremental-autocomplete-stream", master=args.master)

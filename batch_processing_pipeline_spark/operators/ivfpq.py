@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from batch_processing_pipeline_spark.fsutil import read_text as fs_read_text
+from batch_processing_pipeline_spark.fsutil import write_text as fs_write_text
 from batch_processing_pipeline_spark.functions.vector import cosine_similarity
 from batch_processing_pipeline_spark.operators.pq import subspace_codebooks
 from batch_processing_pipeline_spark.operators.topk import top_k_per_group
@@ -93,13 +95,19 @@ def ivfpq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_res_norm: bool = False,
 ) -> DataFrame:
     """The inverted file: (id, cell, pq_code) — one map-side Arrow pass.
 
     Per batch: unit-normalize, nearest coarse cell (argmin, ties to the
     lowest cell id), residual against that cell's centroid, per-subspace
     nearest codeword. Centroid matrix + codebooks ride the closure (KBs
-    per executor)."""
+    per executor).
+
+    ``with_res_norm=True`` additionally emits the residual's L2 norm as
+    ``res_norm`` from the SAME kernel pass — the index save/append paths
+    use it so the drift baseline/audit never re-runs cell assignment over
+    the corpus (a second full Arrow pass saved)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -107,7 +115,7 @@ def ivfpq_encode(
     sub = len(codebooks[0][0])
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
 
-    @pandas_udf("struct<cell: int, pq_code: array<int>>")
+    @pandas_udf("struct<cell: int, pq_code: array<int>, res_norm: double>")
     def enc(vecs: pd.Series) -> pd.DataFrame:
         X = np.asarray(list(vecs), dtype=np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -126,12 +134,23 @@ def ivfpq_encode(
             )
             codes[:, j] = dj.argmin(1)
         return pd.DataFrame(
-            {"cell": cells.astype("int32"), "pq_code": list(codes)}
+            {
+                "cell": cells.astype("int32"),
+                "pq_code": list(codes),
+                "res_norm": np.linalg.norm(R, axis=1),
+            }
         )
 
-    return df.select(
-        F.col(id_col), enc(F.col(vec_col)).alias("_e")
-    ).select(id_col, F.col("_e.cell").alias("cell"), F.col("_e.pq_code").alias("pq_code"))
+    out_cols = [
+        id_col,
+        F.col("_e.cell").alias("cell"),
+        F.col("_e.pq_code").alias("pq_code"),
+    ]
+    if with_res_norm:
+        out_cols.append(F.col("_e.res_norm").alias("res_norm"))
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("_e")).select(
+        *out_cols
+    )
 
 
 def ivfpq_topk(
@@ -329,15 +348,26 @@ def residual_stats(
 def append_to_ivfpq_index(
     new_vectors: DataFrame,
     path: str,
+    refresh_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Corpus refresh WITHOUT re-training or re-encoding history: assign
     the new vectors to cells with the index's FROZEN centroids, encode
-    them with the FROZEN residual codebooks, and append the code rows
-    into the cell-partitioned parquet — identical rows to what a
-    from-scratch ``save_ivfpq_index`` over (old + new) would have written
-    for these ids (pinned in tests/test_ivfpq.py), at O(new) cost.
+    them with the FROZEN residual codebooks, and write the code rows
+    into the index as a ``refresh=<refresh_id>`` partition — identical
+    rows to what a from-scratch ``save_ivfpq_index`` over (old + new)
+    would have written for these ids (pinned in tests/test_ivfpq.py), at
+    O(new) cost.
+
+    ``refresh_id`` (>= 1; the base save owns 0) keys the batch: the write
+    is a DYNAMIC partition overwrite of exactly the ``refresh=<id>``
+    partitions, so an at-least-once orchestrator replaying the refresh
+    overwrites its own earlier attempt instead of double-appending
+    duplicate code rows (the streaming/dedup.py idempotency discipline).
+    The residual norms ride the encode kernel itself (one Arrow pass,
+    read back from the written batch partition with column pruning — no
+    second cell-assignment pass).
 
     Returns the residual-drift audit: per cell, the appended batch's
     (n_new, mean_res_norm_new) against the baseline recorded at
@@ -348,15 +378,35 @@ def append_to_ivfpq_index(
     dedup side already has (dedup_against_index / minhash_band_index)."""
     import json
 
+    if int(refresh_id) < 1:
+        raise ValueError("refresh_id must be >= 1 (0 is the base save)")
     spark = new_vectors.sparkSession
-    model = json.loads(_hadoop_read_text(spark, f"{path}/model.json"))
+    model = json.loads(fs_read_text(spark, f"{path}/model.json"))
     centroids, codebooks = model["centroids"], model["codebooks"]
     encoded = ivfpq_encode(
-        new_vectors, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        new_vectors,
+        centroids,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        with_res_norm=True,
+    ).withColumn("refresh", F.lit(int(refresh_id)))
+    (
+        encoded.write.partitionBy("refresh", "cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
     )
-    encoded.write.partitionBy("cell").mode("append").parquet(f"{path}/codes")
 
-    new_stats = residual_stats(new_vectors, centroids, vec_col=vec_col)
+    new_stats = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("refresh") == int(refresh_id))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("res_norm").alias("mean_res_norm"),
+        )
+    )
     baseline_rows = [
         (int(c), float(v)) for c, v in model.get("res_norm_baseline", {}).items()
     ]
@@ -407,17 +457,35 @@ def save_ivfpq_index(
     Alongside the model, the per-cell mean residual norm of the indexed
     corpus is recorded (``res_norm_baseline``) — the reference point
     ``append_to_ivfpq_index``'s drift audit compares refresh batches
-    against."""
+    against. The norms ride the encode kernel (one Arrow pass over the
+    corpus) and are stored per row, so the baseline aggregate reads back
+    only the (cell, res_norm) columns of the just-written parquet.
+
+    Codes are partitioned ``refresh=0/cell=K``: the ``refresh`` level is
+    the batch key ``append_to_ivfpq_index`` overwrites idempotently; the
+    ``cell`` level is what probe filters prune on (unchanged)."""
     import json
 
     spark = corpus.sparkSession
-    encoded = ivfpq_encode(corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col)
-    encoded.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    encoded = ivfpq_encode(
+        corpus,
+        centroids,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        with_res_norm=True,
+    ).withColumn("refresh", F.lit(0))
+    encoded.write.partitionBy("refresh", "cell").mode("overwrite").parquet(
+        f"{path}/codes"
+    )
     baseline = {
         str(r["cell"]): float(r["mean_res_norm"])
-        for r in residual_stats(corpus, centroids, vec_col=vec_col).collect()
+        for r in spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .agg(F.avg("res_norm").alias("mean_res_norm"))
+        .collect()
     }
-    _hadoop_write_text(
+    fs_write_text(
         spark,
         f"{path}/model.json",
         json.dumps(
@@ -434,36 +502,8 @@ def load_ivfpq_index(spark, path: str):
     """(centroids, codebooks, encoded_df) from ``save_ivfpq_index``."""
     import json
 
-    model = json.loads(_hadoop_read_text(spark, f"{path}/model.json"))
+    model = json.loads(fs_read_text(spark, f"{path}/model.json"))
     encoded = spark.read.parquet(f"{path}/codes")
     return model["centroids"], model["codebooks"], encoded
 
 
-def _hadoop_fs(spark, path: str):
-    jvm = spark.sparkContext._jvm  # noqa: SLF001
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
-    return fs, hpath
-
-
-def _hadoop_write_text(spark, path: str, text: str) -> None:
-    """Small sidecar file via the Hadoop FileSystem API (filesystem-
-    agnostic twin of a local ``open(..., 'w')``)."""
-    fs, hpath = _hadoop_fs(spark, path)
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _hadoop_read_text(spark, path: str) -> str:
-    fs, hpath = _hadoop_fs(spark, path)
-    stream = fs.open(hpath)
-    try:
-        jvm = spark.sparkContext._jvm  # noqa: SLF001
-        return jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()

@@ -45,11 +45,30 @@ from pyspark.sql import functions as F
 _LOW33 = (1 << 33) - 1
 
 
+def _require_exchange_reuse(df: DataFrame) -> None:
+    """The two-branch helpers below are only correct when the counts /
+    totals branch reads the SAME materialized range exchange as the main
+    branch (identical sampled partition boundaries). Exchange reuse is on
+    by default and covers both the AQE (stage reuse) and non-AQE
+    (ReuseExchangeAndSubquery) planners; a session that explicitly
+    disables it would re-shuffle each branch independently with
+    independent boundary samples and return silently wrong results —
+    fail loudly instead."""
+    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    if str(reuse).lower() == "false":
+        raise ValueError(
+            "operators.rank requires spark.sql.exchange.reuse=true: with "
+            "reuse disabled the offsets branch samples its own range "
+            "boundaries and ranks/cumaggs would be silently wrong"
+        )
+
+
 def exact_global_rank(
     df: DataFrame,
     order_by: Sequence[Column],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global row_number over ``order_by``, range-sharded.
 
@@ -58,14 +77,22 @@ def exact_global_rank(
     order; the physical plan moves the relation exactly once (the range
     exchange) and its only global sort sees one row per partition.
 
+    ``total_col``: also attach the relation's TOTAL row count as a column
+    — it falls out of the P-row counts relation for free, so callers that
+    need (rank, n) pairs (NTILE arithmetic, quantile targets) don't pay a
+    second full aggregation of the source.
+
     Invariant this leans on: the counts branch and the rank branch share
     ONE materialized range exchange (``spark.sql.exchange.reuse`` /
     AQE stage reuse, both on by default — ``tests/test_rank.py`` asserts
     the ``ReusedExchange`` node), so both sides observe identical sampled
     partition boundaries. Range boundaries come from a sampling pass, so
     two INDEPENDENT shuffles of the same data need not agree; reuse makes
-    the offsets provably consistent with the local row numbers.
+    the offsets provably consistent with the local row numbers. A session
+    that explicitly disables reuse gets a loud ValueError, not wrong
+    answers.
     """
+    _require_exchange_reuse(df)
     order_by = list(order_by)
     if num_partitions is not None:
         parts = df.repartitionByRange(num_partitions, *order_by)
@@ -83,10 +110,16 @@ def exact_global_rank(
     # one row per shuffle partition.
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
+    off_cols = [
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-    )
+    ]
+    if total_col is not None:
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__cnt").over(w_all).alias(total_col))
+    offsets = counts.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__lrn") + F.col("__off") + F.lit(1)).cast("long"))
@@ -128,6 +161,7 @@ def exact_global_cumagg(
     must see the rank branch's boundaries), same total-order caller
     contract.
     """
+    _require_exchange_reuse(df)
     order_by = list(order_by)
     measures = list(measures)
     ops = {"sum": F.sum, "max": F.max, "min": F.min}
@@ -209,6 +243,37 @@ def global_topk(
     return pruned.withColumn(rank_col, F.row_number().over(w)).where(
         F.col(rank_col) <= k
     )
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int,
+    out_col: str = "ntile",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY order_by)`` without a single-partition
+    sort: :func:`exact_global_rank` with its free ``total_col`` +
+    :func:`ntile_from_rank` arithmetic. Returns ``df``'s columns plus
+    ``out_col`` (and the exact global rank as ``rank_col`` when asked —
+    callers that also need within-bucket positions combine it with
+    :func:`rows_before_ntile_bucket`). One corpus shuffle, no second
+    aggregation of the source for the row count."""
+    keep_rank = rank_col or "__ntile_rank"
+    ranked = exact_global_rank(
+        df,
+        order_by,
+        out_col=keep_rank,
+        num_partitions=num_partitions,
+        total_col="__ntile_n",
+    )
+    out = ranked.withColumn(
+        out_col, ntile_from_rank(F.col(keep_rank), F.col("__ntile_n"), k)
+    ).drop("__ntile_n")
+    if rank_col is None:
+        out = out.drop(keep_rank)
+    return out
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:

@@ -2043,9 +2043,9 @@ def q_ivfpq_index_drift(spark, sf):
     work = tempfile.mkdtemp(prefix="ivfpq_drift_")
     try:
         save_ivfpq_index(snap, f"{work}/index", cents, books)
-        audit = append_to_ivfpq_index(fresh, f"{work}/index").localCheckpoint(
-            eager=True
-        )
+        audit = append_to_ivfpq_index(
+            fresh, f"{work}/index", refresh_id=1
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return audit.select(

@@ -1030,20 +1030,18 @@ def q_qini_uplift(spark, sf):
         (F.col("n_events") * 1000.0 + (h % 997).cast("double")).alias("score"),
     )
     from batch_processing_pipeline_spark.operators.rank import (
-        exact_global_rank,
-        ntile_from_rank,
+        exact_global_ntile,
     )
 
     # user_id tie-break gives NTILE a TOTAL order — equal scores would
-    # otherwise bucket engine-dependently
-    ranked = exact_global_rank(
-        scored, [F.col("score").desc(), F.col("user_id").asc()], out_col="__r"
-    ).crossJoin(F.broadcast(scored.agg(F.count(F.lit(1)).alias("__n"))))
-    binned = ranked.select(
-        "converted",
-        "treat",
-        ntile_from_rank(F.col("__r"), F.col("__n"), 10).alias("decile"),
-    )
+    # otherwise bucket engine-dependently; the row count rides the rank
+    # helper's P-row counts relation (no second corpus aggregation)
+    binned = exact_global_ntile(
+        scored,
+        [F.col("score").desc(), F.col("user_id").asc()],
+        k=10,
+        out_col="decile",
+    ).select("converted", "treat", "decile")
     per_dec = binned.groupBy("decile").agg(
         F.sum(F.when(F.col("treat") == 1, F.col("converted"))).cast("double").alias("conv_t"),
         F.sum("treat").cast("double").alias("n_t"),
@@ -2469,26 +2467,18 @@ def q_stratified_ate(spark, sf):
         10,
     ).cast("bigint")
     from batch_processing_pipeline_spark.operators.rank import (
-        exact_global_rank,
-        ntile_from_rank,
+        exact_global_ntile,
     )
 
     pre = per_user.select(
         "y", "activity", "user_id", (h % 2 == 0).cast("int").alias("t")
     )
-    scored = (
-        exact_global_rank(
-            pre,
-            [F.col("activity").desc(), F.col("user_id").asc()],
-            out_col="__r",
-        )
-        .crossJoin(F.broadcast(pre.agg(F.count(F.lit(1)).alias("__n"))))
-        .select(
-            "y",
-            "t",
-            ntile_from_rank(F.col("__r"), F.col("__n"), 5).alias("stratum"),
-        )
-    )
+    scored = exact_global_ntile(
+        pre,
+        [F.col("activity").desc(), F.col("user_id").asc()],
+        k=5,
+        out_col="stratum",
+    ).select("y", "t", "stratum")
     per_s = scored.groupBy("stratum").agg(
         F.count(F.lit(1)).cast("double").alias("n_s"),
         F.avg(F.when(F.col("t") == 1, F.col("y"))).alias("yt"),
@@ -3056,11 +3046,14 @@ def q_curriculum_order(spark, sf):
     )
 
     d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    # total_col: the corpus row count rides the rank helper's P-row
+    # counts relation — no second aggregation of documents
     ranked = exact_global_rank(
-        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], out_col="__r"
+        d,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out_col="__r",
+        total_col="__n",
     )
-    n = d.agg(F.count(F.lit(1)).alias("__n"))
-    ranked = ranked.crossJoin(F.broadcast(n))
     stratum = ntile_from_rank(F.col("__r"), F.col("__n"), 4)
     strat = ranked.select("doc_id", F.col("__r"), F.col("__n"), stratum.alias("stratum"))
     rn_in = F.col("__r") - rows_before_ntile_bucket(F.col("stratum"), F.col("__n"), 4)

@@ -24,30 +24,12 @@ minimum durable state any exact cross-history dedup must carry.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from batch_processing_pipeline_spark.fsutil import has_committed_batches
 from batch_processing_pipeline_spark.functions.text_analysis import doc_fingerprint
-
-
-def _has_committed_batches(path: str) -> bool:
-    """True iff the batch-partitioned store holds at least one COMMITTED
-    partition (a ``batch=*/`` dir with its ``_SUCCESS`` marker).
-
-    ``os.path.exists(path)`` alone is not a safe replay guard: a
-    first-epoch attempt that died mid-write leaves only ``_temporary``
-    files under ``path``, and schema inference over those fails exactly
-    the replay that is trying to repair that state. Local-FS check, like
-    every path handled by these jobs (the sandbox has no HDFS; at scale
-    swap for a FileSystem.globStatus on the same pattern).
-    """
-    if not os.path.isdir(path):
-        return False
-    return bool(glob.glob(os.path.join(path, "batch=*", "_SUCCESS")))
 
 
 def dedup_within_watermark(
@@ -91,7 +73,7 @@ def _merge_batch(
     # within-batch survivor: deterministic min id per fingerprint
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     fresh = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-    if _has_committed_batches(store_path):
+    if has_committed_batches(batch.sparkSession, store_path):
         seen = (
             spark.read.parquet(store_path)
             .where(F.col("batch") < F.lit(int(epoch_id)))
@@ -164,7 +146,7 @@ def _merge_batch_near(
 
     spark = batch.sparkSession
     docs = batch.select(F.col(id_col), F.col(text_col))
-    if _has_committed_batches(index_path):
+    if has_committed_batches(spark, index_path):
         index = spark.read.parquet(index_path).where(
             F.col("batch") < F.lit(int(epoch_id))
         )

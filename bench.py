@@ -150,8 +150,12 @@ def _load_previous() -> tuple[str, dict[str, float]] | None:
                 j = t.find("{", i)
                 if j != -1:
                     queries = json.JSONDecoder().raw_decode(t, j)[0]
-        return os.path.basename(best[1]), {k: float(v) for k, v in queries.items()}
-    except (OSError, ValueError, AttributeError):
+        return os.path.basename(best[1]), {
+            k: float(v)
+            for k, v in queries.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }
+    except (OSError, ValueError, TypeError, AttributeError):
         return None
 
 

@@ -171,18 +171,27 @@ def test_ivfpq_append_equals_retrain_at_frozen_codebooks(spark, ivfpq_model, tmp
     fresh = emb.where(F.col("vec_id") % 3 == 0)
     path = str(tmp_path / "ivfpq_index")
     save_ivfpq_index(snap, path, cents, books)
-    audit = append_to_ivfpq_index(fresh, path)
+    audit = append_to_ivfpq_index(fresh, path, refresh_id=1)
     audit_rows = audit.collect()
 
-    _, _, stored = load_ivfpq_index(spark, path)
-    stored_rows = sorted(
-        (r.vec_id, r.cell, tuple(r.pq_code)) for r in stored.collect()
-    )
+    def _stored_rows():
+        _, _, stored = load_ivfpq_index(spark, path)
+        return stored, sorted(
+            (r.vec_id, r.cell, tuple(r.pq_code)) for r in stored.collect()
+        )
+
+    stored, stored_rows = _stored_rows()
     scratch_rows = sorted(
         (r.vec_id, r.cell, tuple(r.pq_code))
         for r in ivfpq_encode(emb, cents, books).collect()
     )
     assert stored_rows == scratch_rows
+
+    # idempotency: an at-least-once replay of the SAME refresh batch
+    # overwrites its own partition instead of double-appending
+    append_to_ivfpq_index(fresh, path, refresh_id=1)
+    stored, replay_rows = _stored_rows()
+    assert replay_rows == scratch_rows
 
     queries = emb.where(F.col("vec_id") < 5)
     direct = ivfpq_topk(queries, emb, cents, books, k=10, nprobe=4, refine=50)
