@@ -3664,24 +3664,29 @@ def q_exact_quantiles(spark, sf):
             F.col("l_linenumber").asc(),
         ],
         out_col="r",
+        total_col="__n",
     )
-    n = li.agg(F.count(F.lit(1)).alias("n"))
-    targets = n.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.ceil(F.lit(q) * F.col("n")).cast("long").alias("r"),
-                    )
-                    for q in (0.25, 0.5, 0.9, 0.99)
-                ]
-            )
-        ).alias("t")
-    ).select(F.col("t.q").alias("q"), F.col("t.r").alias("r"))
+    # the row count rides the rank helper's P-row counts relation —
+    # no second scan of the fact table. Each row keeps the q's whose
+    # target rank ceil(q*n) IS its own rank (a tiny per-row array
+    # filter in codegen; ties on v are impossible to double-count
+    # because the rank is total) — multi-match rows fan out one row
+    # per matched q, mirroring the oracle's join semantics.
+    hits = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.ceil(F.lit(q) * F.col("__n")).cast("long").alias("tr"),
+                )
+                for q in (0.25, 0.5, 0.9, 0.99)
+            ]
+        ),
+        lambda s: s["tr"] == F.col("r"),
+    )
     return (
-        ranked.join(F.broadcast(targets), "r")
-        .select("q", round4(F.col("v")).alias("value"))
+        ranked.select(F.explode(hits).alias("t"), F.col("v"))
+        .select(F.col("t.q").alias("q"), round4(F.col("v")).alias("value"))
     )
 
 
