@@ -39,6 +39,11 @@ DEFAULT_QUERIES = [
     "hybrid_rrf_search",
     "snapshot_diff",
     "label_propagation",
+    # round-9 total-order family flagships
+    "weighted_sample",
+    "exact_quantiles",
+    "bm25_search",
+    "quantile_normalize",
 ]
 
 MARKERS = [
