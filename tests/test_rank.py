@@ -181,3 +181,34 @@ def test_exact_global_cumagg_reuses_the_range_exchange(spark):
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
     assert "rangepartitioning" in plan
+
+
+def test_exact_global_rank_extreme_skew(spark):
+    """90% of rows share ONE order-key value: the range partitioner must
+    still balance by splitting ties across boundaries on the unique
+    tie-break, and the ranks must stay exact."""
+    df = spark.range(2000).select(
+        "id", F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("v")
+    ).repartition(8)
+    got = exact_global_rank(df, [F.col("v").asc(), F.col("id").asc()], out_col="r")
+    naive = df.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+        .cast("long"),
+    )
+    assert got.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(got).isEmpty()
+
+
+def test_exact_global_rank_ten_million_smoke(spark):
+    """Scale smoke: 10M rows, rank over the identity order == id + 1 —
+    verified by an aggregate identity (sum of |r - id - 1| == 0), no
+    driver-side collect of the relation."""
+    df = spark.range(10_000_000).repartition(32)
+    got = exact_global_rank(df, [F.col("id").asc()], out_col="r")
+    bad = got.agg(
+        F.sum(F.abs(F.col("r") - F.col("id") - 1)).alias("err"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert bad.n == 10_000_000 and bad.err == 0
