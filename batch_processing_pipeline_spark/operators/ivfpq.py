@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from batch_processing_pipeline_spark.fsutil import glob_exists as fs_glob_exists
 from batch_processing_pipeline_spark.fsutil import read_text as fs_read_text
 from batch_processing_pipeline_spark.fsutil import write_text as fs_write_text
 from batch_processing_pipeline_spark.functions.vector import cosine_similarity
@@ -375,13 +376,34 @@ def append_to_ivfpq_index(
     ratio creeping past ~1.2–1.5 is the re-train signal: frozen codebooks
     are quantizing residuals they were not trained on, and recall decays
     silently otherwise — this completes the corpus-refresh story the
-    dedup side already has (dedup_against_index / minhash_band_index)."""
+    dedup side already has (dedup_against_index / minhash_band_index).
+
+    Legacy-layout guard: an index written by a pre-refresh
+    ``save_ivfpq_index`` (codes partitioned by ``cell`` only, no
+    ``res_norm_baseline`` in model.json) is REJECTED before anything is
+    written. Appending ``refresh=N/cell=K`` directories next to bare
+    ``cell=K`` ones would give the codes store two conflicting partition
+    structures — the immediate read-back fails AND the mixed layout
+    leaves the index permanently unreadable, which is strictly worse
+    than failing fast with a migration instruction."""
     import json
 
     if int(refresh_id) < 1:
         raise ValueError("refresh_id must be >= 1 (0 is the base save)")
     spark = new_vectors.sparkSession
     model = json.loads(fs_read_text(spark, f"{path}/model.json"))
+    if "res_norm_baseline" not in model or fs_glob_exists(
+        spark, f"{path}/codes/cell=*"
+    ):
+        raise ValueError(
+            "append_to_ivfpq_index: index at "
+            f"{path!r} uses the legacy layout (codes partitioned by cell "
+            "only / no res_norm_baseline in model.json); appending would "
+            "mix refresh=*/cell=* with cell=* directories and make the "
+            "codes store unreadable. Migrate first: re-run "
+            "save_ivfpq_index over the indexed corpus (rewrites codes "
+            "under refresh=0/cell=* and records the drift baseline)."
+        )
     centroids, codebooks = model["centroids"], model["codebooks"]
     encoded = ivfpq_encode(
         new_vectors,
@@ -408,17 +430,8 @@ def append_to_ivfpq_index(
         )
     )
     baseline_rows = [
-        (int(c), float(v)) for c, v in model.get("res_norm_baseline", {}).items()
+        (int(c), float(v)) for c, v in model["res_norm_baseline"].items()
     ]
-    if not baseline_rows:
-        # pre-baseline index (older save format): report new stats only
-        return new_stats.select(
-            "cell",
-            F.col("n").alias("n_new"),
-            F.col("mean_res_norm").alias("mean_res_norm_new"),
-            F.lit(None).cast("double").alias("mean_res_norm_baseline"),
-            F.lit(None).cast("double").alias("drift"),
-        )
     baseline = spark.createDataFrame(
         baseline_rows, "cell int, mean_res_norm_baseline double"
     )

@@ -44,6 +44,15 @@ from pyspark.sql import functions as F
 
 _LOW33 = (1 << 33) - 1
 
+#: ``monotonically_increasing_id`` documents 33 bits for the within-partition
+#: record number: a partition holding >= 2^33 (~8.6e9) rows overflows into the
+#: partition-id bits and would corrupt ranks SILENTLY. ``exact_global_rank``'s
+#: counts branch asserts the invariant (near-free: it already aggregates one
+#: row per partition); at 100 TB keep range partitions well under this by
+#: sizing ``num_partitions``. (``global_topk`` is overflow-SAFE by
+#: construction — see its docstring — so it carries no guard.)
+_MAX_PART_ROWS = 1 << 33
+
 
 def _require_exchange_reuse(df: DataFrame) -> None:
     """The two-branch helpers below are only correct when the counts /
@@ -91,6 +100,15 @@ def exact_global_rank(
     the offsets provably consistent with the local row numbers. A session
     that explicitly disables reuse gets a loud ValueError, not wrong
     answers.
+
+    Caller contract (guarded): no single range partition may hold
+    >= 2^33 rows — ``monotonically_increasing_id`` documents 33 bits for
+    the within-partition record number, and overflow would corrupt both
+    the local row number and the derived partition id. The counts branch
+    already aggregates one row count per partition, so the invariant is
+    asserted there for free (``raise_error``, not a silent wrap); size
+    ``num_partitions`` so the biggest partition stays far below ~8.6e9
+    rows.
     """
     _require_exchange_reuse(df)
     order_by = list(order_by)
@@ -107,8 +125,35 @@ def exact_global_rank(
     )
     # P-row side relation: rows-per-partition -> exclusive running offsets.
     # The unpartitioned window here is safe BY CONSTRUCTION: its input is
-    # one row per shuffle partition.
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # one row per shuffle partition. Grouping by spark_partition_id (equal
+    # to __pid whenever the id layout holds) rather than __pid itself makes
+    # the counts TRUE per-partition row counts even when a partition
+    # overflows the 33-bit record number — which is exactly what the guard
+    # below must observe: under overflow the spill rows' __pid is corrupted
+    # and a __pid-grouped count would never reach 2^33.
+    counts = local.groupBy(
+        F.spark_partition_id().alias("__pid")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.withColumn(
+        "__cnt",
+        F.when(
+            F.col("__cnt") >= F.lit(_MAX_PART_ROWS),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "operators.rank: a range partition holds "
+                    ),
+                    F.col("__cnt").cast("string"),
+                    F.lit(
+                        " rows >= 2^33, overflowing "
+                        "monotonically_increasing_id's record-number bits; "
+                        "raise num_partitions (ranks would otherwise be "
+                        "silently wrong)"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__cnt")),
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
         "__pid",
@@ -231,6 +276,14 @@ def global_topk(
     The global top-k is necessarily a subset of the per-partition top-k,
     so the output is identical to the naive global window + filter.
     ``order_by`` must be a total order (unique tie-break), as everywhere.
+
+    33-bit note: unlike :func:`exact_global_rank`, an input partition
+    with >= 2^33 rows does NOT corrupt this operator. The masked record
+    number wraps (``rn mod 2^33``), so the prune keeps positions
+    {0..k-1} ∪ {2^33..2^33+k-1} ∪ … — a SUPERSET of each partition's
+    true first-k rows — and the final window re-ranks survivors by
+    ``order_by``, so extra survivors only cost a few spare rows in
+    phase 2, never a wrong answer.
     """
     order_by = list(order_by)
     pruned = (

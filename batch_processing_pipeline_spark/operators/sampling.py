@@ -25,6 +25,8 @@ short-circuits to ``keep everything`` wherever it is statically known.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -193,6 +195,118 @@ def cap_per_group(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def ares_key(
+    weight: Column,
+    key: Column,
+    seed: str = "wspg",
+) -> Column:
+    """The A-RES competition key (Efraimidis & Spirakis 2006): with a
+    uniform draw u ∈ (0, 1) per row, ``ln(u) / w`` ranked DESCENDING is
+    an exact weighted sample without replacement — equivalent to the
+    textbook ``u^(1/w)`` ranking (ln is monotone; dividing by w > 0
+    preserves per-row order) but numerically tame for large weights.
+
+    The draw is the repo's deterministic md5-uniform (``(32-bit draw +
+    0.5) / 2^32`` — the +0.5 keeps u strictly inside (0,1) so ln never
+    sees 0), keyed on (seed, row key): no RNG state, identical under
+    retries and repartitioning, and byte-reproducible in any engine with
+    md5 — the property that makes A-RES oracle-checkable here. Weights
+    are clamped ``>= 1``.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    return F.log(u) / F.greatest(weight.cast("double"), F.lit(1.0))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: str,
+    n: int | dict[str, int] | DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "wspg",
+    rank_col: str = "rank",
+    key_out: str = "key",
+    n_col: str = "n",
+    max_n: int | None = None,
+    key_transform: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Per-stratum weighted sampling WITHOUT replacement: within each
+    group, the ``n`` rows with the largest A-RES keys — the
+    training-mix primitive that oversamples long/high-quality documents
+    per language/domain, with ``n`` per stratum typically coming from an
+    allocation solve (``unimax_alloc`` / Neyman allocation).
+
+    ``n``: a single int (same quota per group), a ``{group: n}`` dict
+    (single group column only), or a DataFrame carrying ``group_cols`` +
+    ``n_col`` (e.g. an allocation query's output). Quotas larger than a
+    group keep the whole group.
+
+    Scale shape: the ranking is ``top_k_per_group`` at the CONSTANT
+    ``max_n`` (the largest quota — statically known for int/dict, one
+    bounded collect of the dimension-sized allocation relation
+    otherwise, or passed explicitly), so Spark plans the two-phase
+    ``WindowGroupLimit`` — each map task ships at most max_n rows per
+    group into the shuffle even when one stratum dominates a Zipf-skewed
+    corpus. Variable quotas are then a broadcast join + ``rank <= n``
+    filter over the already-pruned relation. Deterministic end to end
+    (md5 keys + md5 tie-break): retry/repartition-stable, engine-exact.
+
+    ``key_transform`` is applied to the raw A-RES key before ranking
+    (e.g. the repo's ``round4`` so an oracle engine agrees on ties at
+    float ulp boundaries). Emits ``rank_col`` (1-based within group) and
+    the competition key as ``key_out``.
+    """
+    from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+    group_cols = list(group_cols)
+    spark = df.sparkSession
+    alloc: DataFrame | None = None
+    if isinstance(n, int):
+        k = n
+    elif isinstance(n, dict):
+        if len(group_cols) != 1:
+            raise ValueError("dict quotas need exactly one group column")
+        alloc = spark.createDataFrame(
+            [(g, int(q)) for g, q in n.items()], [group_cols[0], n_col]
+        )
+        k = max_n if max_n is not None else max(int(q) for q in n.values())
+    else:
+        alloc = n.select(*group_cols, F.col(n_col).cast("int").alias(n_col))
+        if max_n is None:
+            # allocation relations are dimension-sized (languages/domains)
+            row = alloc.agg(F.max(n_col)).collect()[0][0]
+            max_n = int(row) if row is not None else 0
+        k = max_n
+    key = ares_key(F.col(weight_col), F.col(key_col), seed=seed)
+    if key_transform is not None:
+        key = key_transform(key)
+    scored = df.withColumn(key_out, key)
+    ranked = top_k_per_group(
+        scored,
+        group_cols,
+        order_by=[
+            F.col(key_out).desc(),
+            F.md5(F.col(key_col).cast("string")).asc(),
+        ],
+        k=k,
+        rank_col=rank_col,
+    )
+    if alloc is None:
+        return ranked
+    return (
+        ranked.join(F.broadcast(alloc), group_cols)
+        .where(F.col(rank_col) <= F.col(n_col))
+        .drop(n_col)
     )
 
 

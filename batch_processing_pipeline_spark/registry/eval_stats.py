@@ -2890,12 +2890,16 @@ def q_pr_auc_eval(spark, sf):
     """Average precision (area under the precision-recall curve by the
     step interpolation) — the imbalanced-retrieval companion to
     ``auc_eval``'s ROC: AP = mean over positives of precision@rank.
-    Scores/labels are the auc_eval construction under a fresh salt;
-    ranking is per-row with an (score desc, event_id asc) total order —
-    legitimate here because the relation is a bounded EVAL cohort
-    (user_id < 50), the dimension-sized regime every eval query in this
-    registry uses; production eval sets are sampled, not corpus-scale.
-    """
+    Scores/labels are the auc_eval construction under a fresh salt.
+
+    Scale shape (round-10, uniform rank-family discipline): rank and
+    running positive count over the (score desc, event_id asc) total
+    order both come from ONE ``exact_global_cumagg`` call (rk = running
+    SUM of a literal 1 rides the same range shuffle as cum_pos — integer
+    sums, exact), so even though this eval cohort is bounded
+    (user_id < 50, ~3.3k rows flat across SFs) the plan carries no
+    partition-less per-row window — same conversion ``auc_eval`` got in
+    round 9."""
     e = _events(spark, sf).where(F.col("user_id") < 50)
     label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     u = (
@@ -2911,12 +2915,17 @@ def q_pr_auc_eval(spark, sf):
         / F.lit(4294967296.0)
     )
     raw = F.when(label == 1, 0.3 + 0.7 * u).otherwise(0.7 * u)
-    scored = e.select(F.col("event_id"), raw.alias("s"), label.alias("y"))
-    w = Window.orderBy(F.col("s").desc(), F.col("event_id").asc())
-    ranked = scored.select(
-        "y",
-        F.row_number().over(w).alias("rk"),
-        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_pos"),
+    from batch_processing_pipeline_spark.operators.rank import (
+        exact_global_cumagg,
+    )
+
+    scored = e.select(
+        F.col("event_id"), raw.alias("s"), label.alias("y")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = exact_global_cumagg(
+        scored,
+        [F.col("s").desc(), F.col("event_id").asc()],
+        [("rk", "__one", "sum"), ("cum_pos", "y", "sum")],
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_eval"),
@@ -3274,7 +3283,9 @@ def q_hybrid_rrf_search(spark, sf):
     partition). The final fused rank is ``global_topk`` — Spark's
     InferWindowGroupLimit does NOT fire on empty-partition-spec windows,
     so the two-phase prune (local sort + keep 20 per partition, then rank
-    <= 20*P survivors) is done explicitly."""
+    <= 20*P survivors) is done explicitly. r_lex/r_sem stay LongType
+    end-to-end (DuckDB ROW_NUMBER is BIGINT too) — a corpus-scale rank
+    cast to int would silently wrap past 2^31."""
     from batch_processing_pipeline_spark.functions.vector import cosine_similarity
     from batch_processing_pipeline_spark.operators.rank import (
         exact_global_rank,
@@ -3317,7 +3328,7 @@ def q_hybrid_rrf_search(spark, sf):
         lex_scored.select("doc_id", round4(F.col("score")).alias("__s")),
         [F.col("__s").desc(), F.col("doc_id").asc()],
         out_col="r_lex",
-    ).select("doc_id", F.col("r_lex").cast("int").alias("r_lex"))
+    ).select("doc_id", F.col("r_lex"))
 
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select(
@@ -3337,7 +3348,7 @@ def q_hybrid_rrf_search(spark, sf):
         sem_scored,
         [F.col("cos").desc(), F.col("doc_id").asc()],
         out_col="r_sem",
-    ).select("doc_id", F.col("r_sem").cast("int").alias("r_sem"))
+    ).select("doc_id", F.col("r_sem"))
 
     fused = (
         lex.join(sem, "doc_id", "full_outer")
@@ -3394,8 +3405,8 @@ ORACLES["hybrid_rrf_search"] = f"""
       GROUP BY tf.doc_id
     ), lex AS (
       SELECT doc_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY {R("score")} DESC, doc_id ASC)
-                  AS INTEGER) AS r_lex
+             ROW_NUMBER() OVER (ORDER BY {R("score")} DESC, doc_id ASC)
+               AS r_lex
       FROM lex_scored
     ), sem_scored AS (
       SELECT c.vec_id AS doc_id,
@@ -3405,8 +3416,7 @@ ORACLES["hybrid_rrf_search"] = f"""
       WHERE c.vec_id <> 0
     ), sem AS (
       SELECT doc_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS INTEGER)
-               AS r_sem
+             ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS r_sem
       FROM sem_scored
     ), fused AS (
       SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
@@ -3634,6 +3644,57 @@ ORACLES["weighted_sample"] = f"""
     ) WHERE rank <= 50
 """
 QUERIES["weighted_sample"] = q_weighted_sample
+
+
+def q_weighted_sample_per_group(spark, sf):
+    """Per-stratum weighted sampling without replacement
+    (operators/sampling.py weighted_sample_per_group): within each
+    language, the 10 documents with the largest A-RES keys
+    (key = ln(u)/weight, weight = n_chars clamped >= 1, u the
+    deterministic md5-uniform under seed 'wspg') — the per-language
+    training-mix primitive completing ``weighted_sample``'s global form;
+    quotas would come from ``unimax_alloc``/Neyman in production (that
+    composition is pinned in tests/test_sampling.py — a constant quota
+    keeps this entry oracle-exact). Keys round4 before ranking with an
+    md5 tie-break (cross-engine ulp discipline); the constant quota
+    plans the two-phase WindowGroupLimit, so a Zipf-dominant language
+    ships 10 rows per map task, never its full stratum."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "lang", "doc_id", F.col("n_chars").alias("weight")
+    )
+    return weighted_sample_per_group(
+        d,
+        ["lang"],
+        weight_col="weight",
+        n=10,
+        key_col="doc_id",
+        seed="wspg",
+        key_transform=round4,
+    ).select("lang", "rank", "doc_id", "weight", F.col("key"))
+
+
+ORACLES["weighted_sample_per_group"] = f"""
+    WITH scored AS (
+      SELECT lang, doc_id, n_chars AS weight,
+             {R("ln((CAST(CAST('0x' || substr(md5('wspg:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+                " AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)"
+                " / GREATEST(CAST(n_chars AS DOUBLE), 1.0)")} AS key
+      FROM documents
+    )
+    SELECT lang, rank, doc_id, weight, key FROM (
+      SELECT lang, doc_id, weight, key,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY key DESC, md5(CAST(doc_id AS VARCHAR)) ASC)
+             AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+QUERIES["weighted_sample_per_group"] = q_weighted_sample_per_group
 
 
 def q_exact_quantiles(spark, sf):

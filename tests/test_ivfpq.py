@@ -238,3 +238,41 @@ def test_residual_stats_matches_numpy(spark, ivfpq_model):
         mean_exp = float(rn[cells == c].mean())
         assert got[c][0] == n_exp
         assert abs(got[c][1] - mean_exp) < 1e-9
+
+
+def test_ivfpq_append_rejects_legacy_layout(spark, ivfpq_model, tmp_path):
+    """An index saved in the pre-refresh layout (codes partitioned by
+    cell only, model.json without res_norm_baseline) must be REJECTED
+    before any write: appending refresh=N/cell=K next to bare cell=K
+    directories would give the codes store two conflicting partition
+    structures and leave it permanently unreadable. The guard fails fast
+    with a migration instruction and leaves the legacy index readable."""
+    import json
+
+    from batch_processing_pipeline_spark.fsutil import write_text
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        ivfpq_encode,
+        load_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    snap = emb.where(F.col("vec_id") % 3 != 0)
+    fresh = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "legacy_index")
+    # reproduce the pre-round-9 save format by hand
+    ivfpq_encode(snap, cents, books).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    write_text(
+        spark,
+        f"{path}/model.json",
+        json.dumps({"centroids": cents, "codebooks": books}),
+    )
+    before = spark.read.parquet(f"{path}/codes").count()
+    with pytest.raises(ValueError, match="legacy layout"):
+        append_to_ivfpq_index(fresh, path, refresh_id=1)
+    # nothing was written: the legacy index is still fully readable
+    _, _, stored = load_ivfpq_index(spark, path)
+    assert stored.count() == before

@@ -1,0 +1,125 @@
+"""Registry-wide physical-plan scale contract (VERDICT r9 task #3).
+
+Every query in the registry is planned at sf0.001 and checked against
+``plancheck.plan_violations``: no CartesianProduct, no row-at-a-time
+Python (BatchEvalPython), and every ``Exchange SinglePartition`` fed by a
+bounded subtree (aggregate / limit / two-phase-prune on the path to any
+file scan). This mechanizes the discipline behind the r8/r9 weak-item
+fixes (`curriculum_order`, `hybrid_rrf_search`, `pr_auc_eval`) so the
+class of defect cannot silently return with a future query.
+
+Planning only — no query is executed — so the whole registry sweeps in
+about the cost of analysis+optimization per query. AQE never introduces
+the banned shapes, so the initial plan is sufficient evidence.
+"""
+
+from __future__ import annotations
+
+from batch_processing_pipeline_spark.plancheck import (
+    plan_violations,
+    unbounded_single_partition_exchanges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: declared exceptions, each with the reason the contract does not apply —
+#: additions here need a docstring scale note on the query itself
+WHITELIST = {
+    # deliberate Python-UDF API-surface demo; corpus-scale arithmetic uses
+    # built-in columns (docstring on q_udf_surface)
+    "udf_surface": "declared row-at-a-time Python UDF API surface",
+    # deliberate Python-UDTF (Spark 4 table function) API demo; the
+    # codegen twin is top_bigrams / word_ngram_counts (docstring)
+    "udtf_ngrams": "declared Python UDTF API surface",
+}
+
+
+def test_registry_wide_scale_contract(spark):
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    bad: dict[str, list[str]] = {}
+    for name in sorted(QUERIES):
+        if name in WHITELIST:
+            continue
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        v = plan_violations(plan)
+        if v:
+            bad[name] = v
+    assert not bad, f"scale-contract violations in {len(bad)} queries: {bad}"
+
+
+def test_whitelist_entries_still_exist_and_still_flag(spark):
+    """A whitelist row must stay honest: the query still exists, and it
+    still trips the contract (otherwise the row is stale and should go)."""
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    for name in WHITELIST:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan_violations(plan), f"{name} no longer violates — drop it"
+
+
+# ---- parser unit tests on synthetic plan strings ----
+
+_BAD = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number() windowspecdefinition(v DESC)], [v DESC]
+   +- Sort [v DESC NULLS LAST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+         +- Project [v]
+            +- FileScan parquet [v] Batched: true
+"""
+
+_GOOD_AGG = """AdaptiveSparkPlan isFinalPlan=false
++- Window [sum(c)], [g ASC]
+   +- Sort [g ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+         +- HashAggregate(keys=[g], functions=[count(1)])
+            +- Exchange hashpartitioning(g, 32), [plan_id=7]
+               +- HashAggregate(keys=[g], functions=[partial_count(1)])
+                  +- FileScan parquet [g] Batched: true
+"""
+
+_GOOD_PRUNE = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number()], [v DESC]
+   +- Sort [v DESC], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=4]
+         +- Filter ((_mid & 8589934591) < 20)
+            +- Project [v, monotonically_increasing_id() AS _mid]
+               +- Sort [v DESC], false, 0
+                  +- FileScan parquet [v] Batched: true
+"""
+
+_MIXED = """AdaptiveSparkPlan isFinalPlan=false
++- SortMergeJoin [a], [b], Inner
+   :- Exchange SinglePartition, [plan_id=2]
+   :  +- HashAggregate(keys=[a], functions=[count(1)])
+   :     +- FileScan parquet [a]
+   +- Exchange SinglePartition, [plan_id=3]
+      +- Project [b]
+         +- FileScan parquet [b]
+"""
+
+
+def test_plancheck_flags_unbounded_scan():
+    assert unbounded_single_partition_exchanges(_BAD)
+    assert any("FileScan" in v for v in plan_violations(_BAD))
+
+
+def test_plancheck_accepts_aggregate_and_prune():
+    assert plan_violations(_GOOD_AGG) == []
+    assert plan_violations(_GOOD_PRUNE) == []
+
+
+def test_plancheck_per_path_not_per_subtree():
+    """Sibling branches are judged independently: the aggregated branch
+    passes, the raw branch is still flagged."""
+    v = unbounded_single_partition_exchanges(_MIXED)
+    assert len(v) == 1 and "[b]" in v[0]
+
+
+def test_plancheck_flags_cartesian_and_python():
+    assert "CartesianProduct" in plan_violations("+- CartesianProduct\n")[0]
+    assert any(
+        "BatchEvalPython" in x for x in plan_violations("+- BatchEvalPython [f(x)]\n")
+    )

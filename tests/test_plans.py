@@ -339,11 +339,12 @@ def test_curriculum_order_no_corpus_global_sort(spark, sf_dir):
     assert "ntile" not in plan
     assert "rangepartitioning" in plan
     # the only single-partition exchanges: the P-row offsets window and the
-    # scalar corpus count — both sit directly above a HashAggregate
-    for frag in plan.split("Exchange SinglePartition")[1:]:
-        assert frag.splitlines()[1].strip().lstrip("+:- ").startswith(
-            "HashAggregate"
-        ), "SinglePartition exchange not fed by an aggregate"
+    # scalar corpus count — every one must feed from a bounded subtree
+    # (plancheck's path predicate: an aggregate/limit/two-phase-prune node
+    # between the exchange and any file scan)
+    from batch_processing_pipeline_spark.plancheck import plan_violations
+
+    assert plan_violations(plan) == []
     q.collect()
     final = q._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final

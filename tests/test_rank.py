@@ -212,3 +212,33 @@ def test_exact_global_rank_ten_million_smoke(spark):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert bad.n == 10_000_000 and bad.err == 0
+
+
+def test_exact_global_rank_overflow_guard_raises(spark, monkeypatch):
+    """The 33-bit record-number invariant fails LOUDLY, not silently: with
+    the guard threshold patched down (2^33 rows is not a fixture), any
+    range partition at/over the limit must abort the job via raise_error.
+    The threshold is read at call time, so the patch exercises the real
+    guard expression."""
+    from batch_processing_pipeline_spark.operators import rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "_MAX_PART_ROWS", 10)
+    df = spark.range(50).select("id", F.lit(1).alias("v"))
+    out = rank_mod.exact_global_rank(
+        df, [F.col("id").asc()], out_col="r", num_partitions=2
+    )
+    with pytest.raises(Exception, match="2\\^33"):
+        out.collect()
+
+
+def test_exact_global_rank_guard_passes_under_limit(spark, monkeypatch):
+    """Same patched threshold, partitions under it: results unchanged —
+    the guard is observation-only on the happy path."""
+    from batch_processing_pipeline_spark.operators import rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "_MAX_PART_ROWS", 1000)
+    df = spark.range(50).select("id")
+    out = rank_mod.exact_global_rank(
+        df, [F.col("id").asc()], out_col="r", num_partitions=4
+    )
+    assert out.agg(F.sum(F.abs(F.col("r") - F.col("id") - 1))).collect()[0][0] == 0

@@ -154,3 +154,110 @@ def test_temperature_mix_rebalances_toward_tail(spark, sf_dir):
     # deterministic: second run keeps the identical set
     again = {r.doc_id for r in temperature_mix(d, alpha=0.5, domain_col="lang").collect()}
     assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_weighted_sample_per_group_exact_differential(spark):
+    """A-RES per group, int quota: the kept set must equal an exact
+    hashlib recomputation (top-n by ln(u)/w per group, md5 tie-break) —
+    the operator is deterministic arithmetic, so the test is exact, not
+    statistical."""
+    import hashlib
+    import math
+
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark).select("lang", "doc_id", "n_chars")
+    got = weighted_sample_per_group(
+        d, ["lang"], weight_col="n_chars", n=5, key_col="doc_id", seed="t1"
+    )
+    got_rows = {(r.lang, r.doc_id, r.rank) for r in got.collect()}
+
+    rows = d.collect()
+    per_group: dict[str, list] = {}
+    for r in rows:
+        draw = int(
+            hashlib.md5(f"t1:{r.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (draw + 0.5) / 2.0**32
+        key = math.log(u) / max(float(r.n_chars), 1.0)
+        tie = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        per_group.setdefault(r.lang, []).append((-key, tie, r.doc_id))
+    expect = set()
+    for lang, items in per_group.items():
+        for rk, (_, _, doc_id) in enumerate(sorted(items)[:5], start=1):
+            expect.add((lang, doc_id, rk))
+    assert got_rows == expect
+
+
+def test_weighted_sample_per_group_alloc_composition(spark):
+    """Quotas from an allocation RELATION (the unimax_alloc composition):
+    per-group kept counts equal min(quota, group size), dict and
+    DataFrame quota forms agree, and the plan keeps the two-phase
+    WindowGroupLimit at the max quota."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark).select("lang", "doc_id", "n_chars")
+    sizes = {r.lang: r.c for r in d.groupBy("lang").count().withColumnRenamed("count", "c").collect()}
+    langs = sorted(sizes)
+    quotas = {lang: 3 + 4 * i for i, lang in enumerate(langs)}
+
+    alloc = spark.createDataFrame(
+        [(lang, q) for lang, q in quotas.items()], ["lang", "n"]
+    )
+    via_df = weighted_sample_per_group(
+        d, ["lang"], weight_col="n_chars", n=alloc, key_col="doc_id", seed="t2"
+    )
+    via_dict = weighted_sample_per_group(
+        d, ["lang"], weight_col="n_chars", n=quotas, key_col="doc_id", seed="t2"
+    )
+    rows_df = sorted((r.lang, r.doc_id, r.rank) for r in via_df.collect())
+    rows_dict = sorted((r.lang, r.doc_id, r.rank) for r in via_dict.collect())
+    assert rows_df == rows_dict
+    counts: dict[str, int] = {}
+    for lang, _, _ in rows_df:
+        counts[lang] = counts.get(lang, 0) + 1
+    assert counts == {
+        lang: min(q, sizes[lang]) for lang, q in quotas.items() if min(q, sizes[lang]) > 0
+    }
+    plan = via_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_per_group_nested_and_repartition_stable(spark):
+    """Growing a quota never evicts prior members (top-n prefix
+    property), and the kept set is invariant under input repartitioning
+    (no RNG state, the sampling.py discipline)."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark).select("lang", "doc_id", "n_chars")
+    small = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample_per_group(
+            d, ["lang"], weight_col="n_chars", n=4, key_col="doc_id", seed="t3"
+        ).collect()
+    }
+    big = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample_per_group(
+            d, ["lang"], weight_col="n_chars", n=9, key_col="doc_id", seed="t3"
+        ).collect()
+    }
+    assert small < big
+    reparted = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample_per_group(
+            d.repartition(17),
+            ["lang"],
+            weight_col="n_chars",
+            n=4,
+            key_col="doc_id",
+            seed="t3",
+        ).collect()
+    }
+    assert reparted == small

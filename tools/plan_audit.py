@@ -115,6 +115,15 @@ def main() -> int:
             lines.append(f"| {label} | {n} |")
         n_ex = len(set(re.findall(r"(?<!Reused)Exchange[^\n]*plan_id=(\d+)", plan)))
         lines.append(f"| Exchange (distinct plan ids) | {n_ex} |")
+        # the registry-wide contract (tests/test_plan_sweep.py) on the
+        # FINAL adaptive plan as well — the sweep test asserts it on the
+        # initial plan; this records both agree
+        from batch_processing_pipeline_spark.plancheck import plan_violations
+
+        viol = plan_violations(plan)
+        lines.append(f"| scale-contract violations | {len(viol)} |")
+        for v in viol:
+            lines.append(f"|   ↳ | {v[:160]} |")
         # the first FileScan line shows pushdown + pruned read schema
         scans = [
             ln.strip()[:300]
