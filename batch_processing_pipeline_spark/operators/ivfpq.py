@@ -90,6 +90,23 @@ def train_ivfpq(
     return centroids, books
 
 
+def _books_tensor(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    cell_codebooks: dict[int, list[list[list[float]]]] | None,
+) -> "np.ndarray | None":
+    """(k_coarse, m, ksub, sub) codebook tensor when any cell carries
+    LOCAL books (``refresh_ivfpq_index``), else None (global-books fast
+    path). Tiny either way: 8×16×16×4 doubles ≈ 64 KB in the closure."""
+    if not cell_codebooks:
+        return None
+    base = np.asarray(codebooks, dtype=np.float64)
+    B = np.repeat(base[None, :, :, :], len(centroids), axis=0).copy()
+    for cell, books in cell_codebooks.items():
+        B[int(cell)] = np.asarray(books, dtype=np.float64)
+    return B
+
+
 def ivfpq_encode(
     df: DataFrame,
     centroids: list[list[float]],
@@ -97,6 +114,7 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_res_norm: bool = False,
+    cell_codebooks: dict[int, list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """The inverted file: (id, cell, pq_code) — one map-side Arrow pass.
 
@@ -108,13 +126,21 @@ def ivfpq_encode(
     ``with_res_norm=True`` additionally emits the residual's L2 norm as
     ``res_norm`` from the SAME kernel pass — the index save/append paths
     use it so the drift baseline/audit never re-runs cell assignment over
-    the corpus (a second full Arrow pass saved)."""
+    the corpus (a second full Arrow pass saved).
+
+    ``cell_codebooks``: per-cell residual codebook OVERRIDES (from a
+    drift-triggered ``refresh_ivfpq_index``) — rows landing in an
+    overridden cell are coded against that cell's local books, everything
+    else against the frozen global books; the kernel stays one Arrow
+    pass (a per-present-cell vectorized sub-loop replaces the flat
+    subspace loop only when overrides exist)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     m = len(codebooks)
     sub = len(codebooks[0][0])
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    B = _books_tensor(centroids, codebooks, cell_codebooks)
 
     @pandas_udf("struct<cell: int, pq_code: array<int>, res_norm: double>")
     def enc(vecs: pd.Series) -> pd.DataFrame:
@@ -126,14 +152,27 @@ def ivfpq_encode(
         cells = d2.argmin(1)
         R = X - C[cells]
         codes = np.empty((len(X), m), dtype=np.int32)
-        for j in range(m):
-            D = R[:, j * sub : (j + 1) * sub]
-            dj = (
-                (D * D).sum(1, keepdims=True)
-                - 2.0 * (D @ books[j].T)
-                + (books[j] * books[j]).sum(1)[None, :]
-            )
-            codes[:, j] = dj.argmin(1)
+        if B is None:
+            for j in range(m):
+                D = R[:, j * sub : (j + 1) * sub]
+                dj = (
+                    (D * D).sum(1, keepdims=True)
+                    - 2.0 * (D @ books[j].T)
+                    + (books[j] * books[j]).sum(1)[None, :]
+                )
+                codes[:, j] = dj.argmin(1)
+        else:
+            for cc in np.unique(cells):
+                mask = cells == cc
+                for j in range(m):
+                    D = R[mask, j * sub : (j + 1) * sub]
+                    bj = B[cc, j]
+                    dj = (
+                        (D * D).sum(1, keepdims=True)
+                        - 2.0 * (D @ bj.T)
+                        + (bj * bj).sum(1)[None, :]
+                    )
+                    codes[mask, j] = dj.argmin(1)
         return pd.DataFrame(
             {
                 "cell": cells.astype("int32"),
@@ -166,6 +205,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     encoded: DataFrame | None = None,
     prune_scan: bool = False,
+    cell_codebooks: dict[int, list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """IVFADC top-k: per-(query, probed-cell) residual ADC tables joined
     against the cell-pruned code relation, optional exact re-rank.
@@ -182,6 +222,13 @@ def ivfpq_topk(
     is bounded by k_coarse (one tiny collect), and on a cell-partitioned
     stored index the filter becomes parquet PARTITION PRUNING — unprobed
     cell directories are never read at all.
+
+    ``cell_codebooks``: per-cell overrides from ``refresh_ivfpq_index``
+    (``load_ivfpq_model``'s ``cell_codebooks``). The ADC tables then key
+    codewords by (cell, j, code) — the book relation grows to
+    k_coarse × m × ksub rows, still a KB-scale broadcast — so a probe
+    into a refreshed cell scores against that cell's local books, which
+    MUST match the books its stored codes were written with.
     """
     spark = queries.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
@@ -233,14 +280,6 @@ def ivfpq_topk(
         # cost being deduplicated)
         qprobe = qprobe.localCheckpoint(eager=True)
 
-    book_df = spark.createDataFrame(
-        [
-            (j, c, [float(x) for x in codebooks[j][c]])
-            for j in range(m)
-            for c in range(ksub)
-        ],
-        "j int, c int, cent array<double>",
-    )
     dist = sum(
         (
             (F.element_at("qs", i + 1) - F.element_at("cent", i + 1))
@@ -249,9 +288,39 @@ def ivfpq_topk(
         ),
         F.lit(0.0),
     )
-    dtab = qprobe.join(F.broadcast(book_df), "j").select(
-        "query_id", "cell", "j", F.col("c").alias("code"), dist.alias("d")
-    )
+    if cell_codebooks:
+        by_cell = {
+            int(cc): books for cc, books in cell_codebooks.items()
+        }
+        book_df = spark.createDataFrame(
+            [
+                (
+                    cell,
+                    j,
+                    c,
+                    [float(x) for x in by_cell.get(cell, codebooks)[j][c]],
+                )
+                for cell in range(k_coarse)
+                for j in range(m)
+                for c in range(ksub)
+            ],
+            "cell int, j int, c int, cent array<double>",
+        )
+        dtab = qprobe.join(F.broadcast(book_df), ["cell", "j"]).select(
+            "query_id", "cell", "j", F.col("c").alias("code"), dist.alias("d")
+        )
+    else:
+        book_df = spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in codebooks[j][c]])
+                for j in range(m)
+                for c in range(ksub)
+            ],
+            "j int, c int, cent array<double>",
+        )
+        dtab = qprobe.join(F.broadcast(book_df), "j").select(
+            "query_id", "cell", "j", F.col("c").alias("code"), dist.alias("d")
+        )
 
     # ---- corpus side: the inverted file, materialized once (same
     # barrier rationale as pq_topk: without it the encode expression is
@@ -259,7 +328,12 @@ def ivfpq_topk(
     # on disk / materialized) is used as-is.
     if encoded is None:
         encoded = ivfpq_encode(
-            corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
+            corpus,
+            centroids,
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_codebooks=cell_codebooks,
         ).localCheckpoint(eager=True)
     codes = encoded.select(
         F.col(id_col).alias("vec_id"), "cell", F.posexplode("pq_code").alias("j", "code")
@@ -405,6 +479,9 @@ def append_to_ivfpq_index(
             "under refresh=0/cell=* and records the drift baseline)."
         )
     centroids, codebooks = model["centroids"], model["codebooks"]
+    cell_books = {
+        int(c): b for c, b in model.get("cell_codebooks", {}).items()
+    }
     encoded = ivfpq_encode(
         new_vectors,
         centroids,
@@ -412,6 +489,10 @@ def append_to_ivfpq_index(
         id_col=id_col,
         vec_col=vec_col,
         with_res_norm=True,
+        # post-refresh indexes carry cell-local books: appended rows in a
+        # refreshed cell must be coded against the SAME books as the
+        # cell's stored codes or ADC distances stop being comparable
+        cell_codebooks=cell_books or None,
     ).withColumn("refresh", F.lit(int(refresh_id)))
     (
         encoded.write.partitionBy("refresh", "cell")
@@ -518,5 +599,196 @@ def load_ivfpq_index(spark, path: str):
     model = json.loads(fs_read_text(spark, f"{path}/model.json"))
     encoded = spark.read.parquet(f"{path}/codes")
     return model["centroids"], model["codebooks"], encoded
+
+
+def load_ivfpq_model(spark, path: str) -> dict:
+    """The full model sidecar as a dict: centroids, codebooks,
+    res_norm_baseline, and (after a ``refresh_ivfpq_index``)
+    ``cell_codebooks`` with int cell keys — pass the latter to
+    ``ivfpq_topk``/``ivfpq_encode`` so probes into refreshed cells score
+    against the books their stored codes were written with."""
+    import json
+
+    model = json.loads(fs_read_text(spark, f"{path}/model.json"))
+    model["cell_codebooks"] = {
+        int(c): b for c, b in model.get("cell_codebooks", {}).items()
+    }
+    return model
+
+
+def refresh_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    threshold: float = 1.25,
+    cells: list[int] | None = None,
+    max_train: int = 2048,
+    seed: int = 42,
+    iters: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Act on the drift signal: re-train residual codebooks for ONLY the
+    cells whose residual distribution has drifted past ``threshold``,
+    re-encode only those cells' vectors, and reset their drift baseline —
+    O(dirty cells), never O(corpus). This closes the maintenance loop
+    ``ivfpq_index_drift`` / ``append_to_ivfpq_index`` open: drift is
+    *reported* there; here it is *repaired* without the full re-train a
+    from-scratch ``save_ivfpq_index`` would cost.
+
+    ``vectors`` must be the CURRENT indexed corpus (base + all appended
+    refreshes) keyed like the index; ids absent from the stored codes are
+    ignored (they were never indexed). ``cells`` forces a refresh of the
+    given cells regardless of drift (operational override); otherwise the
+    dirty set is ``mean_res_norm(now) / baseline > threshold``.
+
+    Mechanics per dirty cell: bounded md5-ordered sample of the cell's
+    vectors (the ``train_ivfpq`` convention — codebook training is tiny
+    and driver-side; the DISTRIBUTED work is encoding), residuals against
+    the FROZEN coarse centroid (cell membership never changes, so no
+    other cell's codes are touched), new per-subspace books via the same
+    deterministic Lloyd, stored in model.json as ``cell_codebooks``.
+    Re-encoding reads the dirty cells' code partitions (partition-pruned)
+    only to recover each id's ``refresh`` batch key, then dynamically
+    overwrites exactly the (refresh, cell) partitions it read — an
+    at-least-once replay overwrites its own work (the append-path
+    idempotency discipline). The baseline for refreshed cells resets to
+    the current per-cell mean residual norm: the new books were trained
+    on today's distribution, so drift accounting restarts at ~1.
+
+    Returns one report dict per AUDITED cell:
+    ``{"cell", "drift", "refreshed"}`` (drift None under a forced
+    ``cells=`` override for cells missing a baseline).
+    """
+    import json
+
+    spark = vectors.sparkSession
+    model = json.loads(fs_read_text(spark, f"{path}/model.json"))
+    if "res_norm_baseline" not in model:
+        raise ValueError(
+            "refresh_ivfpq_index: legacy index (no res_norm_baseline); "
+            "re-run save_ivfpq_index first"
+        )
+    centroids, codebooks = model["centroids"], model["codebooks"]
+    m, ksub = len(codebooks), len(codebooks[0])
+    baseline = {int(c): float(v) for c, v in model["res_norm_baseline"].items()}
+    cell_books = {
+        int(c): b for c, b in model.get("cell_codebooks", {}).items()
+    }
+
+    stats = {
+        int(r["cell"]): (int(r["n"]), float(r["mean_res_norm"]))
+        for r in residual_stats(vectors, centroids, vec_col=vec_col).collect()
+    }
+    report: list[dict] = []
+    if cells is None:
+        dirty = []
+        for c, (_, rn) in sorted(stats.items()):
+            drift = rn / baseline[c] if baseline.get(c) else None
+            hit = drift is not None and drift > threshold
+            report.append({"cell": c, "drift": drift, "refreshed": hit})
+            if hit:
+                dirty.append(c)
+    else:
+        dirty = sorted(int(c) for c in cells)
+        for c in dirty:
+            rn = stats.get(c, (0, None))[1]
+            drift = (
+                rn / baseline[c] if rn is not None and baseline.get(c) else None
+            )
+            report.append({"cell": c, "drift": drift, "refreshed": True})
+    if not dirty:
+        return report
+
+    # one Arrow assignment pass, kept only for the dirty cells; eager
+    # checkpoint so the per-cell sampling below doesn't re-run the kernel
+    assigned = (
+        ivfpq_encode(vectors, centroids, codebooks, id_col=id_col, vec_col=vec_col)
+        .where(F.col("cell").isin([int(c) for c in dirty]))
+        .select(id_col, "cell")
+        .localCheckpoint(eager=True)
+    )
+    vec = vectors.select(id_col, vec_col)
+    C = np.asarray(centroids, dtype=np.float64)
+    trained: list[int] = []
+    for c in dirty:
+        rows = (
+            vec.join(assigned.where(F.col("cell") == int(c)), id_col)
+            .orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit(f"ivfpqrefresh:{c}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                )
+            )
+            .limit(max_train)
+            .select(vec_col)
+            .collect()
+        )
+        if len(rows) < ksub:
+            # not enough members to train ksub codewords — leave the
+            # cell on the global/previous books and say so in the report
+            for entry in report:
+                if entry["cell"] == int(c):
+                    entry["refreshed"] = False
+                    entry["skipped"] = f"only {len(rows)} members < ksub={ksub}"
+            continue
+        X = np.asarray([r[0] for r in rows], dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        R = X - C[int(c)]
+        cell_books[int(c)] = subspace_codebooks(
+            R, m=m, ksub=ksub, seed=seed + 7919 * int(c), iters=iters
+        )
+        trained.append(int(c))
+    dirty = trained
+    if not dirty:
+        return report
+
+    # recover each dirty id's refresh batch key (partition-pruned read of
+    # just the dirty cells), re-encode with the merged books, overwrite
+    # exactly the partitions read
+    # materialize before the write: Spark (rightly) refuses to overwrite
+    # a path that is also being read from within one plan, and the
+    # relation is O(dirty cells) rows of two tiny columns
+    existing = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("cell").isin([int(c) for c in dirty]))
+        .select(id_col, "refresh")
+        .localCheckpoint(eager=True)
+    )
+    re_enc = ivfpq_encode(
+        vec.join(
+            assigned.where(F.col("cell").isin([int(c) for c in dirty])),
+            id_col,
+        ).select(id_col, vec_col),
+        centroids,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        with_res_norm=True,
+        cell_codebooks=cell_books,
+    ).join(existing, id_col)
+    (
+        re_enc.select(id_col, "cell", "pq_code", "res_norm", "refresh")
+        .write.partitionBy("refresh", "cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+    new_baseline = {
+        r["cell"]: float(r["mean_res_norm"])
+        for r in spark.read.parquet(f"{path}/codes")
+        .where(F.col("cell").isin([int(c) for c in dirty]))
+        .groupBy("cell")
+        .agg(F.avg("res_norm").alias("mean_res_norm"))
+        .collect()
+    }
+    for c, v in new_baseline.items():
+        baseline[int(c)] = v
+    model["res_norm_baseline"] = {str(c): v for c, v in baseline.items()}
+    model["cell_codebooks"] = {str(c): b for c, b in cell_books.items()}
+    fs_write_text(spark, f"{path}/model.json", json.dumps(model))
+    return report
 
 

@@ -2025,7 +2025,10 @@ def q_ivfpq_index_drift(spark, sf):
     fixture halves share one distribution). Rows-only by design (k-means
     is seed-dependent); appended == from-scratch-encode at frozen books
     is pinned exactly in tests/test_ivfpq.py. The audit materializes
-    (localCheckpoint) before the scratch index is removed.
+    (localCheckpoint) before the scratch index is removed. Acting on the
+    signal is ``refresh_ivfpq_index`` (round 10): cell-local codebook
+    re-train + re-encode of ONLY the drifted cells, pinned in the same
+    test module.
     """
     import shutil
     import tempfile

@@ -276,3 +276,174 @@ def test_ivfpq_append_rejects_legacy_layout(spark, ivfpq_model, tmp_path):
     # nothing was written: the legacy index is still fully readable
     _, _, stored = load_ivfpq_index(spark, path)
     assert stored.count() == before
+
+
+def test_refresh_ivfpq_retrains_only_dirty_cells(spark, ivfpq_model, tmp_path):
+    """Drift-repair loop (round-10): a forced refresh of cells {2, 5}
+    must (a) leave every other cell's stored codes byte-identical,
+    (b) store cell-local codebooks for exactly those cells, (c) keep the
+    stored codes equal to a fresh encode under the loaded model (the
+    append-path exactness discipline), (d) reset those cells' drift
+    baseline to the current distribution, and (e) not hurt refined
+    search recall. A no-op threshold run must change nothing."""
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        load_ivfpq_model,
+        refresh_ivfpq_index,
+        residual_stats,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "refresh_index")
+    save_ivfpq_index(emb, path, cents, books)
+
+    def stored_codes():
+        return {
+            r.vec_id: (r.cell, tuple(r.pq_code), r.refresh)
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        }
+
+    before = stored_codes()
+    model_before = load_ivfpq_model(spark, path)
+
+    # no-op: nothing drifts on the unchanged corpus at a huge threshold
+    report = refresh_ivfpq_index(emb, path, threshold=1e9)
+    assert all(not r["refreshed"] for r in report)
+    assert all(r["drift"] is not None and 0.9 < r["drift"] < 1.1 for r in report)
+    assert stored_codes() == before
+    assert load_ivfpq_model(spark, path)["cell_codebooks"] == {}
+
+    # forced refresh of two cells
+    report = refresh_ivfpq_index(emb, path, cells=[2, 5])
+    assert [r["cell"] for r in report if r["refreshed"]] == [2, 5]
+    after = stored_codes()
+    assert set(after) == set(before)
+    changed_cells = set()
+    for vid, (cell, code, refresh) in after.items():
+        b_cell, b_code, b_refresh = before[vid]
+        assert cell == b_cell and refresh == b_refresh  # membership frozen
+        if code != b_code:
+            changed_cells.add(cell)
+        if cell not in (2, 5):
+            assert code == b_code, f"untouched cell {cell} changed"
+    assert changed_cells <= {2, 5} and changed_cells  # something retrained
+
+    model = load_ivfpq_model(spark, path)
+    assert set(model["cell_codebooks"]) == {2, 5}
+    # global books untouched
+    assert model["codebooks"] == model_before["codebooks"]
+
+    # (c) stored codes == fresh encode under the loaded model
+    fresh = {
+        r.vec_id: (r.cell, tuple(r.pq_code))
+        for r in ivfpq_encode(
+            emb, model["centroids"], model["codebooks"],
+            cell_codebooks=model["cell_codebooks"],
+        ).collect()
+    }
+    assert {v: (c, p) for v, (c, p, _) in after.items()} == fresh
+
+    # (d) refreshed cells' baseline == current per-cell mean residual norm
+    now = {
+        r.cell: r.mean_res_norm
+        for r in residual_stats(emb, model["centroids"]).collect()
+    }
+    for c in (2, 5):
+        assert abs(model["res_norm_baseline"][str(c)] - now[c]) < 1e-6
+    for c in now:
+        if c not in (2, 5):
+            assert (
+                model["res_norm_baseline"][str(c)]
+                == model_before["res_norm_baseline"][str(c)]
+            )
+
+    # (e) refined search off the refreshed index: recall no worse than
+    # the pre-refresh path (cell-local books fit the data at least as
+    # well as global ones; exact re-rank bounds the comparison noise)
+    queries = emb.where(F.col("vec_id") < 10)
+    pre = ivfpq_topk(
+        queries, emb, cents, books, k=10, nprobe=8, refine=50
+    ).collect()
+    stored = spark.read.parquet(f"{path}/codes")
+    post = ivfpq_topk(
+        queries, emb, model["centroids"], model["codebooks"],
+        k=10, nprobe=8, refine=50, encoded=stored,
+        cell_codebooks=model["cell_codebooks"],
+    ).collect()
+    rec_pre = _recall_by_query(spark, pre)
+    rec_post = _recall_by_query(spark, post)
+    assert sum(rec_post) / len(rec_post) >= sum(rec_pre) / len(rec_pre) - 0.05
+
+
+def test_refresh_ivfpq_drift_triggered_selection(spark, ivfpq_model, tmp_path):
+    """Threshold-driven selection: append a residual-inflated batch into
+    one target cell (vectors pushed along their residual direction, kept
+    only while still nearest to that centroid), then refresh with a
+    threshold between the planted cell's drift and everyone else's —
+    exactly the planted cell must retrain."""
+    import numpy as np
+
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        load_ivfpq_model,
+        refresh_ivfpq_index,
+        residual_stats,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "drift_index")
+    save_ivfpq_index(emb, path, cents, books)
+    base = load_ivfpq_model(spark, path)["res_norm_baseline"]
+
+    C = np.asarray(cents, dtype=np.float64)
+    ids = np.array([r.vec_id for r in emb.select("vec_id").collect()])
+    target = 3
+    # plant ANGULAR drift (unit vectors make norm-based drift impossible:
+    # residual_stats normalizes). Members of a k-means cell satisfy
+    # E[x] = c, so baseline rn ≈ sqrt(1 - |c|^2); a vector ORTHOGONAL to
+    # every centroid nudged epsilon toward c is still nearest to c
+    # (c·c >> c·c_i on this fixture) but has rn ≈ sqrt(1 + |c|^2) — a
+    # deterministic ~7% per-row inflation, with every other cell's stats
+    # EXACTLY unchanged.
+    rng = np.random.RandomState(7)
+    raw = rng.standard_normal((150, C.shape[1]))
+    # project out span(C): x0 ⊥ all centroids
+    Q, _ = np.linalg.qr(C.T)
+    x0 = raw - (raw @ Q) @ Q.T
+    drifted = x0 / np.linalg.norm(x0, axis=1, keepdims=True) + 0.05 * C[target]
+    drifted /= np.linalg.norm(drifted, axis=1, keepdims=True)
+    dd = (
+        (drifted * drifted).sum(1, keepdims=True)
+        - 2.0 * (drifted @ C.T)
+        + (C * C).sum(1)[None, :]
+    )
+    drifted = drifted[dd.argmin(1) == target]  # keep only in-cell rows
+    assert len(drifted) >= 16, "fixture no longer plants enough drift rows"
+    new_ids = [int(ids.max()) + 1 + i for i in range(len(drifted))]
+    batch = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(new_ids, drifted)],
+        "vec_id bigint, embedding array<double>",
+    )
+    audit = {r.cell: r.drift for r in append_to_ivfpq_index(batch, path, 1).collect()}
+    assert audit[target] and audit[target] > 1.02, audit
+
+    # corpus-wide drift per cell (what refresh will see), recomputed
+    # independently to pick a separating threshold
+    union = emb.select("vec_id", "embedding").unionByName(batch)
+    now = {r.cell: r.mean_res_norm for r in residual_stats(union, cents).collect()}
+    ratios = {c: now[c] / base[str(c)] for c in now}
+    others = max(v for c, v in ratios.items() if c != target)
+    assert ratios[target] > others, ratios
+    threshold = (ratios[target] + others) / 2.0
+    report = refresh_ivfpq_index(union, path, threshold=threshold)
+    assert [r["cell"] for r in report if r["refreshed"]] == [target]
+    model = load_ivfpq_model(spark, path)
+    assert set(model["cell_codebooks"]) == {target}
+    # appended-after-refresh rows in the refreshed cell use the new books:
+    # drift accounting restarted at ~1 for the refreshed cell
+    assert abs(model["res_norm_baseline"][str(target)] - now[target]) < 1e-6
