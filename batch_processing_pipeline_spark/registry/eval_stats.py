@@ -3697,6 +3697,143 @@ ORACLES["weighted_sample_per_group"] = f"""
 QUERIES["weighted_sample_per_group"] = q_weighted_sample_per_group
 
 
+def q_weighted_mix_sample(spark, sf):
+    """The training-mix composition end-to-end, fully oracle-checked:
+    UniMax capped water-filling (the ``unimax_alloc`` solve — c=4 epochs,
+    budget 2x corpus) turns per-language token counts into a token
+    allocation; the allocation becomes a per-language DOCUMENT quota
+    (n_docs x alloc/cap, round4 before ceil so the boundary is
+    engine-portable, capped at the stratum size); the quota drives
+    per-language A-RES weighted sampling without replacement
+    (``weighted_sample_per_group`` with the quota RELATION — the exact
+    production wiring the operator exists for). Capped (tail) languages
+    keep all docs; head languages are weight-sampled down — one query
+    demonstrating alloc -> quota -> sample with a DuckDB twin of every
+    stage."""
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        whitespace_token_count,
+    )
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    c_epochs, budget_frac = 4.0, 2.0
+    d = _t(spark, sf, "documents").where(F.length(F.trim(F.col("text"))) > 0)
+    per_lang = d.groupBy("lang").agg(
+        F.sum(whitespace_token_count(F.lower(F.trim(F.col("text")))))
+        .cast("double")
+        .alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w_all = Window.partitionBy()
+    order = [(F.col("n_tokens") * c_epochs).asc(), F.col("lang").asc()]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_lang.select(
+        "lang",
+        "n_tokens",
+        "n_docs",
+        (F.col("n_tokens") * F.lit(c_epochs)).alias("cap"),
+        F.sum("n_tokens").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_langs"),
+        F.row_number().over(Window.orderBy(*order)).alias("k"),
+        F.sum(F.col("n_tokens") * c_epochs).over(w_cum).alias("prefix"),
+    )
+    b = F.col("total") * F.lit(budget_frac)
+    capped = (
+        F.col("cap") * (F.col("n_langs") - F.col("k") + 1)
+        <= b - (F.col("prefix") - F.col("cap"))
+    ).cast("int")
+    flagged = ranked.withColumn("capped", capped)
+    solved = flagged.select(
+        "lang",
+        "n_docs",
+        "cap",
+        "capped",
+        b.alias("budget"),
+        F.sum("capped").over(w_all).alias("n_capped"),
+        F.sum(F.col("cap") * F.col("capped")).over(w_all).alias("capped_sum"),
+        "n_langs",
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap")).otherwise(
+        (F.col("budget") - F.col("capped_sum"))
+        / (F.col("n_langs") - F.col("n_capped"))
+    )
+    quotas = solved.select(
+        "lang",
+        F.least(
+            F.col("n_docs"),
+            F.ceil(round4(F.col("n_docs") * alloc / F.col("cap"))),
+        )
+        .cast("int")
+        .alias("n"),
+    )
+    sampled = weighted_sample_per_group(
+        d.select("lang", "doc_id", F.col("n_chars").alias("weight")),
+        ["lang"],
+        weight_col="weight",
+        n=quotas,
+        key_col="doc_id",
+        seed="wms",
+        key_transform=round4,
+    )
+    return sampled.select("lang", "rank", "doc_id", "weight", F.col("key"))
+
+
+ORACLES["weighted_mix_sample"] = f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS DOUBLE) AS n_tokens,
+             COUNT(*) AS n_docs
+      FROM documents WHERE length(trim(text)) > 0
+      GROUP BY lang
+    ), ranked AS (
+      SELECT lang, n_tokens, n_docs, n_tokens * 4.0 AS cap,
+             SUM(n_tokens) OVER () AS total,
+             COUNT(*) OVER () AS n_langs,
+             ROW_NUMBER() OVER (ORDER BY n_tokens * 4.0 ASC, lang ASC) AS k,
+             SUM(n_tokens * 4.0) OVER (ORDER BY n_tokens * 4.0 ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM per_lang
+    ), flagged AS (
+      SELECT *, total * 2.0 AS budget,
+             CASE WHEN cap * (n_langs - k + 1)
+                       <= total * 2.0 - (prefix - cap)
+                  THEN 1 ELSE 0 END AS capped
+      FROM ranked
+    ), solved AS (
+      SELECT lang, n_docs, cap, capped, budget, n_langs,
+             SUM(capped) OVER () AS n_capped,
+             SUM(cap * capped) OVER () AS capped_sum
+      FROM flagged
+    ), quotas AS (
+      SELECT lang,
+             CAST(LEAST(CAST(n_docs AS BIGINT), CAST(CEIL({R(
+                 "n_docs * (CASE WHEN capped = 1 THEN cap ELSE "
+                 "(budget - capped_sum) / (n_langs - n_capped) END) / cap"
+             )}) AS BIGINT)) AS INTEGER) AS n
+      FROM solved
+    ), scored AS (
+      SELECT lang, doc_id, n_chars AS weight,
+             {R("ln((CAST(CAST('0x' || substr(md5('wms:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+                " AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)"
+                " / GREATEST(CAST(n_chars AS DOUBLE), 1.0)")} AS key
+      FROM documents WHERE length(trim(text)) > 0
+    ), ws AS (
+      SELECT lang, doc_id, weight, key,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY key DESC, md5(CAST(doc_id AS VARCHAR)) ASC)
+             AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT ws.lang AS lang, rank, doc_id, weight, key
+    FROM ws JOIN quotas q ON q.lang = ws.lang
+    WHERE rank <= q.n
+"""
+QUERIES["weighted_mix_sample"] = q_weighted_mix_sample
+
+
 def q_exact_quantiles(spark, sf):
     """EXACT global quantiles of a fact-sized column (nearest-rank,
     type-1) without a single-partition sort: the quantile at q is the
