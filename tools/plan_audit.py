@@ -44,6 +44,11 @@ DEFAULT_QUERIES = [
     "exact_quantiles",
     "bm25_search",
     "quantile_normalize",
+    # round-10: per-stratum A-RES, the alloc->quota->sample composition,
+    # and the last per-row window conversion
+    "weighted_sample_per_group",
+    "weighted_mix_sample",
+    "pr_auc_eval",
 ]
 
 MARKERS = [
