@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from batch_processing_pipeline_spark.fsutil import glob_exists as fs_glob_exists
+from batch_processing_pipeline_spark.fsutil import hadoop_fs
 from batch_processing_pipeline_spark.fsutil import read_text as fs_read_text
 from batch_processing_pipeline_spark.fsutil import write_text as fs_write_text
 from batch_processing_pipeline_spark.functions.vector import cosine_similarity
@@ -590,6 +591,84 @@ def save_ivfpq_index(
             }
         ),
     )
+
+
+def delete_from_ivfpq_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Remove vectors from the stored IVFADC index — the third leg of the
+    index lifecycle beside ``append_to_ivfpq_index`` (add) and
+    ``refresh_ivfpq_index`` (repair): GDPR erasure / corpus retractions
+    must not require a full index rebuild.
+
+    ``ids``: a relation carrying ``id_col`` (broadcast onto the code
+    scan — deletion sets are small relative to the corpus; a mass
+    retraction big enough to break that assumption warrants a rebuild
+    anyway). Shape: one partition-pruned pass finds the touched
+    (refresh, cell) partitions (bounded by refreshes × k_coarse), the
+    survivors of ONLY those partitions are rewritten via dynamic
+    partition overwrite, and partitions left EMPTY are removed
+    explicitly (dynamic overwrite cannot replace a partition with
+    nothing). Cost: O(touched partitions), never O(index).
+
+    Replay-safe: a second run of the same delete finds no matching ids,
+    touches no partitions, and is a no-op. The drift baseline is
+    deliberately NOT recomputed — it records the distribution the
+    codebooks were trained on, which a deletion does not change.
+
+    Returns ``{"deleted", "partitions_rewritten", "partitions_removed"}``.
+    """
+    spark = ids.sparkSession
+    if not fs_glob_exists(spark, f"{path}/codes/refresh=*"):
+        raise ValueError(
+            "delete_from_ivfpq_index: index at "
+            f"{path!r} has no refresh=* partitions (legacy layout or "
+            "empty); re-run save_ivfpq_index first"
+        )
+    del_ids = ids.select(id_col).distinct()
+    codes = spark.read.parquet(f"{path}/codes")
+    hit = codes.join(F.broadcast(del_ids), id_col, "left_semi")
+    touched = [
+        (int(r["refresh"]), int(r["cell"]))
+        for r in hit.select("refresh", "cell").distinct().collect()
+    ]
+    n_deleted = hit.count()
+    if not touched:
+        return {"deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
+    touched_pred = None
+    for refresh, cell in touched:
+        p = (F.col("refresh") == refresh) & (F.col("cell") == cell)
+        touched_pred = p if touched_pred is None else (touched_pred | p)
+    # materialize survivors before overwriting the path they came from
+    survivors = (
+        codes.where(touched_pred)
+        .join(F.broadcast(del_ids), id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept = {
+        (int(r["refresh"]), int(r["cell"]))
+        for r in survivors.select("refresh", "cell").distinct().collect()
+    }
+    if kept:
+        (
+            survivors.write.partitionBy("refresh", "cell")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{path}/codes")
+        )
+    emptied = [pc for pc in touched if pc not in kept]
+    for refresh, cell in emptied:
+        fs, hpath = hadoop_fs(
+            spark, f"{path}/codes/refresh={refresh}/cell={cell}"
+        )
+        fs.delete(hpath, True)
+    return {
+        "deleted": int(n_deleted),
+        "partitions_rewritten": len(kept),
+        "partitions_removed": len(emptied),
+    }
 
 
 def load_ivfpq_index(spark, path: str):

@@ -118,6 +118,13 @@ HEADLINE = [
     "hybrid_rrf_search",
     "distinct_ngram_ratio",
     "survival_curve",
+    # round-9/10 total-order + sampling families: the range-sharded exact
+    # rank paths and the A-RES samplers get their own regression rows
+    "weighted_sample",
+    "exact_quantiles",
+    "curriculum_order",
+    "weighted_sample_per_group",
+    "weighted_mix_sample",
     # heaviest (and cache-persisting) queries last so their GC debt can't
     # bleed into the cheap queries' timings — including the iterative
     # pointer-doubling paths (checkpoint-per-round loops), benched so a

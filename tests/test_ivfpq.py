@@ -447,3 +447,98 @@ def test_refresh_ivfpq_drift_triggered_selection(spark, ivfpq_model, tmp_path):
     # appended-after-refresh rows in the refreshed cell use the new books:
     # drift accounting restarted at ~1 for the refreshed cell
     assert abs(model["res_norm_baseline"][str(target)] - now[target]) < 1e-6
+
+
+def test_delete_from_ivfpq_index(spark, ivfpq_model, tmp_path):
+    """Index-lifecycle leg 3: deleting ids rewrites ONLY the touched
+    (refresh, cell) partitions, removes partitions left empty, leaves
+    every untouched partition byte-identical, equals a from-scratch
+    encode of the surviving corpus, keeps search working, and replays as
+    a no-op."""
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_topk,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    snap = emb.where(F.col("vec_id") % 3 != 0)
+    fresh = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "del_index")
+    save_ivfpq_index(snap, path, cents, books)
+    append_to_ivfpq_index(fresh, path, refresh_id=1)
+
+    before = {
+        r.vec_id: (r.cell, tuple(r.pq_code), r.refresh)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    doomed = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    report = delete_from_ivfpq_index(doomed, path)
+    assert report["deleted"] == len(doomed_ids & set(before))
+    assert report["partitions_rewritten"] > 0
+
+    after = {
+        r.vec_id: (r.cell, tuple(r.pq_code), r.refresh)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    assert set(after) == set(before) - doomed_ids
+    for vid, row in after.items():
+        assert row == before[vid]  # survivors untouched byte-for-byte
+
+    scratch = {
+        r.vec_id: (r.cell, tuple(r.pq_code))
+        for r in ivfpq_encode(
+            emb.where(~F.col("vec_id").isin(list(doomed_ids))), cents, books
+        ).collect()
+    }
+    assert {v: (c, p) for v, (c, p, _) in after.items()} == scratch
+
+    # search from the pruned index never returns a deleted id
+    queries = emb.where(F.col("vec_id") < 5)
+    stored = spark.read.parquet(f"{path}/codes")
+    hits = ivfpq_topk(
+        queries, emb, cents, books, k=10, nprobe=8, refine=50, encoded=stored
+    ).collect()
+    assert hits and not ({r.vec_id for r in hits} & doomed_ids)
+
+    # replay: no matching ids left -> structural no-op
+    report2 = delete_from_ivfpq_index(doomed, path)
+    assert report2 == {
+        "deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0,
+    }
+    again = {
+        r.vec_id: (r.cell, tuple(r.pq_code), r.refresh)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    assert again == after
+
+
+def test_delete_from_ivfpq_index_empties_partition(spark, ivfpq_model, tmp_path):
+    """A (refresh, cell) partition whose every row is deleted must
+    disappear from the store (dynamic overwrite cannot write an empty
+    partition — the operator removes the directory explicitly)."""
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        delete_from_ivfpq_index,
+        ivfpq_encode,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "empty_index")
+    save_ivfpq_index(emb, path, cents, books)
+    enc = ivfpq_encode(emb, cents, books).collect()
+    target_cell = enc[0].cell
+    cell_ids = [r.vec_id for r in enc if r.cell == target_cell]
+    report = delete_from_ivfpq_index(
+        spark.createDataFrame([(i,) for i in cell_ids], ["vec_id"]), path
+    )
+    assert report["deleted"] == len(cell_ids)
+    assert report["partitions_removed"] >= 1
+    left = spark.read.parquet(f"{path}/codes")
+    assert left.where(F.col("cell") == target_cell).count() == 0
+    assert left.count() == len(enc) - len(cell_ids)
