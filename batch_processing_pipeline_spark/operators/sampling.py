@@ -249,7 +249,9 @@ def weighted_sample_per_group(
     ``n``: a single int (same quota per group), a ``{group: n}`` dict
     (single group column only), or a DataFrame carrying ``group_cols`` +
     ``n_col`` (e.g. an allocation query's output). Quotas larger than a
-    group keep the whole group.
+    group keep the whole group; groups ABSENT from a dict/relation quota
+    are dropped entirely (the ``stratified_sample`` convention — an
+    allocation that omits a stratum allocated it nothing).
 
     Scale shape: the ranking is ``top_k_per_group`` at the CONSTANT
     ``max_n`` (the largest quota — statically known for int/dict, one

@@ -261,3 +261,46 @@ def test_weighted_sample_per_group_nested_and_repartition_stable(spark):
         ).collect()
     }
     assert reparted == small
+
+
+def test_weighted_sample_per_group_absent_group_drops(spark):
+    """Groups missing from the quota relation are dropped (an allocation
+    that omits a stratum allocated it nothing) — the stratified_sample
+    convention, now pinned."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark).select("lang", "doc_id", "n_chars")
+    langs = sorted(r.lang for r in d.select("lang").distinct().collect())
+    quotas = {lang: 3 for lang in langs[:-1]}  # omit the last language
+    out = weighted_sample_per_group(
+        d, ["lang"], weight_col="n_chars", n=quotas, key_col="doc_id", seed="t4"
+    )
+    got_langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got_langs == set(langs[:-1])
+
+
+def test_weighted_sample_per_group_scale_smoke(spark):
+    """3M rows, 50 groups, quota 5: exact per-group counts verified by
+    aggregate only (no driver-side collect of the relation), and the
+    two-phase WindowGroupLimit stays planned — the shape that keeps a
+    Zipf-dominant stratum from shipping its full row set."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(3_000_000).repartition(32).select(
+        (F.col("id") % 50).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 997 + 1).alias("w"),
+    )
+    out = weighted_sample_per_group(df, ["g"], weight_col="w", n=5, key_col="k", seed="s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    agg = out.groupBy("g").count().agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.min("count").alias("lo"),
+        F.max("count").alias("hi"),
+    ).collect()[0]
+    assert (agg.groups, agg.lo, agg.hi) == (50, 5, 5)
