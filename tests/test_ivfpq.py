@@ -542,3 +542,46 @@ def test_delete_from_ivfpq_index_empties_partition(spark, ivfpq_model, tmp_path)
     left = spark.read.parquet(f"{path}/codes")
     assert left.where(F.col("cell") == target_cell).count() == 0
     assert left.count() == len(enc) - len(cell_ids)
+
+
+def test_append_after_refresh_uses_cell_local_books(spark, ivfpq_model, tmp_path):
+    """Lifecycle interleaving (add -> repair -> add): a batch appended
+    AFTER a cell refresh must encode rows landing in refreshed cells
+    with the cell-LOCAL books (append reads cell_codebooks from
+    model.json), so the whole store stays equal to a fresh encode of the
+    full corpus under the loaded model."""
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        ivfpq_encode,
+        load_ivfpq_model,
+        refresh_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    later = emb.where(F.col("vec_id") % 3 != 0)
+    path = str(tmp_path / "interleave_index")
+    save_ivfpq_index(base, path, cents, books)
+    refresh_ivfpq_index(base, path, cells=[1, 4])
+    append_to_ivfpq_index(later, path, refresh_id=1)
+
+    model = load_ivfpq_model(spark, path)
+    assert set(model["cell_codebooks"]) == {1, 4}
+    stored = {
+        r.vec_id: (r.cell, tuple(r.pq_code))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    fresh = {
+        r.vec_id: (r.cell, tuple(r.pq_code))
+        for r in ivfpq_encode(
+            emb, model["centroids"], model["codebooks"],
+            cell_codebooks=model["cell_codebooks"],
+        ).collect()
+    }
+    assert stored == fresh
+    # the refreshed cells actually received appended rows coded by the
+    # LOCAL books (i.e. the assertion above was not vacuous there)
+    later_ids = {r.vec_id for r in later.select("vec_id").collect()}
+    assert any(stored[v][0] in (1, 4) for v in later_ids)
