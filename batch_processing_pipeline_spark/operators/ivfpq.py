@@ -671,6 +671,53 @@ def delete_from_ivfpq_index(
     }
 
 
+def compact_ivfpq_index(spark, path: str) -> dict:
+    """Fold every ``refresh=N`` batch partition back into the base
+    ``refresh=0`` layout — the fourth index-lifecycle leg (add / repair /
+    remove / COMPACT): a long-lived index accretes one directory level
+    per append batch, and probe-side partition listing plus small-file
+    overhead grow with it even though the DATA volume doesn't.
+
+    Shape: one read of the full code relation (compaction is inherently
+    O(index) — that is its price everywhere), repartitioned by ``cell``
+    so each cell directory lands in ~one file, written to a staging
+    directory and atomically swapped in via Hadoop FS rename (works on
+    file:/hdfs:; object stores emulate rename — same caveat as every
+    rename-based committer).
+
+    Ordering contract: run only when no append/refresh replays are in
+    flight — folding ``refresh=N`` into 0 removes the partition a LATE
+    replay of batch N would have overwritten, so such a replay would
+    re-add its rows (the usual compaction-vs-late-writer rule; the
+    orchestrator that owns refresh_ids owns this fence).
+
+    Returns ``{"rows", "refreshes_folded"}``.
+    """
+    codes_path = f"{path}/codes"
+    codes = spark.read.parquet(codes_path)
+    refreshes = [
+        int(r["refresh"]) for r in codes.select("refresh").distinct().collect()
+    ]
+    n_rows = codes.count()
+    staging = f"{path}/codes__compacting"
+    (
+        codes.withColumn("refresh", F.lit(0))
+        .repartition("cell")
+        .write.partitionBy("refresh", "cell")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    fs, old = hadoop_fs(spark, codes_path)
+    _, new = hadoop_fs(spark, staging)
+    fs.delete(old, True)
+    if not fs.rename(new, old):
+        raise IOError(f"compact_ivfpq_index: rename {staging} -> {codes_path} failed")
+    return {
+        "rows": int(n_rows),
+        "refreshes_folded": len([r for r in refreshes if r != 0]),
+    }
+
+
 def load_ivfpq_index(spark, path: str):
     """(centroids, codebooks, encoded_df) from ``save_ivfpq_index``."""
     import json

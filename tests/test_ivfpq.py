@@ -585,3 +585,68 @@ def test_append_after_refresh_uses_cell_local_books(spark, ivfpq_model, tmp_path
     # LOCAL books (i.e. the assertion above was not vacuous there)
     later_ids = {r.vec_id for r in later.select("vec_id").collect()}
     assert any(stored[v][0] in (1, 4) for v in later_ids)
+
+
+def test_compact_ivfpq_index_folds_refreshes(spark, ivfpq_model, tmp_path):
+    """Lifecycle leg 4: after two append batches, compaction folds
+    everything into refresh=0 (no refresh=N dirs left), preserves the
+    code relation exactly, keeps search identical, and the index stays
+    appendable afterwards."""
+    from batch_processing_pipeline_spark.fsutil import glob_exists
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_topk,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "compact_index")
+    save_ivfpq_index(emb.where(F.col("vec_id") % 3 == 0), path, cents, books)
+    append_to_ivfpq_index(emb.where(F.col("vec_id") % 3 == 1), path, refresh_id=1)
+    append_to_ivfpq_index(emb.where(F.col("vec_id") % 3 == 2), path, refresh_id=2)
+
+    before = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    hits_before = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, emb, cents, books, k=10, nprobe=4, refine=50,
+                encoded=spark.read.parquet(f"{path}/codes"),
+            ).collect(),
+        )
+    )
+
+    report = compact_ivfpq_index(spark, path)
+    assert report["refreshes_folded"] == 2
+    assert report["rows"] == len(before)
+    assert glob_exists(spark, f"{path}/codes/refresh=0/cell=*")
+    assert not glob_exists(spark, f"{path}/codes/refresh=1")
+    assert not glob_exists(spark, f"{path}/codes/refresh=2")
+    after_df = spark.read.parquet(f"{path}/codes")
+    after = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code)) for r in after_df.collect()
+    )
+    assert after == before
+    hits_after = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, emb, cents, books, k=10, nprobe=4, refine=50,
+                encoded=after_df,
+            ).collect(),
+        )
+    )
+    assert hits_after == hits_before
+
+    # still appendable: a post-compaction batch (fresh ids) round-trips
+    extra = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    append_to_ivfpq_index(extra, path, refresh_id=3)
+    assert spark.read.parquet(f"{path}/codes").count() == len(before) + 10
