@@ -312,6 +312,53 @@ def weighted_sample_per_group(
     )
 
 
+def weighted_reservoir_merge(
+    state: DataFrame | None,
+    batch: DataFrame,
+    k: int,
+    group_cols: Sequence[str] | None = None,
+    weight_col: str = "weight",
+    key_col: str = "doc_id",
+    seed: str = "wres",
+    key_out: str = "__res_key",
+) -> DataFrame:
+    """Incremental weighted reservoir (A-RES over a stream of batches):
+    merge the current reservoir ``state`` with a new ``batch`` and keep
+    the ``k`` rows with the largest competition keys — per group when
+    ``group_cols`` is given, global otherwise.
+
+    Because the A-RES key is a DETERMINISTIC function of (seed, row key,
+    weight) — no RNG state — the reservoir after any sequence of merges
+    equals the one-shot top-k over the union of all batches, regardless
+    of how the stream was split into batches or partitioned
+    (batch-split invariance, pinned in tests/test_sampling.py). That is
+    the property that makes a distributed streaming reservoir safe under
+    replays and repartitioning: re-merging a batch is idempotent.
+
+    ``state`` is the previous output (carries ``key_out``; pass None on
+    the first batch). Per-batch cost: score O(batch) map-side, then a
+    top-k over (previous k + batch) rows — the foreachBatch state-merge
+    discipline (plans/autocomplete.py): the reservoir, not the history,
+    is the state.
+    """
+    from batch_processing_pipeline_spark.operators.topk import top_k_per_group
+
+    scored = batch.withColumn(
+        key_out, ares_key(F.col(weight_col), F.col(key_col), seed=seed)
+    )
+    pool = scored if state is None else state.drop("__res_rank").unionByName(
+        scored
+    )
+    # replay safety: a re-merged batch unions rows the reservoir already
+    # holds; every column of such duplicates is byte-identical (keys are
+    # deterministic), so a key-dedup restores exactly-once semantics
+    pool = pool.dropDuplicates([*(group_cols or []), key_col])
+    order = [F.col(key_out).desc(), F.md5(F.col(key_col).cast("string")).asc()]
+    return top_k_per_group(
+        pool, list(group_cols or []), order_by=order, k=k, rank_col="__res_rank"
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     alpha: float = 0.5,

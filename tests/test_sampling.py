@@ -304,3 +304,45 @@ def test_weighted_sample_per_group_scale_smoke(spark):
         F.max("count").alias("hi"),
     ).collect()[0]
     assert (agg.groups, agg.lo, agg.hi) == (50, 5, 5)
+
+
+def test_weighted_reservoir_merge_batch_split_invariance(spark):
+    """The streaming reservoir property: folding the corpus through ANY
+    batch split (here 5 uneven batches, one replayed) yields exactly the
+    one-shot top-k — A-RES keys are deterministic functions of the rows,
+    so the reservoir is history-free. Checked globally and per group."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_reservoir_merge,
+    )
+
+    d = _docs(spark).select("lang", "doc_id", F.col("n_chars").alias("w"))
+
+    def run(group_cols):
+        one_shot = weighted_reservoir_merge(
+            None, d, k=7, group_cols=group_cols, weight_col="w",
+            key_col="doc_id", seed="inv",
+        )
+        expect = sorted(
+            (r.lang, r.doc_id) for r in one_shot.collect()
+        )
+        state = None
+        bounds = [0, 50, 120, 121, 300, 10**9]
+        for i in range(5):
+            batch = d.where(
+                (F.col("doc_id") % 1000 >= bounds[i])
+                & (F.col("doc_id") % 1000 < bounds[i + 1])
+            )
+            state = weighted_reservoir_merge(
+                state, batch, k=7, group_cols=group_cols, weight_col="w",
+                key_col="doc_id", seed="inv",
+            ).localCheckpoint(eager=True)
+            if i == 2:  # at-least-once replay of a batch mid-stream
+                state = weighted_reservoir_merge(
+                    state, batch, k=7, group_cols=group_cols, weight_col="w",
+                    key_col="doc_id", seed="inv",
+                ).localCheckpoint(eager=True)
+        got = sorted((r.lang, r.doc_id) for r in state.collect())
+        assert got == expect, (group_cols, len(got), len(expect))
+
+    run(None)      # global reservoir: top-7 overall
+    run(["lang"])  # per-language reservoir: top-7 per stratum
