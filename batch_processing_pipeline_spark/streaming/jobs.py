@@ -282,6 +282,89 @@ def run_autocomplete_stream(
     return writer.start()
 
 
+def run_weighted_reservoir_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 50,
+    group_cols=None,
+    weight_col: str = "weight",
+    key_col: str = "doc_id",
+    seed: str = "wres",
+    available_now: bool = True,
+):
+    """Streaming weighted reservoir (A-RES) via ``foreachBatch`` — keep
+    the ``k`` highest-key rows seen so far (per group with
+    ``group_cols``), exactly as if the whole stream had been sampled in
+    one shot (``operators/sampling.py weighted_reservoir_merge``'s
+    batch-split invariance). The training-data use: maintain a live
+    weighted sample of an arriving corpus without ever re-reading
+    history.
+
+    State = the reservoir itself (k rows, or k per group — KBs), written
+    to a versioned ``batch=<id>`` path and swapped in with the
+    ``run_autocomplete_stream`` symlink discipline (atomic repoint, no
+    empty-state instant). Replays are DOUBLY safe: the batch-id guard
+    skips them, and even an unguarded re-merge would be a no-op because
+    the merge key-dedups deterministic duplicates.
+    """
+    import os
+    import shutil
+
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_reservoir_merge,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _merged_through(state_path: str) -> int:
+        if not os.path.islink(state_path):
+            return -1
+        target = os.path.basename(os.readlink(state_path))
+        try:
+            return int(target.split("=", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state_path = os.path.join(state_dir, "current")
+        if _merged_through(state_path) >= batch_id:
+            return  # replay: reservoir already includes this batch
+        prev = (
+            spark.read.parquet(state_path)
+            if os.path.exists(state_path)
+            else None
+        )
+        merged = weighted_reservoir_merge(
+            prev,
+            batch_df,
+            k=k,
+            group_cols=group_cols,
+            weight_col=weight_col,
+            key_col=key_col,
+            seed=seed,
+        )
+        staged = os.path.join(state_dir, f"batch={batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        old_target = (
+            os.readlink(state_path) if os.path.islink(state_path) else None
+        )
+        tmp_link = os.path.join(state_dir, f".current.tmp.{batch_id}")
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(staged, tmp_link)
+        os.replace(tmp_link, state_path)
+        if old_target is not None and os.path.isdir(old_target):
+            shutil.rmtree(old_target, ignore_errors=True)
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def click_purchase_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -423,3 +423,72 @@ def test_stream_batch_split_invariance_across_trigger_knob(spark, tmp_path):
             },
         )
     assert results["two"] == results["default"] == results["nocap"]
+
+
+def test_weighted_reservoir_stream_matches_one_shot(spark, tmp_path):
+    """run_weighted_reservoir_stream over 3 single-file micro-batches,
+    then a RESTART from the same checkpoint with 2 more files: the final
+    reservoir must equal the one-shot per-group A-RES top-k over all 5
+    chunks — the streaming form inherits batch-split invariance, and the
+    versioned-symlink state survives stream restarts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_reservoir_merge,
+    )
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_weighted_reservoir_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("lang", "doc_id", F.col("n_chars").alias("weight"))
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chunks = [docs.where(F.col("doc_id") % 5 == i) for i in range(5)]
+
+    def arrive(i):
+        chunks[i].coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}")
+        # file-source streams watch one dir; move the data file in
+        for f in os.listdir(f"{src}/part{i}"):
+            if f.endswith(".parquet"):
+                os.replace(f"{src}/part{i}/{f}", f"{src}/chunk{i}.parquet")
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_weighted_reservoir_stream(
+            stream, state, ckpt, k=6, group_cols=["lang"],
+            weight_col="weight", key_col="doc_id", seed="wstream",
+        )
+        q.awaitTermination()
+
+    for i in range(3):
+        arrive(i)
+    run_stream()
+    for i in range(3, 5):
+        arrive(i)
+    run_stream()  # restart from checkpoint: only the 2 new files replay
+
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in spark.read.parquet(os.path.join(state, "current")).collect()
+    )
+    expect = sorted(
+        (r.lang, r.doc_id)
+        for r in weighted_reservoir_merge(
+            None, docs, k=6, group_cols=["lang"],
+            weight_col="weight", key_col="doc_id", seed="wstream",
+        ).collect()
+    )
+    assert got == expect
