@@ -38,6 +38,20 @@ from __future__ import annotations
 
 import re
 
+#: declared contract exceptions, each with the reason it does not apply —
+#: the SINGLE source of truth for tests/test_plan_sweep.py and
+#: tools/plan_sweep.py; additions need a docstring scale note on the
+#: query itself, and the test suite verifies each entry still flags
+#: (stale rows must be dropped)
+WHITELIST = {
+    # deliberate Python-UDF API-surface demo; corpus-scale arithmetic uses
+    # built-in columns (docstring on q_udf_surface)
+    "udf_surface": "declared row-at-a-time Python UDF API surface",
+    # deliberate Python-UDTF (Spark 4 table function) API demo; the
+    # codegen twin is top_bigrams / word_ngram_counts (docstring)
+    "udtf_ngrams": "declared Python UDTF API surface",
+}
+
 #: tree-drawing prefix segments in SparkPlan.treeString output — each is
 #: exactly 3 chars, so node depth = prefix length / 3
 _PREFIX = re.compile(r"^((?:   |:  |\+- |:- )*)(.*)$")

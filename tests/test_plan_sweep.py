@@ -16,22 +16,12 @@ the banned shapes, so the initial plan is sufficient evidence.
 from __future__ import annotations
 
 from batch_processing_pipeline_spark.plancheck import (
+    WHITELIST,
     plan_violations,
     unbounded_single_partition_exchanges,
 )
 
 SF = "/root/testdata/sf0.001"
-
-#: declared exceptions, each with the reason the contract does not apply —
-#: additions here need a docstring scale note on the query itself
-WHITELIST = {
-    # deliberate Python-UDF API-surface demo; corpus-scale arithmetic uses
-    # built-in columns (docstring on q_udf_surface)
-    "udf_surface": "declared row-at-a-time Python UDF API surface",
-    # deliberate Python-UDTF (Spark 4 table function) API demo; the
-    # codegen twin is top_bigrams / word_ngram_counts (docstring)
-    "udtf_ngrams": "declared Python UDTF API surface",
-}
 
 
 def test_registry_wide_scale_contract(spark):
