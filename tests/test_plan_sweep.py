@@ -113,3 +113,24 @@ def test_plancheck_flags_cartesian_and_python():
     assert any(
         "BatchEvalPython" in x for x in plan_violations("+- BatchEvalPython [f(x)]\n")
     )
+
+
+def test_plancheck_engages_on_real_final_adaptive_plans(spark):
+    """Guard the indent grammar against AQE output drift: on an EXECUTED
+    plan (isFinalPlan=true, stages reprinted) the parser must still see
+    real tree depth, and on a query that legitimately contains
+    single-partition exchanges (curriculum_order's P-row offsets window)
+    it must find them AND judge them bounded — i.e. the bounded-path
+    logic demonstrably engaged on a production plan, not only on the
+    synthetic fixtures above."""
+    from batch_processing_pipeline_spark import plancheck
+    from batch_processing_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["curriculum_order"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "Exchange SinglePartition" in plan  # the query's P-row windows
+    nodes = plancheck._parse(plan)
+    assert max(d for d, _ in nodes) >= 4  # grammar still sees the tree
+    assert plan_violations(plan) == []
