@@ -242,3 +242,27 @@ def test_exact_global_rank_guard_passes_under_limit(spark, monkeypatch):
         df, [F.col("id").asc()], out_col="r", num_partitions=4
     )
     assert out.agg(F.sum(F.abs(F.col("r") - F.col("id") - 1))).collect()[0][0] == 0
+
+
+def test_exact_global_ntile_matches_spark_ntile(spark):
+    """Direct differential for the packaged helper (the two registry
+    users are oracle-checked, but the helper's own contract — bucket AND
+    optional rank output — deserves a pin): identical rows to Spark's
+    NTILE + row_number over the same total order."""
+    from batch_processing_pipeline_spark.operators.rank import exact_global_ntile
+
+    df = _fixture(spark, 503, 5)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = exact_global_ntile(df, order, 7, out_col="nt", rank_col="r")
+    w = Window.orderBy(*order)
+    naive = df.select(
+        "id",
+        "v",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.ntile(7).over(w).alias("nt"),
+    )
+    assert got.select("id", "v", "r", "nt").exceptAll(naive).isEmpty()
+    assert naive.exceptAll(got.select("id", "v", "r", "nt")).isEmpty()
+    # rank_col omitted -> bucket only, no stray helper columns
+    slim = exact_global_ntile(df, order, 7, out_col="nt")
+    assert set(slim.columns) == {"id", "v", "nt"}
