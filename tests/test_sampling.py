@@ -346,3 +346,52 @@ def test_weighted_reservoir_merge_batch_split_invariance(spark):
 
     run(None)      # global reservoir: top-7 overall
     run(["lang"])  # per-language reservoir: top-7 per stratum
+
+
+def test_weighted_reservoir_merge_random_splits_property(spark):
+    """Hypothesis form of batch-split invariance: for RANDOM partitions
+    of a small corpus into up to 4 batches (plus a random replay), the
+    folded reservoir equals the one-shot top-k. Deterministic keys make
+    this an exact property, not a statistical one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_reservoir_merge,
+    )
+
+    rows = [(i, (i * 37) % 101 + 1) for i in range(40)]  # (key, weight)
+    schema = "doc_id long, w long"
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        assign=st.lists(
+            st.integers(min_value=0, max_value=3), min_size=40, max_size=40
+        ),
+        replay=st.integers(min_value=0, max_value=3),
+    )
+    def prop(assign, replay):
+        full = spark.createDataFrame(rows, schema)
+        expect = sorted(
+            r.doc_id
+            for r in weighted_reservoir_merge(
+                None, full, k=9, weight_col="w", key_col="doc_id", seed="hp"
+            ).collect()
+        )
+        state = None
+        for b in range(4):
+            batch_rows = [r for r, a in zip(rows, assign) if a == b]
+            if not batch_rows:
+                continue
+            batch = spark.createDataFrame(batch_rows, schema)
+            state = weighted_reservoir_merge(
+                state, batch, k=9, weight_col="w", key_col="doc_id", seed="hp"
+            ).localCheckpoint(eager=True)
+            if b == replay:  # at-least-once redelivery
+                state = weighted_reservoir_merge(
+                    state, batch, k=9, weight_col="w", key_col="doc_id", seed="hp"
+                ).localCheckpoint(eager=True)
+        got = sorted(r.doc_id for r in state.collect())
+        assert got == expect
+
+    prop()
