@@ -303,3 +303,61 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("dup_bigram_ratio"),
         )
     )
+
+
+#: HTML/XML tag (RE2-portable: no backrefs/lookahead - the pii.py
+#: discipline, so a future DuckDB oracle can run the identical pattern)
+_MARKUP_TAG = r"<[^>]{0,500}>"
+#: the entities that dominate scraped corpora; numeric forms separately
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+#: invisible/control characters that survive scraping: C0 controls except
+#: tab/newline/CR, DEL, zero-width space/joiners, BOM, soft hyphen
+_INVISIBLE = (
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+    "\u200b-\u200d\ufeff\u00ad]"
+)
+
+
+def strip_markup(text: Column) -> Column:
+    """Remove HTML/XML tags and decode the common entities - the first
+    gate of every web-scrape curation funnel. Tags become a single space
+    (so ``a<br>b`` keeps its word boundary), then the entity table
+    applies, numeric character references last. Pure ``regexp_replace``
+    chain: codegen, RE2-portable, no Python."""
+    out = F.regexp_replace(text, _MARKUP_TAG, " ")
+    for ent, repl in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    # numeric refs: decimal and hex forms drop to a space (full decode
+    # needs codepoint arithmetic - out of scope for a column chain; a
+    # space preserves tokenization)
+    out = F.regexp_replace(out, r"&#x?[0-9A-Fa-f]{1,6};", " ")
+    return out
+
+
+def strip_invisible(text: Column) -> Column:
+    """Drop control/zero-width/BOM/soft-hyphen characters that survive
+    scraping and silently corrupt tokenization and dedup fingerprints
+    (two visually identical documents with different zero-width padding
+    hash apart)."""
+    return F.regexp_replace(text, _INVISIBLE, "")
+
+
+def collapse_whitespace(text: Column) -> Column:
+    """Collapse all whitespace runs to single spaces and trim - the
+    canonical form the dedup fingerprints and token counts assume."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def clean_text(text: Column) -> Column:
+    """The composed scrape-cleaning gate: strip markup -> drop invisible
+    characters -> collapse whitespace. Each stage is a codegen regexp
+    chain; the composition is the standard pre-dedup normalization."""
+    return collapse_whitespace(strip_invisible(strip_markup(text)))

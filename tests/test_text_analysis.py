@@ -170,3 +170,66 @@ def test_compression_ratio_flags_repetitive_text(spark, tmp_path):
         for r in QUERIES["compression_ratio"](spark, str(tmp_path)).collect()
     }
     assert got == again
+
+
+def test_clean_text_golden(spark):
+    """Scrape-cleaning gate goldens: tags out (word boundaries kept),
+    entities decoded, numeric refs spaced, zero-width/control/BOM/soft-
+    hyphen stripped, whitespace collapsed."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        clean_text,
+        collapse_whitespace,
+        strip_invisible,
+        strip_markup,
+    )
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("a<br>b", "a b"),
+        ("Tom &amp; Jerry &lt;3 &quot;cats&quot;", 'Tom & Jerry <3 "cats"'),
+        ("it&#39;s &#8212; fine", "it's fine"),
+        ("zero​width‍joined﻿!", "zerowidthjoined!"),
+        ("soft­hyphen", "softhyphen"),
+        ("ctrl\x00\x08chars\x1f here", "ctrlchars here"),
+        ("  runs\t\tof\n\nspace  ", "runs of space"),
+        ("<div class='x'>nested <span>tags</span></div> ok", "nested tags ok"),
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)], "i long, t string")
+    got = {r.i: r.c for r in df.select("i", clean_text(F.col("t")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+    # stages are individually usable: markup-strip alone keeps the raw
+    # whitespace, invisible-strip alone keeps markup
+    one = spark.createDataFrame([("a<br>b​  c",)], "t string")
+    assert one.select(strip_markup(F.col("t")).alias("c")).collect()[0].c == "a b​  c"
+    assert one.select(strip_invisible(F.col("t")).alias("c")).collect()[0].c == "a<br>b  c"
+    assert one.select(collapse_whitespace(F.col("t")).alias("c")).collect()[0].c == "a<br>b​ c"
+
+
+def test_clean_text_canonicalizes_dedup_fingerprints(spark):
+    """The reason the gate exists: two visually identical documents that
+    differ only in zero-width padding / markup / whitespace must
+    fingerprint TOGETHER after cleaning (and apart before)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        clean_text,
+        doc_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the​ quick  brown <i>fox</i>"),
+        ],
+        "doc_id long, text string",
+    )
+    raw_fps = df.select(doc_fingerprint(F.col("text")).alias("fp")).collect()
+    assert raw_fps[0].fp != raw_fps[1].fp
+    clean_fps = df.select(
+        doc_fingerprint(clean_text(F.col("text"))).alias("fp")
+    ).collect()
+    assert clean_fps[0].fp == clean_fps[1].fp
