@@ -321,8 +321,11 @@ _ENTITIES = (
 #: invisible/control characters that survive scraping: C0 controls except
 #: tab/newline/CR, DEL, zero-width space/joiners, BOM, soft hyphen
 _INVISIBLE = (
-    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
-    "\u200b-\u200d\ufeff\u00ad]"
+    # escaped hex forms, NOT raw control bytes: the same pattern text
+    # is valid Java regex (Spark) and RE2 (DuckDB), so the SQL twin
+    # below can embed it verbatim
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\x{200b}-\\x{200d}\\x{feff}\\x{00ad}]"
 )
 
 
@@ -361,3 +364,19 @@ def clean_text(text: Column) -> Column:
     characters -> collapse whitespace. Each stage is a codegen regexp
     chain; the composition is the standard pre-dedup normalization."""
     return collapse_whitespace(strip_invisible(strip_markup(text)))
+
+
+def sql_clean_text(expr: str) -> str:
+    """The identical cleaning chain as DuckDB SQL over ``expr`` — the
+    pii.py ``sql_scrub_pii`` discipline: every pattern above is in the
+    Java-regex ∩ RE2 subset, so the oracle engine can reproduce the
+    cleaned string byte-for-byte (RE2 needs the explicit 'g' flag).
+    Prepares the registry oracle for the composed gate."""
+    out = f"regexp_replace({expr}, '{_MARKUP_TAG}', ' ', 'g')"
+    for ent, repl in _ENTITIES:
+        e, r = ent.replace("'", "''"), repl.replace("'", "''")
+        out = f"replace({out}, '{e}', '{r}')"
+    out = f"regexp_replace({out}, '&#x?[0-9A-Fa-f]{{1,6}};', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_INVISIBLE}', '', 'g')"
+    out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return out

@@ -233,3 +233,59 @@ def test_clean_text_canonicalizes_dedup_fingerprints(spark):
         doc_fingerprint(clean_text(F.col("text"))).alias("fp")
     ).collect()
     assert clean_fps[0].fp == clean_fps[1].fp
+
+
+def test_clean_text_sql_twin_matches_spark_exactly(spark):
+    """Cross-engine exactness for the cleaning gate (the pii.py
+    discipline): Spark's clean_text and DuckDB's sql_clean_text must
+    produce byte-identical strings over the documents fixture AND a set
+    of adversarial literals — the proof the composed gate can register
+    as an oracle-checked query."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        clean_text,
+        sql_clean_text,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    adversarial = [
+        (100001, "<p>Hello <b>world</b></p>"),
+        (100002, "a<br>b &amp; c &lt;tag&gt; &#39;q&#39; &#x27;h&#x27;"),
+        (100003, "zero​width‍ joined﻿ soft­hyphen"),
+        (100004, "ctrl\x01\x02 chars\x1f\x7f here"),
+        (100005, "   \t mixed\n\nws   "),
+        (100006, "no markup at all"),
+        (100007, "<unclosed tag never ends"),
+        (100008, ""),
+    ]
+    both = docs.unionByName(
+        spark.createDataFrame(adversarial, "doc_id long, text string")
+    )
+    got = {
+        r.doc_id: r.c
+        for r in both.select("doc_id", clean_text(F.col("text")).alias("c")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in adversarial
+    )
+    oracle = {
+        i: c
+        for i, c in con.execute(
+            f"SELECT doc_id, {sql_clean_text('text')} FROM ("
+            f"SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT * FROM (VALUES {vals}) v(doc_id, text))"
+        ).fetchall()
+    }
+    assert set(got) == set(oracle)
+    diffs = [i for i in got if got[i] != oracle[i]]
+    assert not diffs, [(i, got[i], oracle[i]) for i in diffs[:3]]
