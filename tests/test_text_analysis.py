@@ -289,3 +289,43 @@ def test_clean_text_sql_twin_matches_spark_exactly(spark):
     assert set(got) == set(oracle)
     diffs = [i for i in got if got[i] != oracle[i]]
     assert not diffs, [(i, got[i], oracle[i]) for i in diffs[:3]]
+
+
+def test_clean_text_idempotent_property(spark):
+    """Canonicalization must be a FIXPOINT: clean_text(clean_text(x)) ==
+    clean_text(x), else two cleaning passes (a re-crawl, a re-run)
+    produce different fingerprints for the same document. Hypothesis
+    generates adversarial mixes of tags/entities/controls/whitespace;
+    all examples ride one DataFrame per run (spark round-trips are the
+    cost, not the row count)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.functions.text_analysis import clean_text
+
+    atom = st.sampled_from(
+        ["a", "bb", "<p>", "</p>", "<br>", "&amp;", "&lt;", "&#39;", "&#x27;",
+         " ", "\t", "\n", "​", "­", "\x01", "it's", "x<y", "1&2"]
+    )
+    texts = st.lists(
+        st.lists(atom, min_size=0, max_size=12).map("".join),
+        min_size=1,
+        max_size=16,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(batch=texts)
+    def prop(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i long, t string"
+        )
+        rows = df.select(
+            "i",
+            clean_text(F.col("t")).alias("once"),
+            clean_text(clean_text(F.col("t"))).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r.once == r.twice, (batch[r.i], r.once, r.twice)
+
+    prop()
