@@ -308,16 +308,29 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
 #: HTML/XML tag (RE2-portable: no backrefs/lookahead - the pii.py
 #: discipline, so a future DuckDB oracle can run the identical pattern)
 _MARKUP_TAG = r"<[^>]{0,500}>"
-#: the entities that dominate scraped corpora; numeric forms separately
-_ENTITIES = (
-    ("&nbsp;", " "),
-    ("&amp;", "&"),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
+#: VALUE-PRESERVING entities: each decodes to a character that no later
+#: stage of the gate can re-interpret (quote marks, apostrophes, a bare
+#: ampersand), so decoding them keeps the gate a fixpoint. ``&amp;`` is
+#: deliberately LAST: decoding it earlier turns ``&amp;lt;`` into
+#: ``&lt;`` in time for the ``&lt;`` rule to double-decode it to ``<``
+#: (the exact non-idempotence the round-10 advice flagged).
+_VALUE_ENTITIES = (
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 )
+#: MARKUP-SIGNIFICANT entities neutralize to a space instead of their
+#: character. Decoding ``&lt;``/``&gt;`` to ``<``/``>`` would make a
+#: SECOND cleaning pass see ``&lt;b&gt;`` output as a tag and erase the
+#: text between (a re-crawled document would lose words), and ``&nbsp;``
+#: to U+00A0 would survive the ``\s+`` collapse. A space preserves every
+#: word boundary and is inert under all stages — the fixpoint choice.
+#: The same pattern also catches entity literals RESURRECTED by the
+#: ``&amp;`` decode (``&amp;nbsp;`` -> ``&nbsp;``), so double-encoded
+#: entities neutralize instead of decoding twice. Entities outside this
+#: table (``&eacute;`` ...) are left as literal text — already fixpoints.
+_NEUTRAL_ENTITY = r"&(nbsp|lt|gt|quot|apos|amp|#39);"
 #: invisible/control characters that survive scraping: C0 controls except
 #: tab/newline/CR, DEL, zero-width space/joiners, BOM, soft hyphen
 _INVISIBLE = (
@@ -330,18 +343,26 @@ _INVISIBLE = (
 
 
 def strip_markup(text: Column) -> Column:
-    """Remove HTML/XML tags and decode the common entities - the first
-    gate of every web-scrape curation funnel. Tags become a single space
-    (so ``a<br>b`` keeps its word boundary), then the entity table
-    applies, numeric character references last. Pure ``regexp_replace``
-    chain: codegen, RE2-portable, no Python."""
+    """Remove HTML/XML tags and decode/neutralize the common entities -
+    the first gate of every web-scrape curation funnel. Tags become a
+    single space (so ``a<br>b`` keeps its word boundary); then the
+    value-preserving entity table decodes (``&amp;`` last — see the
+    table comment); then numeric character references and the
+    markup-significant entity set drop to a space. The neutralizer runs
+    AFTER the ``&amp;`` decode so a resurrected literal (``&amp;lt;`` ->
+    ``&lt;``, or the replace-all concatenation artifact ``&&amp;amp;``
+    -> ``&&amp;``) is spaced out rather than left for a second pass to
+    decode — the output contains nothing the gate itself would still
+    transform. Pure ``regexp_replace`` chain: codegen, RE2-portable, no
+    Python."""
     out = F.regexp_replace(text, _MARKUP_TAG, " ")
-    for ent, repl in _ENTITIES:
+    for ent, repl in _VALUE_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))
     # numeric refs: decimal and hex forms drop to a space (full decode
     # needs codepoint arithmetic - out of scope for a column chain; a
     # space preserves tokenization)
     out = F.regexp_replace(out, r"&#x?[0-9A-Fa-f]{1,6};", " ")
+    out = F.regexp_replace(out, _NEUTRAL_ENTITY, " ")
     return out
 
 
@@ -360,10 +381,26 @@ def collapse_whitespace(text: Column) -> Column:
 
 
 def clean_text(text: Column) -> Column:
-    """The composed scrape-cleaning gate: strip markup -> drop invisible
-    characters -> collapse whitespace. Each stage is a codegen regexp
-    chain; the composition is the standard pre-dedup normalization."""
-    return collapse_whitespace(strip_invisible(strip_markup(text)))
+    """The composed scrape-cleaning gate, a TRUE FIXPOINT:
+    ``clean_text(clean_text(x)) == clean_text(x)`` for every input, so a
+    re-crawled / re-run document keeps its dedup fingerprint (the whole
+    reason the gate exists). Stage order is load-bearing:
+
+    1. ``strip_invisible`` FIRST — a zero-width joiner inside a tag or
+       entity (``<\\u200cb>``) otherwise reassembles into live markup
+       only after the markup pass already ran;
+    2. ``strip_markup`` — tags + entity decode/neutralize (see above);
+    3. ``collapse_whitespace``;
+    4. a SECOND tag strip + collapse: an over-500-char tag interior that
+       the capped ``_MARKUP_TAG`` skipped can shrink under the cap once
+       its entities/whitespace collapse (``<`` + 200×``&nbsp;`` + ``>``
+       -> ``< >``); stripping again here means a second full pass finds
+       nothing left to do.
+
+    Every stage is a codegen regexp chain; the idempotency property is
+    pinned in tests/test_text_analysis.py with adversarial atoms."""
+    once = collapse_whitespace(strip_markup(strip_invisible(text)))
+    return collapse_whitespace(F.regexp_replace(once, _MARKUP_TAG, " "))
 
 
 def sql_clean_text(expr: str) -> str:
@@ -371,12 +408,17 @@ def sql_clean_text(expr: str) -> str:
     pii.py ``sql_scrub_pii`` discipline: every pattern above is in the
     Java-regex ∩ RE2 subset, so the oracle engine can reproduce the
     cleaned string byte-for-byte (RE2 needs the explicit 'g' flag).
-    Prepares the registry oracle for the composed gate."""
-    out = f"regexp_replace({expr}, '{_MARKUP_TAG}', ' ', 'g')"
-    for ent, repl in _ENTITIES:
+    Stage-for-stage mirror of ``clean_text`` including the fixpoint
+    ordering (invisible first, value-entity decode with ``&amp;`` last,
+    neutralizer, double tag strip)."""
+    out = f"regexp_replace({expr}, '{_INVISIBLE}', '', 'g')"
+    out = f"regexp_replace({out}, '{_MARKUP_TAG}', ' ', 'g')"
+    for ent, repl in _VALUE_ENTITIES:
         e, r = ent.replace("'", "''"), repl.replace("'", "''")
         out = f"replace({out}, '{e}', '{r}')"
     out = f"regexp_replace({out}, '&#x?[0-9A-Fa-f]{{1,6}};', ' ', 'g')"
-    out = f"regexp_replace({out}, '{_INVISIBLE}', '', 'g')"
+    out = f"regexp_replace({out}, '{_NEUTRAL_ENTITY}', ' ', 'g')"
+    out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    out = f"regexp_replace({out}, '{_MARKUP_TAG}', ' ', 'g')"
     out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
     return out

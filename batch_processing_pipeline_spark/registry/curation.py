@@ -411,3 +411,40 @@ QUERIES.update(
         "dedup_cluster_stats": q_dedup_cluster_stats,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 11: the web-scrape cleaning gate as an oracle-checked query.
+# clean_text (functions/text_analysis.py) is the composed pre-dedup
+# canonicalizer — markup strip, entity decode/neutralize, invisible strip,
+# whitespace collapse — redesigned this round as a TRUE fixpoint (re-running
+# the gate never changes a fingerprint; see the r10 advice). The query runs
+# it over every document and reports the cleaned text plus the character delta,
+# the operational signal a curation run monitors (how much boilerplate the
+# gate removes per shard). Scale shape: a pure per-row codegen regexp chain,
+# zero shuffles — the plan is Scan -> Project at any corpus size.
+# --------------------------------------------------------------------------
+from batch_processing_pipeline_spark.functions.text_analysis import (
+    clean_text,
+    sql_clean_text,
+)
+
+
+def q_clean_text(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("clean"),
+        (F.length("text") - F.length(clean_text(F.col("text"))))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+ORACLES["clean_text"] = f"""
+    SELECT doc_id,
+           {sql_clean_text('text')} AS clean,
+           length(text) - length({sql_clean_text('text')}) AS chars_removed
+    FROM documents
+"""
+QUERIES["clean_text"] = q_clean_text

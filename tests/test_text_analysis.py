@@ -188,8 +188,18 @@ def test_clean_text_golden(spark):
     cases = [
         ("<p>Hello <b>world</b></p>", "Hello world"),
         ("a<br>b", "a b"),
-        ("Tom &amp; Jerry &lt;3 &quot;cats&quot;", 'Tom & Jerry <3 "cats"'),
+        # markup-significant entities neutralize to a space (fixpoint
+        # design: decoding &lt; to '<' would let a SECOND pass see the
+        # output as a tag and erase the text between — round-10 advice);
+        # value entities (&amp; &quot;) still decode to their character
+        ("Tom &amp; Jerry &lt;3 &quot;cats&quot;", 'Tom & Jerry 3 "cats"'),
+        # double-encoded entities neutralize instead of double-decoding:
+        # &amp;lt; -> &lt; (via &amp;-last ordering) -> ' ', never '<'
+        ("x &amp;lt;y&amp;gt; z &amp;amp; w", "x y z w"),
         ("it&#39;s &#8212; fine", "it's fine"),
+        # zero-width joiner inside a tag: invisible-strip runs FIRST so
+        # the reassembled <b> is still caught by the markup pass
+        ("a<‌b>c", "a c"),
         ("zero​width‍joined﻿!", "zerowidthjoined!"),
         ("soft­hyphen", "softhyphen"),
         ("ctrl\x00\x08chars\x1f here", "ctrlchars here"),
@@ -304,15 +314,33 @@ def test_clean_text_idempotent_property(spark):
 
     from batch_processing_pipeline_spark.functions.text_analysis import clean_text
 
+    # The round-10 advice found the old pool omitted '&gt;' and 'amp;',
+    # so the double-decode bug ('&amp;lt;' -> '<', '&amp;amp;' -> '&')
+    # was never exercised. The pool now contains every entity in both
+    # tables, the bare fragments ('amp;', 'lt;', '&', ';', '#39;') whose
+    # concatenations form entities, raw angle brackets (decoded-output
+    # shapes), invisibles INSIDE markup, and numeric refs.
     atom = st.sampled_from(
-        ["a", "bb", "<p>", "</p>", "<br>", "&amp;", "&lt;", "&#39;", "&#x27;",
-         " ", "\t", "\n", "​", "­", "\x01", "it's", "x<y", "1&2"]
+        ["a", "bb", "<p>", "</p>", "<br>", "&amp;", "&lt;", "&gt;",
+         "&nbsp;", "&quot;", "&apos;", "&#39;", "&#x27;", "&#8212;",
+         "amp;", "lt;", "gt;", "nbsp;", "&", ";", "#39;", "<", ">",
+         " ", "\t", "\n", "​", "‌", "­", "﻿", "\x01", "it's",
+         "x<y", "1&2", "<​b>"]
     )
     texts = st.lists(
         st.lists(atom, min_size=0, max_size=12).map("".join),
         min_size=1,
         max_size=16,
     )
+
+    import duckdb
+    import pandas as pd
+
+    from batch_processing_pipeline_spark.functions.text_analysis import (
+        sql_clean_text,
+    )
+
+    con = duckdb.connect()
 
     @settings(max_examples=6, deadline=None)
     @given(batch=texts)
@@ -327,5 +355,14 @@ def test_clean_text_idempotent_property(spark):
         ).collect()
         for r in rows:
             assert r.once == r.twice, (batch[r.i], r.once, r.twice)
+        # the SQL twin must track the fixpoint on the SAME adversarial
+        # inputs (the committed twin test covers sf0.01 + fixed
+        # literals; this covers whatever Hypothesis invents)
+        con.register("df_in", pd.DataFrame({"i": range(len(batch)), "t": batch}))
+        oracle = dict(
+            con.execute(f"SELECT i, {sql_clean_text('t')} FROM df_in").fetchall()
+        )
+        for r in rows:
+            assert oracle[r.i] == r.once, (batch[r.i], r.once, oracle[r.i])
 
     prop()
