@@ -691,15 +691,39 @@ def compact_ivfpq_index(spark, path: str) -> dict:
     re-add its rows (the usual compaction-vs-late-writer rule; the
     orchestrator that owns refresh_ids owns this fence).
 
+    Crash safety (round-11 advice fix): the swap is rename(codes ->
+    codes__old), rename(staging -> codes), delete(codes__old) — at every
+    instant a complete copy of the data is addressable under a stable
+    name. A crash between the renames is self-healing: the next call
+    (or ``load_ivfpq_index`` consumers re-running compact) finds
+    ``codes__old`` without ``codes`` and renames the backup straight
+    back before doing anything else. The previous delete-then-rename
+    order left a crash window where the only copy lived in the staging
+    directory.
+
     Returns ``{"rows", "refreshes_folded"}``.
     """
     codes_path = f"{path}/codes"
+    backup_path = f"{path}/codes__backup"
+    staging = f"{path}/codes__compacting"
+    fs, old = hadoop_fs(spark, codes_path)
+    _, bak = hadoop_fs(spark, backup_path)
+    _, new = hadoop_fs(spark, staging)
+    if fs.exists(bak):
+        if fs.exists(old):
+            # previous compaction completed its swap but died before
+            # removing the backup — the live directory wins
+            fs.delete(bak, True)
+        elif not fs.rename(bak, old):
+            raise IOError(
+                f"compact_ivfpq_index: could not restore backup "
+                f"{backup_path} -> {codes_path} after an interrupted swap"
+            )
     codes = spark.read.parquet(codes_path)
     refreshes = [
         int(r["refresh"]) for r in codes.select("refresh").distinct().collect()
     ]
     n_rows = codes.count()
-    staging = f"{path}/codes__compacting"
     (
         codes.withColumn("refresh", F.lit(0))
         .repartition("cell")
@@ -707,11 +731,17 @@ def compact_ivfpq_index(spark, path: str) -> dict:
         .mode("overwrite")
         .parquet(staging)
     )
-    fs, old = hadoop_fs(spark, codes_path)
-    _, new = hadoop_fs(spark, staging)
-    fs.delete(old, True)
+    if not fs.rename(old, bak):
+        raise IOError(
+            f"compact_ivfpq_index: rename {codes_path} -> {backup_path} failed"
+        )
     if not fs.rename(new, old):
-        raise IOError(f"compact_ivfpq_index: rename {staging} -> {codes_path} failed")
+        # put the original back before failing: the index stays readable
+        fs.rename(bak, old)
+        raise IOError(
+            f"compact_ivfpq_index: rename {staging} -> {codes_path} failed"
+        )
+    fs.delete(bak, True)
     return {
         "rows": int(n_rows),
         "refreshes_folded": len([r for r in refreshes if r != 0]),
@@ -763,7 +793,12 @@ def refresh_ivfpq_index(
 
     ``vectors`` must be the CURRENT indexed corpus (base + all appended
     refreshes) keyed like the index; ids absent from the stored codes are
-    ignored (they were never indexed). ``cells`` forces a refresh of the
+    ignored (they were never indexed), but the converse is ENFORCED: if
+    any id stored in a dirty cell is missing from ``vectors`` (stale
+    snapshot) the function raises before touching the index instead of
+    silently dropping the row (round-11 advice fix — the re-encode
+    overwrite replaces whole partitions, so a shortfall would erase
+    entries with no error). ``cells`` forces a refresh of the
     given cells regardless of drift (operational override); otherwise the
     dirty set is ``mean_res_norm(now) / baseline > threshold``.
 
@@ -882,21 +917,51 @@ def refresh_ivfpq_index(
         .select(id_col, "refresh")
         .localCheckpoint(eager=True)
     )
-    re_enc = ivfpq_encode(
-        vec.join(
-            assigned.where(F.col("cell").isin([int(c) for c in dirty])),
-            id_col,
-        ).select(id_col, vec_col),
-        centroids,
-        codebooks,
-        id_col=id_col,
-        vec_col=vec_col,
-        with_res_norm=True,
-        cell_codebooks=cell_books,
-    ).join(existing, id_col)
+    re_enc = (
+        ivfpq_encode(
+            vec.join(
+                assigned.where(F.col("cell").isin([int(c) for c in dirty])),
+                id_col,
+            ).select(id_col, vec_col),
+            centroids,
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            with_res_norm=True,
+            cell_codebooks=cell_books,
+        )
+        .join(existing, id_col)
+        .select(id_col, "cell", "pq_code", "res_norm", "refresh")
+        # materialized so the reconciliation count below and the write
+        # share one encode pass (O(dirty cells) rows either way)
+        .localCheckpoint(eager=True)
+    )
+    # Reconcile BEFORE the destructive overwrite (round-11 advice fix):
+    # every id stored in the dirty partitions must come back re-encoded.
+    # A shortfall means the caller's `vectors` is a stale corpus snapshot
+    # (or an embedding changed enough to move cells, which violates the
+    # frozen-membership contract above) — proceeding would silently drop
+    # those rows from the index. A surplus means duplicate ids in
+    # `vectors`. Either way the index would diverge from the corpus, so
+    # fail loudly with the delta instead.
+    n_stored = existing.count()
+    n_reenc = re_enc.count()
+    missing = (
+        existing.join(re_enc.select(id_col), id_col, "left_anti")
+        .limit(5)
+        .collect()
+    )
+    if n_reenc != n_stored or missing:
+        raise ValueError(
+            "refresh_ivfpq_index: re-encoded row count "
+            f"{n_reenc} != stored row count {n_stored} for dirty cells "
+            f"{sorted(dirty)} — `vectors` must be the exact current "
+            "indexed corpus (stale snapshot, duplicate ids, or an id "
+            "whose embedding changed cells). Example stored ids not "
+            f"re-encoded: {[r[0] for r in missing]}"
+        )
     (
-        re_enc.select(id_col, "cell", "pq_code", "res_norm", "refresh")
-        .write.partitionBy("refresh", "cell")
+        re_enc.write.partitionBy("refresh", "cell")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(f"{path}/codes")

@@ -349,10 +349,32 @@ def weighted_reservoir_merge(
     pool = scored if state is None else state.drop("__res_rank").unionByName(
         scored
     )
-    # replay safety: a re-merged batch unions rows the reservoir already
+    # Replay safety: a re-merged batch unions rows the reservoir already
     # holds; every column of such duplicates is byte-identical (keys are
-    # deterministic), so a key-dedup restores exactly-once semantics
-    pool = pool.dropDuplicates([*(group_cols or []), key_col])
+    # deterministic), so a key-dedup restores exactly-once semantics.
+    # The dedup itself must be DETERMINISTIC too (round-11 advice fix):
+    # dropDuplicates keeps an arbitrary survivor, so a re-delivered row
+    # whose weight or payload CHANGED between deliveries (an updated
+    # document) would resolve differently run-to-run, breaking the
+    # batch-split-invariance contract. Survivor rule: highest A-RES key
+    # first (so a weight change resolves exactly as the one-shot top-k
+    # over both versions would), then the md5 of the full row as a total
+    # tie-break for same-key payload mutations. NOTE the contract this
+    # implies: rows are expected key-immutable; when they are not, the
+    # max-key version of a row wins deterministically — but a version
+    # already evicted from a k-bounded reservoir cannot be resurrected,
+    # so under mutation the stream result can differ from one-shot.
+    w_dedup = Window.partitionBy(
+        *[F.col(c) for c in (group_cols or [])], F.col(key_col)
+    ).orderBy(
+        F.col(key_out).desc(),
+        F.md5(F.to_json(F.struct(*pool.columns))).asc(),
+    )
+    pool = (
+        pool.withColumn("__res_dup", F.row_number().over(w_dedup))
+        .where(F.col("__res_dup") == 1)
+        .drop("__res_dup")
+    )
     order = [F.col(key_out).desc(), F.md5(F.col(key_col).cast("string")).asc()]
     return top_k_per_group(
         pool, list(group_cols or []), order_by=order, k=k, rank_col="__res_rank"

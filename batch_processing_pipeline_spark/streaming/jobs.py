@@ -307,7 +307,19 @@ def run_weighted_reservoir_stream(
     empty-state instant). Replays are DOUBLY safe: the batch-id guard
     skips them, and even an unguarded re-merge would be a no-op because
     the merge key-dedups deterministic duplicates.
+
+    The batch-id guard is scoped to the CHECKPOINT LINEAGE (round-11
+    advice fix): batch ids restart at 0 under a fresh checkpoint, so a
+    restart with a new ``checkpoint_dir`` against an existing
+    ``state_dir`` must not compare new ids to the old lineage's
+    watermark — that would silently skip real batches until the new id
+    overtook the stale one. The state sidecar records the streaming
+    query id (from the checkpoint's ``metadata`` file); on mismatch the
+    guard is ignored for that batch (the merge itself is idempotent, so
+    re-merging is always safe — only SKIPPING needs the guard) and the
+    sidecar is re-pointed at the new lineage.
     """
+    import json
     import os
     import shutil
 
@@ -326,10 +338,28 @@ def run_weighted_reservoir_stream(
         except (IndexError, ValueError):
             return -1
 
+    def _lineage_id() -> str | None:
+        """The streaming query id Spark pins inside the checkpoint —
+        stable across restarts of the SAME checkpoint, fresh for a new
+        one. None when unreadable (treat as unknown lineage: never skip)."""
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return str(json.load(f).get("id"))
+        except (OSError, ValueError):
+            return None
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         state_path = os.path.join(state_dir, "current")
-        if _merged_through(state_path) >= batch_id:
-            return  # replay: reservoir already includes this batch
+        sidecar = os.path.join(state_dir, ".checkpoint_id")
+        lineage = _lineage_id()
+        try:
+            with open(sidecar) as f:
+                known = f.read().strip()
+        except OSError:
+            known = None
+        same_lineage = lineage is not None and lineage == known
+        if same_lineage and _merged_through(state_path) >= batch_id:
+            return  # replay within this lineage: already merged
         prev = (
             spark.read.parquet(state_path)
             if os.path.exists(state_path)
@@ -356,6 +386,14 @@ def run_weighted_reservoir_stream(
         os.replace(tmp_link, state_path)
         if old_target is not None and os.path.isdir(old_target):
             shutil.rmtree(old_target, ignore_errors=True)
+        if lineage is not None and not same_lineage:
+            # adopt the new checkpoint lineage AFTER its first successful
+            # merge: a crash before this point re-runs the merge (safe),
+            # never skips (the guard stays disabled until adopted)
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(lineage)
+            os.replace(tmp, sidecar)
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

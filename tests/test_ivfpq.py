@@ -650,3 +650,110 @@ def test_compact_ivfpq_index_folds_refreshes(spark, ivfpq_model, tmp_path):
     )
     append_to_ivfpq_index(extra, path, refresh_id=3)
     assert spark.read.parquet(f"{path}/codes").count() == len(before) + 10
+
+
+def test_compact_ivfpq_recovers_from_interrupted_swap(spark, ivfpq_model, tmp_path):
+    """Crash safety of the compaction swap (round-11 advice fix): the
+    live codes directory is renamed ASIDE (codes__backup), never deleted
+    before the staging rename — so a crash between the renames leaves the
+    data addressable, and the next compact call self-heals from the
+    backup. Three scenarios: (a) crash after the backup rename (no codes
+    dir) -> next call restores and completes; (b) stale backup beside a
+    live codes dir (crash after swap, before cleanup) -> backup discarded,
+    compaction proceeds; (c) the happy path leaves no backup/staging."""
+    import os
+    import shutil
+
+    from batch_processing_pipeline_spark.fsutil import glob_exists
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(F.col("vec_id") < 200)
+    path = str(tmp_path / "crash_index")
+    save_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0), path, cents, books)
+    append_to_ivfpq_index(emb.where(F.col("vec_id") % 2 == 1), path, refresh_id=1)
+    before = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+
+    # (a) simulate a crash between rename(codes -> backup) and
+    # rename(staging -> codes): only the backup exists
+    os.rename(f"{path}/codes", f"{path}/codes__backup")
+    report = compact_ivfpq_index(spark, path)
+    assert report["rows"] == len(before)
+    assert report["refreshes_folded"] == 1
+    got = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert got == before
+    assert not os.path.exists(f"{path}/codes__backup")
+    assert not os.path.exists(f"{path}/codes__compacting")
+
+    # (b) stale backup beside a live codes dir (crash after the swap,
+    # before backup cleanup): the live directory wins, backup is dropped
+    shutil.copytree(f"{path}/codes", f"{path}/codes__backup")
+    # poison the backup so accidentally restoring it would be visible
+    for root, _, files in os.walk(f"{path}/codes__backup"):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(root, f))
+    report = compact_ivfpq_index(spark, path)
+    assert report["rows"] == len(before)
+    got = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert got == before
+    assert not os.path.exists(f"{path}/codes__backup")
+    assert glob_exists(spark, f"{path}/codes/refresh=0/cell=*")
+
+
+def test_refresh_ivfpq_rejects_stale_corpus_snapshot(spark, ivfpq_model, tmp_path):
+    """Reconciliation guard (round-11 advice fix): refreshing with a
+    `vectors` relation that is MISSING an id stored in a dirty cell must
+    raise before the partition overwrite — the old behavior silently
+    dropped the row from the index. The stored codes must be untouched
+    after the failed call, and the same refresh with the full corpus
+    must then succeed."""
+    import pytest as _pytest
+
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        ivfpq_encode,
+        refresh_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    cents, books = ivfpq_model
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "stale_index")
+    save_ivfpq_index(emb, path, cents, books)
+
+    # pick a victim id that lives in cell 2
+    victim = (
+        ivfpq_encode(emb, cents, books)
+        .where(F.col("cell") == 2)
+        .select("vec_id")
+        .first()
+        .vec_id
+    )
+    before = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code), r.refresh)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    stale = emb.where(F.col("vec_id") != victim)
+    with _pytest.raises(ValueError, match="stale|current indexed corpus"):
+        refresh_ivfpq_index(stale, path, cells=[2])
+    after = sorted(
+        (r.vec_id, r.cell, tuple(r.pq_code), r.refresh)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert after == before  # failed refresh touched nothing
+
+    report = refresh_ivfpq_index(emb, path, cells=[2])
+    assert [r["cell"] for r in report if r["refreshed"]] == [2]

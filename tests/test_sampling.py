@@ -395,3 +395,45 @@ def test_weighted_reservoir_merge_random_splits_property(spark):
         assert got == expect
 
     prop()
+
+
+def test_weighted_reservoir_merge_mutated_redelivery_deterministic(spark):
+    """Round-11 advice fix: when the SAME key is re-delivered with a
+    DIFFERENT weight (an updated document), the dedup must resolve
+    deterministically — the version with the larger A-RES key wins, in
+    either delivery order — instead of dropDuplicates' arbitrary
+    survivor. Both versions stay in reservoir range (k is generous) so
+    the winner is purely the dedup rule's choice."""
+    from batch_processing_pipeline_spark.operators.sampling import (
+        ares_key,
+        weighted_reservoir_merge,
+    )
+
+    base = [(i, float(1 + i % 7)) for i in range(1, 21)]
+    v1 = (10, 2.0)   # original delivery of doc 10
+    v2 = (10, 50.0)  # mutated re-delivery (weight changed)
+    schema = "doc_id long, w double"
+
+    def run(first, second):
+        b1 = spark.createDataFrame([r for r in base if r[0] != 10] + [first], schema)
+        b2 = spark.createDataFrame([second], schema)
+        s = weighted_reservoir_merge(
+            None, b1, k=15, weight_col="w", key_col="doc_id", seed="mut"
+        ).localCheckpoint(eager=True)
+        s = weighted_reservoir_merge(
+            s, b2, k=15, weight_col="w", key_col="doc_id", seed="mut"
+        )
+        return {r.doc_id: r.w for r in s.collect()}
+
+    a = run(v1, v2)
+    b = run(v2, v1)
+    assert a == b, (a, b)  # delivery-order independent
+    # and the survivor is the max-A-RES-key version, not an arbitrary one
+    keys = {
+        r.w: r.k
+        for r in spark.createDataFrame([v1, v2], schema).select(
+            "w", ares_key(F.col("w"), F.col("doc_id"), seed="mut").alias("k")
+        ).collect()
+    }
+    want_w = max(keys, key=keys.get)
+    assert a[10] == want_w, (a[10], want_w, keys)

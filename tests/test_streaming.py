@@ -492,3 +492,81 @@ def test_weighted_reservoir_stream_matches_one_shot(spark, tmp_path):
         ).collect()
     )
     assert got == expect
+
+
+def test_weighted_reservoir_stream_fresh_checkpoint_existing_state(spark, tmp_path):
+    """Round-11 advice fix: a FRESH checkpoint dir against an EXISTING
+    state dir restarts batch ids at 0, so the old guard (symlink
+    batch=N vs batch_id) silently skipped every new batch until the new
+    ids overtook the stale watermark. The guard is now scoped to the
+    checkpoint lineage: under a new checkpoint the first batch always
+    merges (idempotent), then the guard re-arms. Repro: 3 chunks under
+    ckpt1 (one file per trigger -> state watermark batch=2), 2 more
+    chunks arrive, rerun under ckpt2 WITHOUT maxFilesPerTrigger so all 5
+    files land in batch_id=0 <= 2 — the buggy guard drops them all."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.sampling import (
+        weighted_reservoir_merge,
+    )
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_weighted_reservoir_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("lang", "doc_id", F.col("n_chars").alias("weight"))
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chunks = [docs.where(F.col("doc_id") % 5 == i) for i in range(5)]
+
+    def arrive(i):
+        chunks[i].coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}")
+        for f in os.listdir(f"{src}/part{i}"):
+            if f.endswith(".parquet"):
+                os.replace(f"{src}/part{i}/{f}", f"{src}/chunk{i}.parquet")
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    def run_stream(ckpt, max_files):
+        reader = spark.readStream.schema(docs.schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        q = run_weighted_reservoir_stream(
+            reader.parquet(src), state, ckpt, k=6, group_cols=["lang"],
+            weight_col="weight", key_col="doc_id", seed="wstream2",
+        )
+        q.awaitTermination()
+
+    for i in range(3):
+        arrive(i)
+    run_stream(str(tmp_path / "ckpt1"), max_files=True)
+    assert os.readlink(os.path.join(state, "current")).endswith("batch=2")
+
+    for i in range(3, 5):
+        arrive(i)
+    # fresh checkpoint: replays chunks 0-4 as ONE batch with batch_id=0
+    run_stream(str(tmp_path / "ckpt2"), max_files=False)
+
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in spark.read.parquet(os.path.join(state, "current")).collect()
+    )
+    expect = sorted(
+        (r.lang, r.doc_id)
+        for r in weighted_reservoir_merge(
+            None, docs, k=6, group_cols=["lang"],
+            weight_col="weight", key_col="doc_id", seed="wstream2",
+        ).collect()
+    )
+    assert got == expect
+
+    # and the guard re-armed under the new lineage: an immediate restart
+    # of ckpt2 with no new files must leave the state symlink unchanged
+    tgt = os.readlink(os.path.join(state, "current"))
+    run_stream(str(tmp_path / "ckpt2"), max_files=False)
+    assert os.readlink(os.path.join(state, "current")) == tgt
