@@ -26,12 +26,20 @@ the initial AQE plan is enough: AQE never introduces these shapes):
    reading an unaggregated file scan is exactly the corpus-sized
    one-reducer sort the contract bans.
 
-Heuristic honesty: "Aggregate below the exchange" treats any grouped
-aggregate as dimension-sized. A ``groupBy(doc_id)`` feeding a global
-window would pass this check while still being corpus-sized — the
-per-query review (PLANS.md) still owns that judgment; this predicate
-mechanizes the common case so regressions are caught without re-reading
-300 plans by hand.
+Aggregate honesty (round-11, closing the documented blind spot): an
+aggregate bounds the exchange above it ONLY when its grouping keys look
+dimension-sized. A ``groupBy(doc_id)`` produces one output row per input
+row — it bounds nothing — so grouping keys that are row-identifier-like
+(``*_id``, ``id``, ``*key`` — the fixture tables' scaling identifiers:
+doc_id, vec_id, event_id, o_orderkey, c_custkey, ...) disqualify the
+aggregate as a bounding node. The two genuinely fixed-cardinality TPC-H
+dims (nation/region keys: 25 and 5 rows at EVERY scale factor) are
+excepted by name. Keys like lang / split / source / prefix / bucket /
+cell pass — their cardinality is a vocabulary, not the corpus. The
+negative case (planted ``groupBy(doc_id)`` + global window) is pinned in
+tests/test_plan_sweep.py; residual honesty: a corpus-scaling key that is
+neither id- nor key-named still slips through, and the per-query review
+(PLANS.md) owns that tail.
 """
 
 from __future__ import annotations
@@ -56,12 +64,48 @@ WHITELIST = {
 #: exactly 3 chars, so node depth = prefix length / 3
 _PREFIX = re.compile(r"^((?:   |:  |\+- |:- )*)(.*)$")
 
-#: nodes that bound the row count of everything above them
+#: nodes that bound the row count of everything above them UNCONDITIONALLY
 _BOUNDING = re.compile(
-    r"HashAggregate|SortAggregate|ObjectHashAggregate|Aggregate"
-    r"|GlobalLimit|LocalLimit|CollectLimit|TakeOrdered"
+    r"GlobalLimit|LocalLimit|CollectLimit|TakeOrdered"
     r"|monotonically_increasing_id"
 )
+
+#: aggregates bound CONDITIONALLY — see _agg_bounds
+_AGG_KEYS = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate|Aggregate)"
+    r"\(keys=\[(.*?)\](?:,|\))"
+)
+
+#: fixed-cardinality dimension identifiers: 25 nations / 5 regions at
+#: every TPC-H scale factor — key-suffixed but NOT corpus-scaling. Any
+#: prefix is accepted (n_nationkey, c_nationkey, s_nationkey,
+#: n_regionkey, ...): foreign keys into a fixed dim are just as bounded.
+_FIXED_DIM_SUFFIXES = ("nationkey", "regionkey")
+
+#: column tokens inside an aggregate key list: `lang#45`, `doc_id#3L`
+_KEY_NAME = re.compile(r"(\w+)#\d+")
+
+
+def _scaling_name(name: str) -> bool:
+    n = name.lower()
+    if n.endswith(_FIXED_DIM_SUFFIXES):
+        return False
+    return n == "id" or n.endswith("_id") or n.endswith("key")
+
+
+def _agg_bounds(node_text: str) -> bool | None:
+    """None if the node is not an aggregate; True if it bounds (global
+    agg or dimension-like keys); False if any grouping key is a
+    row-identifier (one output row per input row — bounds nothing)."""
+    m = _AGG_KEYS.search(node_text)
+    if not m:
+        return None
+    blob = m.group(1).strip()
+    if not blob:
+        return True  # keys=[]: global aggregate, exactly one row
+    if "monotonically_increasing_id" in blob:
+        return False
+    return not any(_scaling_name(n) for n in _KEY_NAME.findall(blob))
 
 #: leaves that read a (potentially) corpus-sized stored relation.
 #: LocalTableScan / Scan ExistingRDD (createDataFrame literals, bounded
@@ -96,7 +140,13 @@ def unbounded_single_partition_exchanges(plan: str) -> list[str]:
             while path and path[-1][0] >= dj:
                 path.pop()
             if _CORPUS_LEAF.search(tj):
-                if not any(_BOUNDING.search(pt) for _, pt in path):
+                bounded = False
+                for _, pt in path:
+                    ab = _agg_bounds(pt)
+                    if ab is True or (ab is None and _BOUNDING.search(pt)):
+                        bounded = True
+                        break
+                if not bounded:
                     violations.append(tj.strip()[:160])
             else:
                 path.append((dj, tj))

@@ -134,3 +134,76 @@ def test_plancheck_engages_on_real_final_adaptive_plans(spark):
     nodes = plancheck._parse(plan)
     assert max(d for d, _ in nodes) >= 4  # grammar still sees the tree
     assert plan_violations(plan) == []
+
+
+def test_row_key_aggregate_does_not_bound(spark):
+    """Round-11: the documented blind spot is closed — an aggregate whose
+    grouping key is a row identifier (one output row per input row) must
+    NOT count as a bounding node, so a planted groupBy(doc_id) feeding a
+    global unpartitioned window goes red. The dimension-keyed twin
+    (groupBy(lang)) stays green, as does a global agg (keys=[])."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = Window.orderBy(F.desc("n"))
+
+    planted = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    plan = planted._jdf.queryExecution().executedPlan().toString()
+    assert unbounded_single_partition_exchanges(plan), plan[:1500]
+
+    dim = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_exchanges(plan), plan[:1500]
+
+    glob = (
+        docs.agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(Window.orderBy("n")))
+    )
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_exchanges(plan), plan[:1500]
+
+
+def test_fixed_dim_key_aggregate_still_bounds(spark):
+    """nation/region keys are key-suffixed but fixed-cardinality (25/5
+    at every SF) — an aggregate grouped by them must still bound."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    nat = spark.read.parquet(f"{SF}/lineitem.parquet").join(
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = (
+        nat.groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("q"))))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_exchanges(plan), plan[:1500]
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation_agg = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("n"))))
+    )
+    plan = nation_agg._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_exchanges(plan), plan[:1500]
+
+    # and the corpus-scaling TPC-H identifier: custkey agg must NOT bound
+    bad = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("n"))))
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert unbounded_single_partition_exchanges(plan), plan[:1500]
