@@ -50,3 +50,39 @@ def publish_suggestions(
             client.execute()
 
     df.select(key_col, value_col).foreachPartition(send_partition)
+
+
+def publish_delta(
+    df: DataFrame,
+    client_factory: Callable[[], object],
+    key_col: str = "prefix",
+    value_col: str = "completions_json",
+    op_col: str = "op",
+    flush_every: int = 1_000,
+) -> None:
+    """Apply a suggestions DELTA (``plans.autocomplete.diff_suggestions``
+    output: op ∈ {'upsert','delete'}) to the serving store: SET for
+    upserts, DEL for deletes — the full replacement of the reference's
+    MySQL→Debezium→Kafka→consumer CDC hop with two idempotent verbs, so
+    an at-least-once replay of the same delta converges to the same
+    store state. One pipelined client per partition, as
+    ``publish_suggestions``."""
+    ctx = (key_col, value_col, op_col, flush_every, client_factory)
+
+    def send_partition(rows: Iterator) -> None:
+        key_col_, value_col_, op_col_, flush_every_, factory = ctx
+        client = factory()
+        pending = 0
+        for row in rows:
+            if row[op_col_] == "delete":
+                client.delete(row[key_col_])
+            else:
+                client.set(row[key_col_], row[value_col_])
+            pending += 1
+            if pending >= flush_every_ and hasattr(client, "execute"):
+                client.execute()
+                pending = 0
+        if pending and hasattr(client, "execute"):
+            client.execute()
+
+    df.select(key_col, value_col, op_col).foreachPartition(send_partition)

@@ -73,3 +73,33 @@ def read_stream(
         F.col("value").cast("string").alias("value"),
         F.col("timestamp"),
     )
+
+
+def publish_delta_records(
+    df: DataFrame,
+    producer_factory,
+    key_col: str = "prefix",
+    value_col: str = "completions_json",
+    op_col: str = "op",
+) -> None:
+    """Publish a suggestions delta as keyed records with DELETE-AS-
+    TOMBSTONE semantics (value=None), the log-compacted-topic contract
+    the reference's Debezium topic carries
+    (``docker-compose.yml:126-145``). ``producer_factory`` is injectable
+    (no broker in this container): it must be picklable and return an
+    object with ``send(key: str, value: str | None)`` and optionally
+    ``flush()`` — production passes a kafka-python producer adapter;
+    tests inject a fake. For a classpath-native path use
+    ``write_suggestions`` (spark-sql-kafka) instead."""
+    ctx = (key_col, value_col, op_col, producer_factory)
+
+    def send_partition(rows) -> None:
+        key_col_, value_col_, op_col_, factory = ctx
+        producer = factory()
+        for row in rows:
+            value = None if row[op_col_] == "delete" else row[value_col_]
+            producer.send(row[key_col_], value)
+        if hasattr(producer, "flush"):
+            producer.flush()
+
+    df.select(key_col, value_col, op_col).foreachPartition(send_partition)

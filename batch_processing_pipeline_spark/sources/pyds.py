@@ -100,6 +100,10 @@ class QueryLogStreamReader(SimpleDataSourceStreamReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("querylog stream requires .option('path', <dir>)")
+        # cap on new hour-files per micro-batch (the reference's
+        # --max-files-per-trigger knob); 0 = unlimited. Spark lowercases
+        # option keys for Python data sources.
+        self.max_files = int(options.get("maxfilespertrigger", 0) or 0)
 
     def initialOffset(self) -> dict:
         return {"seen": []}
@@ -126,6 +130,8 @@ class QueryLogStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         seen = set(start.get("seen", []))
         new = [h for h in self._hours_on_disk() if h not in seen]
+        if self.max_files:
+            new = new[: self.max_files]
         end = {"seen": sorted(seen | set(new))}
         return self._rows_for(new), end
 

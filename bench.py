@@ -392,12 +392,19 @@ def _bench_topk_skew(spark, naive: bool) -> float:
     the rewrite so the hot key lands on ONE reducer unsplit — the regression
     this row exists to catch. The pair is recorded every round; two-phase
     drifting toward naive's time means the map-side phase stopped planning."""
+    return _bench_topk_skew_n(spark, naive=naive, n=3_000_000)
+
+
+def _bench_topk_skew_n(spark, naive: bool, n: int) -> float:
+    """Parameterized form of the Zipf guard — tools/scaling_rehearsal.py
+    scales ``n`` by a decade per step to measure the two-phase plan's
+    scaling exponent on a synthetic relation whose hot key is always 30%."""
     from pyspark.sql import functions as F
 
     from batch_processing_pipeline_spark.fixtures import zipf_prefix_fixture
     from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 
-    df = zipf_prefix_fixture(spark, n=3_000_000, num_partitions=32)
+    df = zipf_prefix_fixture(spark, n=n, num_partitions=32)
     key = "spark.sql.optimizer.windowGroupLimitThreshold"
     prior = spark.conf.get(key)
     try:

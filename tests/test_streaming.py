@@ -570,3 +570,218 @@ def test_weighted_reservoir_stream_fresh_checkpoint_existing_state(spark, tmp_pa
     tgt = os.readlink(os.path.join(state, "current"))
     run_stream(str(tmp_path / "ckpt2"), max_files=False)
     assert os.readlink(os.path.join(state, "current")) == tgt
+
+
+def _make_serving_fakes():
+    """Injectable sink fakes for the serving-pipeline tests. Defined
+    INSIDE a function so cloudpickle ships the classes BY VALUE to
+    executors (a module-level class in a test file pickles by reference
+    to `test_streaming`, which executors cannot import)."""
+
+    class FakeKV:
+        """Redis-like store backed by a directory: executors and the
+        driver share it through the filesystem (a dict would stay on the
+        executor side). set/delete write/remove one file per key."""
+
+        def __init__(self, root):
+            self.root = root
+
+        def set(self, key, value):
+            import base64
+            import os
+
+            name = base64.urlsafe_b64encode(key.encode()).decode()
+            with open(os.path.join(self.root, name), "w") as f:
+                f.write(value)
+
+        def delete(self, key):
+            import base64
+            import contextlib
+            import os
+
+            name = base64.urlsafe_b64encode(key.encode()).decode()
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.root, name))
+
+        def dump(self):
+            import base64
+            import os
+
+            out = {}
+            for name in os.listdir(self.root):
+                key = base64.urlsafe_b64decode(name.encode()).decode()
+                with open(os.path.join(self.root, name)) as f:
+                    out[key] = f.read()
+            return out
+
+    class FakeProducer:
+        """Kafka-like producer: appends (key, value-or-None) JSON lines
+        to a shared log file; tombstones are value=None."""
+
+        def __init__(self, path):
+            self.path = path
+
+        def send(self, key, value):
+            import json
+
+            with open(self.path, "a") as f:
+                f.write(json.dumps([key, value]) + "\n")
+
+    return FakeKV, FakeProducer
+
+
+def test_autocomplete_serving_pipeline_end_to_end(spark, tmp_path):
+    """The composed serving topology (round-11 stretch): querylog custom
+    source -> incremental merge -> top-k -> changed-rows-only publish to
+    injectable Redis/Kafka fakes, one symlink commit per batch. Pinned:
+    (a) after two runs (3 hours, then 2 more late hours under the SAME
+    checkpoint) the Redis store equals the one-shot suggestions table
+    over all 5 hours; (b) the Kafka log's last record per key compacts
+    to the same table (tombstones erase); (c) only CHANGED prefixes were
+    re-published in run 2; (d) a restart with nothing new publishes
+    nothing."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.plans.autocomplete import (
+        autocomplete_batch,
+        suggestions,
+    )
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_autocomplete_serving_pipeline,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    lines = [
+        r.q
+        for r in docs.select(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 2),
+            ).alias("q")
+        ).collect()
+    ]
+    logs = str(tmp_path / "logs")
+    os.makedirs(logs)
+    per = len(lines) // 5
+
+    def arrive(hour_i):
+        chunk = lines[hour_i * per : (hour_i + 1) * per]
+        with open(os.path.join(logs, f"2025-01-01-{hour_i:02d}.txt"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    FakeKV, FakeProducer = _make_serving_fakes()
+    kv_root = str(tmp_path / "kv")
+    os.makedirs(kv_root)
+    kafka_log = str(tmp_path / "kafka.jsonl")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(work)
+
+    def run():
+        q = run_autocomplete_serving_pipeline(
+            spark, logs, work, ckpt, k=5,
+            redis_client_factory=lambda root=kv_root: FakeKV(root),
+            kafka_producer_factory=lambda p=kafka_log: FakeProducer(p),
+        )
+        q.awaitTermination()
+
+    for i in range(3):
+        arrive(i)
+    run()
+    kafka_after_run1 = sum(1 for _ in open(kafka_log))
+
+    for i in range(3, 5):
+        arrive(i)
+    run()  # same checkpoint: only the 2 late hours replay
+
+    # (a) serving store == one-shot over all 5 hours
+    all_lines = spark.createDataFrame(
+        [(ln,) for ln in lines[: per * 5]], "value string"
+    )
+    merged, _ = autocomplete_batch(all_lines, None, k=5)
+    expect = {
+        r.prefix: r.completions_json
+        for r in suggestions(merged, k=5).collect()
+    }
+    got = FakeKV(kv_root).dump()
+    assert got == expect
+
+    # (b) kafka log compacts (last record per key, tombstones erase) to
+    # the same table
+    compacted = {}
+    with open(kafka_log) as f:
+        for line in f:
+            key, value = json.loads(line)
+            if value is None:
+                compacted.pop(key, None)
+            else:
+                compacted[key] = value
+    assert compacted == expect
+
+    # (c) run 2 published only prefixes whose top-k CHANGED: strictly
+    # fewer records than a full republish of the serving table
+    kafka_after_run2 = sum(1 for _ in open(kafka_log))
+    assert 0 < kafka_after_run2 - kafka_after_run1 < len(expect)
+
+    # (d) restart with nothing new: no publish, store unchanged
+    run()
+    assert sum(1 for _ in open(kafka_log)) == kafka_after_run2
+    assert FakeKV(kv_root).dump() == expect
+
+
+def test_autocomplete_serving_pipeline_max_files_and_commit_guard(spark, tmp_path):
+    """maxFilesPerTrigger throttles a LONG-RUNNING (processingTime) run:
+    6 hour-files at 2 per trigger commit as three versioned batches, and
+    the store ends complete. Under availableNow the cap must be REFUSED:
+    the simple-reader API would drain only the first capped batch and
+    silently drop the backlog (the pinned hazard)."""
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_autocomplete_serving_pipeline,
+    )
+
+    logs = str(tmp_path / "logs")
+    os.makedirs(logs)
+    for i in range(6):
+        with open(os.path.join(logs, f"2025-01-02-{i:02d}.txt"), "w") as f:
+            f.write(f"query number {i}\nshared line\n")
+
+    FakeKV, _ = _make_serving_fakes()
+    kv_root = str(tmp_path / "kv")
+    os.makedirs(kv_root)
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+
+    with _pytest.raises(ValueError, match="available_now=False"):
+        run_autocomplete_serving_pipeline(
+            spark, logs, work, str(tmp_path / "ckpt_bad"), k=5,
+            max_files_per_trigger=2,
+        )
+
+    q = run_autocomplete_serving_pipeline(
+        spark, logs, work, str(tmp_path / "ckpt"), k=5,
+        redis_client_factory=lambda root=kv_root: FakeKV(root),
+        max_files_per_trigger=2,
+        available_now=False,
+    )
+    link = os.path.join(work, "current")
+    deadline = _time.time() + 120
+    try:
+        # 6 files at 2 per trigger -> the final committed version is batch 2
+        while _time.time() < deadline:
+            if os.path.islink(link) and os.readlink(link).endswith("ver=2"):
+                break
+            _time.sleep(0.5)
+        assert os.path.islink(link) and os.readlink(link).endswith("ver=2")
+    finally:
+        q.stop()
+    store = FakeKV(kv_root).dump()
+    # every hour's lines made it in: the shared prefix counts all 6 files
+    assert "shared line" in store["sh"]
