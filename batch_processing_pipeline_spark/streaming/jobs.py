@@ -292,6 +292,7 @@ def run_autocomplete_serving_pipeline(
     kafka_producer_factory=None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    state_buckets: int | None = None,
 ):
     """The reference's ENTIRE serving topology as one checkpointed job
     (VERDICT r10 stretch): hourly query-log files → incremental prefix
@@ -330,6 +331,22 @@ def run_autocomplete_serving_pipeline(
     ``redis_client_factory`` / ``kafka_producer_factory`` are the
     injectable sink clients (``sinks/redis.py publish_delta``,
     ``sources/kafka.py publish_delta_records``); either may be None.
+
+    ``state_buckets=N`` is the SCALE PATH (round-11): state lives in the
+    bucket-partitioned store (``operators/state_store.py``, per-bucket
+    ``_merged_batch`` replay stamps), suggestions are recomputed and
+    dynamically overwritten ONLY for the buckets a batch touched, and
+    the delta diff reads ONLY those buckets' stored suggestions — so
+    per-batch cost is O(touched buckets), never O(serving table), the
+    one term that grows with lifetime state in the simple layout.
+    Publish ordering inverts relative to the symlink mode: the delta is
+    computed and PUBLISHED against the stored (pre-overwrite)
+    suggestions, THEN the touched partitions are overwritten — a crash
+    between the two re-delivers the batch, the state merge skips
+    (stamped), the same delta recomputes against the still-old stored
+    rows, and the idempotent verbs re-apply; a crash after the overwrite
+    re-publishes nothing (empty diff), which is correct because the
+    first attempt already published.
     """
     import os
     import shutil
@@ -406,7 +423,59 @@ def run_autocomplete_serving_pipeline(
         if old_target is not None and os.path.isdir(old_target):
             shutil.rmtree(old_target, ignore_errors=True)
 
-    writer = stream.writeStream.foreachBatch(process_batch).option(
+    def process_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        from batch_processing_pipeline_spark.operators.prefix import (
+            normalize_queries,
+            prefix_frequencies,
+        )
+        from batch_processing_pipeline_spark.operators.state_store import (
+            merge_touched_buckets,
+            read_bucketed_state,
+            state_bucket,
+        )
+
+        state_dir = os.path.join(work_dir, "state")
+        sugg_dir = os.path.join(work_dir, "suggestions")
+        delta_freq = prefix_frequencies(normalize_queries(batch_df))
+        touched = merge_touched_buckets(
+            spark, delta_freq, state_dir, batch_id, buckets=state_buckets
+        )
+        if not touched:
+            return
+        bucket = state_bucket("prefix", state_buckets)
+        cur = (
+            suggestions(read_bucketed_state(spark, state_dir, touched), k=k)
+            .withColumn("bucket", bucket)
+            .localCheckpoint(eager=True)
+        )
+        prev = None
+        existing = [
+            b
+            for b in touched
+            if os.path.isdir(os.path.join(sugg_dir, f"bucket={b}"))
+        ]
+        if existing:
+            prev = (
+                spark.read.option("basePath", sugg_dir)
+                .parquet(
+                    *[os.path.join(sugg_dir, f"bucket={b}") for b in existing]
+                )
+            )
+        delta = diff_suggestions(prev, cur).localCheckpoint(eager=True)
+        if redis_client_factory is not None:
+            publish_delta(delta, redis_client_factory)
+        if kafka_producer_factory is not None:
+            publish_delta_records(delta, kafka_producer_factory)
+        # overwrite LAST (see the docstring's crash anatomy)
+        (
+            cur.write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(sugg_dir)
+        )
+
+    fn = process_batch if state_buckets is None else process_batch_bucketed
+    writer = stream.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -785,3 +785,109 @@ def test_autocomplete_serving_pipeline_max_files_and_commit_guard(spark, tmp_pat
     store = FakeKV(kv_root).dump()
     # every hour's lines made it in: the shared prefix counts all 6 files
     assert "shared line" in store["sh"]
+
+
+def test_autocomplete_serving_pipeline_bucketed_scale_path(spark, tmp_path):
+    """state_buckets=N serving mode (round-11 scale path): per-batch
+    work is scoped to TOUCHED buckets — the store still converges to the
+    one-shot table across a restart (late hour), untouched buckets'
+    suggestion files are not rewritten by a batch that misses them, and
+    the Kafka log compacts to the store."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.plans.autocomplete import (
+        autocomplete_batch,
+        suggestions,
+    )
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_autocomplete_serving_pipeline,
+    )
+
+    logs = str(tmp_path / "logs")
+    os.makedirs(logs)
+    with open(os.path.join(logs, "2025-01-03-00.txt"), "w") as f:
+        f.write("test\ntest\nkheder\n")
+
+    FakeKV, FakeProducer = _make_serving_fakes()
+    kv_root = str(tmp_path / "kv")
+    os.makedirs(kv_root)
+    kafka_log = str(tmp_path / "kafka.jsonl")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(work)
+
+    def run():
+        q = run_autocomplete_serving_pipeline(
+            spark, logs, work, ckpt, k=5,
+            redis_client_factory=lambda root=kv_root: FakeKV(root),
+            kafka_producer_factory=lambda p=kafka_log: FakeProducer(p),
+            state_buckets=8,
+        )
+        q.awaitTermination()
+
+    run()
+    sugg_dir = os.path.join(work, "suggestions")
+
+    def bucket_mtimes():
+        out = {}
+        for d in os.listdir(sugg_dir):
+            if d.startswith("bucket="):
+                files = [
+                    os.path.getmtime(os.path.join(sugg_dir, d, f))
+                    for f in os.listdir(os.path.join(sugg_dir, d))
+                    if f.endswith(".parquet")
+                ]
+                out[d] = max(files) if files else 0.0
+        return out
+
+    before = bucket_mtimes()
+    # late hour touching ONLY "zebra"'s prefixes
+    with open(os.path.join(logs, "2025-01-03-01.txt"), "w") as f:
+        f.write("zebra\n")
+    run()
+
+    # store == one-shot over both hours
+    all_lines = spark.createDataFrame(
+        [("test",), ("test",), ("kheder",), ("zebra",)], "value string"
+    )
+    merged, _ = autocomplete_batch(all_lines, None, k=5)
+    expect = {
+        r.prefix: r.completions_json
+        for r in suggestions(merged, k=5).collect()
+    }
+    assert FakeKV(kv_root).dump() == expect
+
+    # untouched buckets' files survived batch 2 in place
+    zebra_buckets = {
+        f"bucket={r.b}"
+        for r in spark.createDataFrame(
+            [("ze",), ("zeb",), ("zebr",), ("zebra",)], "prefix string"
+        )
+        .select(F.pmod(F.xxhash64("prefix"), F.lit(8)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    untouched = set(before) - zebra_buckets
+    assert untouched, "fixture needs at least one untouched bucket"
+    after = bucket_mtimes()
+    for d in untouched:
+        assert after[d] == before[d], f"untouched {d} was rewritten"
+
+    # kafka log compacts to the store, and batch 2 published only
+    # zebra's prefixes (the touched-bucket scope held)
+    compacted, n_records = {}, 0
+    with open(kafka_log) as f:
+        for line in f:
+            n_records += 1
+            key, value = json.loads(line)
+            if value is None:
+                compacted.pop(key, None)
+            else:
+                compacted[key] = value
+    assert compacted == expect
+    zebra_prefixes = {"ze", "zeb", "zebr", "zebra"}
+    run1_keys = {k for k in expect if k not in zebra_prefixes}
+    assert n_records == len(run1_keys) + len(zebra_prefixes)

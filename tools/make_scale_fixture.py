@@ -22,6 +22,22 @@ Replication must not distort the SHAPE the queries key on:
 - ``lineitem``: l_orderkey shifted by i·1e9; value columns copied, so
   every per-column distribution (the quantile targets) is unchanged.
 
+Round-11 extension — ALL TEN fixture tables, with CONSISTENT foreign-key
+shifts so every join stays valid (the full oracle harness can then run
+at sf1 as a fourth correctness decade):
+
+- ``region`` / ``nation``: copied once, NOT replicated — they are the
+  fixed dims (5 / 25 rows at every TPC-H scale factor).
+- ``customer`` / ``supplier`` / ``part``: primary keys shifted by i·1e6;
+  nation FKs unchanged (they point into the fixed dims).
+- ``orders``: o_orderkey + i·1e9, o_custkey + i·1e6 — copy i's orders
+  reference copy i's customers.
+- ``lineitem``: l_orderkey + i·1e9, l_partkey/l_suppkey + i·1e6 — the
+  full star stays internally consistent per copy.
+- ``events``: event_id + i·1e7, user_id + i·1e6 (per-user event
+  sequences stay intact per copy; timestamps copied, so time-bucket
+  rollups see 10× density, which is exactly what a 10× corpus does).
+
 Usage: python tools/make_scale_fixture.py [--k 10] [--src /root/testdata/sf0.1]
        [--out /tmp/spark_graft_sf1]
 Writing goes anywhere EXCEPT /root/testdata (read-only by contract).
@@ -80,7 +96,9 @@ def build(src: str, out: str, k: int) -> None:
         f"""
         COPY (
           SELECT l_orderkey + i * 1000000000 AS l_orderkey,
-                 l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 l_partkey + i * 1000000 AS l_partkey,
+                 l_suppkey + i * 1000000 AS l_suppkey,
+                 l_linenumber, l_quantity,
                  l_extendedprice, l_discount, l_tax,
                  l_returnflag, l_linestatus, l_shipdate
           FROM read_parquet('{src}/lineitem.parquet')
@@ -88,7 +106,38 @@ def build(src: str, out: str, k: int) -> None:
         ) TO '{out}/lineitem.parquet' (FORMAT parquet)
         """
     )
-    for t in ("documents", "embeddings", "lineitem"):
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+    shifted = {
+        "customer": "c_custkey + i * 1000000 AS c_custkey, c_name, "
+                    "c_nationkey, c_acctbal, c_mktsegment",
+        "supplier": "s_suppkey + i * 1000000 AS s_suppkey, s_name, "
+                    "s_nationkey, s_acctbal",
+        "part": "p_partkey + i * 1000000 AS p_partkey, p_name, p_brand, "
+                "p_type, p_size, p_retailprice",
+        "orders": "o_orderkey + i * 1000000000 AS o_orderkey, "
+                  "o_custkey + i * 1000000 AS o_custkey, o_orderstatus, "
+                  "o_totalprice, o_orderdate, o_orderpriority",
+        "events": "event_id + i * 10000000 AS event_id, ts, "
+                  "user_id + i * 1000000 AS user_id, event_type, value, props",
+    }
+    for t, proj in shifted.items():
+        con.execute(
+            f"""
+            COPY (
+              SELECT {proj}
+              FROM read_parquet('{src}/{t}.parquet')
+              CROSS JOIN range({k}) t(i)
+            ) TO '{out}/{t}.parquet' (FORMAT parquet)
+            """
+        )
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
