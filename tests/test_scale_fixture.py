@@ -1,0 +1,105 @@
+"""The scale-fixture generator's invariants — the scaling rehearsal's
+evidence (PLANS.md round-11) is only as good as the fixture's shape, so
+the shape claims are pinned: replication preserves the documents table's
+exact-duplicate RATE (word rotation keeps within-copy dup structure and
+does not link copies), and every foreign key stays valid (the full
+oracle harness must be runnable on the output)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tools.make_scale_fixture import build
+
+SRC = "/root/testdata/sf0.001"
+K = 3
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scalefix") / f"k{K}")
+    build(SRC, out, K)
+    return out
+
+
+def test_row_counts_scale_by_k(fixture_dir):
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"):
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        n_out = con.execute(
+            f"SELECT count(*) FROM read_parquet('{fixture_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n_out == K * n_src, t
+    for t in ("region", "nation"):  # fixed dims are NOT replicated
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        n_out = con.execute(
+            f"SELECT count(*) FROM read_parquet('{fixture_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n_out == n_src, t
+
+
+def test_documents_dup_rate_preserved_and_copies_unlinked(fixture_dir):
+    """Word rotation must keep each copy's internal exact-dup structure
+    (dup rate identical to the source) and must NOT create cross-copy
+    exact duplicates (which would fabricate K-sized dup cliques and a
+    super-linear candidate-pair exponent)."""
+    con = duckdb.connect()
+
+    def dup_rate(path):
+        tot, uniq = con.execute(
+            f"SELECT count(*), count(DISTINCT text) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()
+        return (tot - uniq) / tot, tot, uniq
+
+    src_rate, src_tot, src_uniq = dup_rate(f"{SRC}/documents.parquet")
+    out_rate, out_tot, out_uniq = dup_rate(f"{fixture_dir}/documents.parquet")
+    # distinct texts scale by exactly K <=> no cross-copy collisions AND
+    # within-copy dup structure preserved
+    assert out_uniq == K * src_uniq, (out_uniq, src_uniq)
+    assert abs(out_rate - src_rate) < 1e-12
+
+
+def test_foreign_keys_stay_valid(fixture_dir):
+    con = duckdb.connect()
+    checks = [
+        ("orders o", "o.o_custkey", "customer c", "c.c_custkey"),
+        ("lineitem l", "l.l_orderkey", "orders o", "o.o_orderkey"),
+        ("lineitem l", "l.l_partkey", "part p", "p.p_partkey"),
+        ("lineitem l", "l.l_suppkey", "supplier s", "s.s_suppkey"),
+        ("customer c", "c.c_nationkey", "nation n", "n.n_nationkey"),
+    ]
+    for fact, fk, dim, pk in checks:
+        ft, dt = fact.split()[0], dim.split()[0]
+        orphans = con.execute(
+            f"SELECT count(*) FROM read_parquet('{fixture_dir}/{ft}.parquet') {fact.split()[1]} "
+            f"LEFT JOIN read_parquet('{fixture_dir}/{dt}.parquet') {dim.split()[1]} "
+            f"ON {fk} = {pk} WHERE {pk} IS NULL"
+        ).fetchone()[0]
+        assert orphans == 0, (fk, pk, orphans)
+
+
+def test_value_distributions_unchanged(fixture_dir):
+    """Replication must not shift per-column distributions (the quantile
+    / aggregate targets): each copy is the source, so every quantile of
+    a value column is identical."""
+    con = duckdb.connect()
+    for col, tbl in (("l_extendedprice", "lineitem"), ("o_totalprice", "orders")):
+        q_src = con.execute(
+            f"SELECT quantile_cont({col}, [0.1,0.5,0.9]) "
+            f"FROM read_parquet('{SRC}/{tbl}.parquet')"
+        ).fetchone()[0]
+        q_out = con.execute(
+            f"SELECT quantile_cont({col}, [0.1,0.5,0.9]) "
+            f"FROM read_parquet('{fixture_dir}/{tbl}.parquet')"
+        ).fetchone()[0]
+        # quantile_cont interpolates at fractional indices that shift by
+        # float rounding when the row count scales — identical multisets,
+        # ~1e-10 relative noise
+        assert q_out == pytest.approx(q_src, rel=1e-9), (col, q_src, q_out)
