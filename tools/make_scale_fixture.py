@@ -9,7 +9,7 @@ tools/scaling_rehearsal.py can measure wall-clock across three decades.
 
 Replication must not distort the SHAPE the queries key on:
 
-- ``documents``: copy i shifts doc_id by i·1e6 and ROTATES each text's
+- ``documents``: copy i shifts doc_id by i·1e8 and ROTATES each text's
   word order by i (deterministic). Rotation keeps each copy's internal
   exact-duplicate structure byte-identical (two dups rotate to the same
   string), so the corpus dup RATE matches the source — but across copies
@@ -28,15 +28,27 @@ at sf1 as a fourth correctness decade):
 
 - ``region`` / ``nation``: copied once, NOT replicated — they are the
   fixed dims (5 / 25 rows at every TPC-H scale factor).
-- ``customer`` / ``supplier`` / ``part``: primary keys shifted by i·1e6;
+- ``customer`` / ``supplier`` / ``part``: primary keys shifted by i·1e8;
   nation FKs unchanged (they point into the fixed dims).
-- ``orders``: o_orderkey + i·1e9, o_custkey + i·1e6 — copy i's orders
+- ``orders``: o_orderkey + i·1e9, o_custkey + i·1e8 — copy i's orders
   reference copy i's customers.
-- ``lineitem``: l_orderkey + i·1e9, l_partkey/l_suppkey + i·1e6 — the
+- ``lineitem``: l_orderkey + i·1e9, l_partkey/l_suppkey + i·1e8 — the
   full star stays internally consistent per copy.
-- ``events``: event_id + i·1e7, user_id + i·1e6 (per-user event
+- ``events``: event_id + i·1e8, user_id + i·1e8 (per-user event
   sequences stay intact per copy; timestamps copied, so time-bucket
   rollups see 10× density, which is exactly what a 10× corpus does).
+
+Offset discipline (the first sf1 run taught it): several registry
+queries CONSTRUCT keys arithmetically — scd2 materializes "brand-new"
+dimension keys as c_custkey + 1e6, the bipartite graph queries remap
+customers to o_custkey + 1e6 node ids, decontaminate's planted twin uses
+doc_id + 1e7 — so a replication offset of i·1e6 made copy-0's
+constructed keys COLLIDE with copy-1's real keys (scd2 then had two
+same-key same-timestamp updates: the exact nondeterministic tie its
+comment forbids, surfacing as a cross-engine hash mismatch). Every
+per-copy shift is therefore i·1e8: constructed keys live in
+[1e6, 2e7] ≪ 1e8, far below the next copy's key range. A future query
+adding ≥ 1e8 to a fixture key must bump these offsets.
 
 Usage: python tools/make_scale_fixture.py [--k 10] [--src /root/testdata/sf0.1]
        [--out /tmp/spark_graft_sf1]
@@ -64,7 +76,7 @@ def build(src: str, out: str, k: int) -> None:
           WITH src AS (SELECT * FROM read_parquet('{src}/documents.parquet')),
           reps AS (SELECT i FROM range({k}) t(i)),
           rot AS (
-            SELECT d.doc_id + i * 1000000 AS doc_id,
+            SELECT d.doc_id + i * 100000000 AS doc_id,
                    CASE WHEN i = 0 THEN d.text ELSE
                      array_to_string(
                        list_concat(
@@ -85,7 +97,7 @@ def build(src: str, out: str, k: int) -> None:
     con.execute(
         f"""
         COPY (
-          SELECT vec_id + i * 1000000 AS vec_id, embedding, label
+          SELECT vec_id + i * 100000000 AS vec_id, embedding, label
           FROM read_parquet('{src}/embeddings.parquet')
           CROSS JOIN range({k}) t(i)
           ORDER BY vec_id
@@ -96,8 +108,8 @@ def build(src: str, out: str, k: int) -> None:
         f"""
         COPY (
           SELECT l_orderkey + i * 1000000000 AS l_orderkey,
-                 l_partkey + i * 1000000 AS l_partkey,
-                 l_suppkey + i * 1000000 AS l_suppkey,
+                 l_partkey + i * 100000000 AS l_partkey,
+                 l_suppkey + i * 100000000 AS l_suppkey,
                  l_linenumber, l_quantity,
                  l_extendedprice, l_discount, l_tax,
                  l_returnflag, l_linestatus, l_shipdate
@@ -112,17 +124,17 @@ def build(src: str, out: str, k: int) -> None:
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
     shifted = {
-        "customer": "c_custkey + i * 1000000 AS c_custkey, c_name, "
+        "customer": "c_custkey + i * 100000000 AS c_custkey, c_name, "
                     "c_nationkey, c_acctbal, c_mktsegment",
-        "supplier": "s_suppkey + i * 1000000 AS s_suppkey, s_name, "
+        "supplier": "s_suppkey + i * 100000000 AS s_suppkey, s_name, "
                     "s_nationkey, s_acctbal",
-        "part": "p_partkey + i * 1000000 AS p_partkey, p_name, p_brand, "
+        "part": "p_partkey + i * 100000000 AS p_partkey, p_name, p_brand, "
                 "p_type, p_size, p_retailprice",
         "orders": "o_orderkey + i * 1000000000 AS o_orderkey, "
-                  "o_custkey + i * 1000000 AS o_custkey, o_orderstatus, "
+                  "o_custkey + i * 100000000 AS o_custkey, o_orderstatus, "
                   "o_totalprice, o_orderdate, o_orderpriority",
-        "events": "event_id + i * 10000000 AS event_id, ts, "
-                  "user_id + i * 1000000 AS user_id, event_type, value, props",
+        "events": "event_id + i * 100000000 AS event_id, ts, "
+                  "user_id + i * 100000000 AS user_id, event_type, value, props",
     }
     for t, proj in shifted.items():
         con.execute(
