@@ -814,27 +814,33 @@ def q_pagerank(spark, sf):
 
 
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    # Every CTE is MATERIALIZED (round-11): DuckDB inlines plain CTEs at
+    # each reference, so the chained unrolled iteration re-evaluated the
+    # 6M-row distinct edge join once per step and held every copy's hash
+    # tables concurrently — at the sf1 fixture that spilled past an 80 GB
+    # temp budget and failed with ENOSPC. Materialization makes the chain
+    # strictly linear: each relation computes once.
     head = """
-    WITH cs AS (
+    WITH cs AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey + 1000000 AS c, l.l_suppkey AS s
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT c AS src, s AS dst FROM cs
       UNION ALL
       SELECT s AS src, c AS dst FROM cs
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM edges
       UNION SELECT DISTINCT dst FROM edges
-    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    r0 AS (
+    ), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS MATERIALIZED (
       SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn
     )"""
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f""",
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT nodes.node,
              (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
              + CAST({damping} AS DOUBLE) * COALESCE(contrib.in_sum, CAST(0.0 AS DOUBLE)) AS rank
@@ -886,30 +892,36 @@ def q_pagerank_dangling(spark, sf):
 
 
 def _pagerank_dangling_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    # MATERIALIZED is load-bearing here (round-11): r{i-1} is referenced
+    # TWICE per step (the dangling-mass scalar and the contribution sum),
+    # so plain-CTE inlining grew the plan EXPONENTIALLY in the iteration
+    # count — 2^5 copies of the 6M-row edge join at the sf1 fixture,
+    # ENOSPC after ~80 GB of spill. Materialization computes each round
+    # exactly once.
     head = """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey + 1000000 AS src, l.l_suppkey AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM edges
       UNION SELECT DISTINCT dst FROM edges
-    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    dang AS (
+    ), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    dang AS MATERIALIZED (
       SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)
     ),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn
     )"""
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f""",
-    dm{i} AS (
+    dm{i} AS MATERIALIZED (
       SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS m
       FROM r{i - 1} r JOIN dang ON r.node = dang.node
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT nodes.node,
              ((CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
               + CAST({damping} AS DOUBLE) * dm{i}.m / nn.n)

@@ -961,31 +961,53 @@ def q_cusum(spark, sf):
     """CUSUM drift tracking: per event type, the running sum of deviations
     from the type mean in (ts, event_id) order — the standard changepoint
     statistic (a sustained shift in the metric shows as a trend in the
-    cusum). Running sums are computed IN frame order on both engines, so
-    the float arithmetic is order-deterministic and hash-comparable."""
+    cusum).
+
+    Arithmetic is EXACT until the final projection (round-11 fix): the
+    naive ``Σ(value - avg(value))`` form accumulates the engines' float
+    disagreement in the mean — avg over an UNORDERED partition is
+    summation-order-dependent, and the running sum multiplies that ε by
+    the row index, so at 10× rows (the sf1 fixture) i·ε crossed the
+    round4 boundary and the cross-engine hash diverged. Rewritten as
+    ``cusum_i = (prefix_i·N − i·S) / N`` with prefix/S as DECIMAL(30,10)
+    sums (exact, order-independent in both engines) and one double
+    division of identical operands at the end — bit-identical across
+    engines at ANY scale."""
     e = _events(spark, sf)
-    w_mean = Window.partitionBy("event_type")
+    vdec = F.col("value").cast("decimal(30,10)")
+    w_t = Window.partitionBy("event_type")
     w_run = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dev = F.col("value") - F.avg("value").over(w_mean)
+    prefix = F.sum(vdec).over(w_run)
+    total = F.sum(vdec).over(w_t)
+    i = F.count(F.lit(1)).over(w_run)
+    n = F.count(F.lit(1)).over(w_t)
+    numer = (prefix * n - total * i).cast("double")
     return e.select(
         "event_id",
         "event_type",
-        round4(F.sum(dev).over(w_run)).alias("cusum"),
+        round4(numer / n.cast("double")).alias("cusum"),
     )
 
 
 ORACLES["cusum"] = f"""
     SELECT event_id, event_type,
-           {R("SUM(value - type_mean) OVER (PARTITION BY event_type"
-              " ORDER BY ts, event_id"
-              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cusum
+           {R("CAST(prefix * n - total * i AS DOUBLE) / CAST(n AS DOUBLE)")}
+               AS cusum
     FROM (
-      SELECT event_id, event_type, ts, value,
-             AVG(value) OVER (PARTITION BY event_type) AS type_mean
+      SELECT event_id, event_type,
+             SUM(CAST(value AS DECIMAL(30,10))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             SUM(CAST(value AS DECIMAL(30,10)))
+                 OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
     )
 """
