@@ -448,3 +448,99 @@ ORACLES["clean_text"] = f"""
     FROM documents
 """
 QUERIES["clean_text"] = q_clean_text
+
+
+# --------------------------------------------------------------------------
+# Round 11 (second slot): the CDC hop as an oracle-checked batch query.
+# diff_suggestions (plans/autocomplete.py) is what collapses the reference's
+# MySQL -> Debezium -> Kafka Connect chain (reference README.md:31-41,
+# docker-compose.yml:126-184) into two anti-joins over (key, payload)
+# projections; until now it was exercised only inside the streaming serving
+# pipeline (rows pinned in tests/test_streaming.py), with no driver
+# CORRECTNESS row. The query builds TWO deterministic suggestion snapshots
+# (the dq28 pipeline over the even-doc_id half vs the odd-doc_id half of the
+# corpus) and diffs them, so BOTH publish verbs occur: prefixes whose top-3
+# payload differs across the halves emit 'upsert'; prefixes present only in
+# the even half emit 'delete' (payload NULL) — the Redis DEL / Kafka
+# tombstone path. Scale shape: two partial-aggregated prefix rollups, a
+# WindowGroupLimit top-k each, then anti-joins that shuffle only
+# (prefix, payload-string) — never the corpus; no cartesian, no Python.
+# --------------------------------------------------------------------------
+from batch_processing_pipeline_spark.operators.topk import (
+    ordered_collect,
+    top_k_per_group,
+)
+from batch_processing_pipeline_spark.plans.autocomplete import diff_suggestions
+
+
+def _suggestion_snapshot(docs):
+    """documents -> (prefix, completions) via the dq28 pipeline; the payload
+    is the rank-ordered 'query:frequency' list joined with '|' — the exact
+    serving-row digest the delta publish keys on."""
+    from batch_processing_pipeline_spark.operators.prefix import (
+        normalize_queries,
+        prefix_frequencies,
+    )
+
+    freq = prefix_frequencies(
+        normalize_queries(docs, text_col="text"), max_len=8
+    )
+    ranked = top_k_per_group(
+        freq,
+        group_cols=["prefix"],
+        order_by=[F.desc("frequency"), F.asc("query")],
+        k=3,
+    ).withColumn(
+        "entry", F.concat_ws(":", F.col("query"), F.col("frequency"))
+    )
+    return ordered_collect(
+        ranked, ["prefix"], rank_col="rk", value_col="entry"
+    ).select("prefix", F.concat_ws("|", "completions").alias("completions"))
+
+
+def q_serving_delta(spark, sf):
+    d = _t(spark, sf, "documents")
+    prev = _suggestion_snapshot(d.where(F.col("doc_id") % 2 == 0))
+    cur = _suggestion_snapshot(d.where(F.col("doc_id") % 2 == 1))
+    return diff_suggestions(
+        prev, cur, key_col="prefix", payload_col="completions"
+    )
+
+
+ORACLES["serving_delta"] = """
+    WITH q AS (
+      SELECT doc_id % 2 AS side,
+             substring(lower(trim(text)), 1, 500) AS query
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) >= 2
+    ), pairs AS (
+      SELECT side, substring(query, 1, k.k) AS prefix, query
+      FROM q CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) AS k(k)
+      WHERE length(query) >= k.k
+    ), freq AS (
+      SELECT side, prefix, query, COUNT(*) AS frequency
+      FROM pairs GROUP BY side, prefix, query
+    ), ranked AS (
+      SELECT side, prefix, query, frequency,
+             ROW_NUMBER() OVER (PARTITION BY side, prefix
+                                ORDER BY frequency DESC, query ASC) AS rk
+      FROM freq
+    ), snap AS (
+      SELECT side, prefix,
+             string_agg(query || ':' || frequency, '|'
+                        ORDER BY rk ASC) AS completions
+      FROM ranked WHERE rk <= 3 GROUP BY side, prefix
+    ), prev AS (SELECT prefix, completions FROM snap WHERE side = 0),
+       cur  AS (SELECT prefix, completions FROM snap WHERE side = 1)
+    SELECT cur.prefix AS prefix, cur.completions AS completions,
+           'upsert' AS op
+    FROM cur LEFT JOIN prev
+      ON cur.prefix = prev.prefix AND cur.completions = prev.completions
+    WHERE prev.prefix IS NULL
+    UNION ALL
+    SELECT prev.prefix AS prefix, CAST(NULL AS VARCHAR) AS completions,
+           'delete' AS op
+    FROM prev LEFT JOIN cur ON prev.prefix = cur.prefix
+    WHERE cur.prefix IS NULL
+"""
+QUERIES["serving_delta"] = q_serving_delta

@@ -33,6 +33,35 @@ def test_diff_suggestions_first_batch_all_upserts(spark):
     assert [(r.prefix, r.op) for r in got] == [("aa", "upsert")]
 
 
+def test_serving_delta_registry_row(spark):
+    """The round-11 registry row: both publish verbs occur on the fixture,
+    deletes carry a NULL payload, and a self-diff is empty (the idempotent
+    replay contract the streaming pipeline relies on)."""
+    from batch_processing_pipeline_spark.registry.curation import (
+        _suggestion_snapshot,
+        q_serving_delta,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    delta = q_serving_delta(spark, sf)
+    assert delta.columns == ["prefix", "completions", "op"]
+    ops = {r.op for r in delta.select("op").distinct().collect()}
+    assert ops == {"upsert", "delete"}
+    assert delta.where(
+        (F.col("op") == "delete") & F.col("completions").isNotNull()
+    ).count() == 0
+    assert delta.where(
+        (F.col("op") == "upsert") & F.col("completions").isNull()
+    ).count() == 0
+    # self-diff == empty: redelivering an already-applied snapshot publishes
+    # nothing (diff_suggestions is the dedup gate in the serving pipeline)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    snap = _suggestion_snapshot(docs)
+    assert (
+        diff_suggestions(snap, snap, payload_col="completions").count() == 0
+    )
+
+
 EVENT_SCHEMA = "id long, ts timestamp, kind string"
 
 
