@@ -103,3 +103,52 @@ def test_value_distributions_unchanged(fixture_dir):
         # float rounding when the row count scales — identical multisets,
         # ~1e-10 relative noise
         assert q_out == pytest.approx(q_src, rel=1e-9), (col, q_src, q_out)
+
+
+def test_cross_copy_token_sets_unlinked(fixture_dir):
+    """The first sf1 run's lesson: rotation alone preserves token SETS,
+    so word-set-Jaccard operators (ppjoin_pairs, the pretrain near-dup
+    stage) saw K-member cross-copy cliques — an O(K²) fabricated pair
+    explosion. Per-copy vocabulary suffixing must push cross-copy set
+    Jaccard far below every production threshold, while keeping each
+    copy's INTERNAL set-similarity structure bijective to the source."""
+    con = duckdb.connect()
+    # cross-copy: same source doc, copies (0,1) and (1,2) — J must be
+    # well under the tightest production threshold (0.9, pretrain)
+    rows = con.execute(
+        f"""
+        WITH d AS (
+          SELECT doc_id % 100000000 AS src_id, doc_id // 100000000 AS copy,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM read_parquet('{fixture_dir}/documents.parquet')
+          WHERE doc_id // 100000000 IN (0, 1, 2)
+        )
+        SELECT a.copy, b.copy,
+               MAX(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))))
+        FROM d a JOIN d b
+          ON a.src_id = b.src_id AND a.copy + 1 = b.copy
+        WHERE a.src_id < 200  -- bounded sample, deterministic
+        GROUP BY a.copy, b.copy
+        """
+    ).fetchall()
+    assert rows, "no cross-copy pairs sampled"
+    for ca, cb, max_j in rows:
+        assert max_j < 0.75, (ca, cb, max_j)
+    # within-copy: suffixing is a word bijection, so copy 1's internal
+    # exact-dup count must equal copy 0's (already covered by the
+    # dup-rate test) AND its set-similarity structure must match: the
+    # number of within-copy identical TOKEN SETS equals the source's
+    n_same = {}
+    for copy in (0, 1):
+        n_same[copy] = con.execute(
+            f"""
+            WITH d AS (
+              SELECT list_sort(list_distinct(string_split(text, ' '))) AS toks
+              FROM read_parquet('{fixture_dir}/documents.parquet')
+              WHERE doc_id // 100000000 = {copy}
+            )
+            SELECT COUNT(*) - COUNT(DISTINCT toks) FROM d
+            """
+        ).fetchone()[0]
+    assert n_same[1] == n_same[0], n_same

@@ -9,14 +9,26 @@ tools/scaling_rehearsal.py can measure wall-clock across three decades.
 
 Replication must not distort the SHAPE the queries key on:
 
-- ``documents``: copy i shifts doc_id by i·1e8 and ROTATES each text's
-  word order by i (deterministic). Rotation keeps each copy's internal
-  exact-duplicate structure byte-identical (two dups rotate to the same
-  string), so the corpus dup RATE matches the source — but across copies
-  the shingle sets differ, so MinHash/LSH does not link copy families
-  (naive replication would create 10-member near-dup cliques and push
-  candidate-pair growth to O(K²), fabricating a super-linear exponent).
-  n_chars is recomputed (the source invariant n_chars = length(text)).
+- ``documents``: copy i shifts doc_id by i·1e8, SUFFIXES a deterministic
+  ~25% of the vocabulary (``hash(word‖i) % 4 == 0`` → ``word_i``;
+  stopwords the/a/of excepted so stopword-membership quality rules keep
+  their per-copy shape), and ROTATES each text's word order by i.
+  Both transforms are per-copy word bijections, so each copy's internal
+  exact-duplicate AND set-similarity structure is identical to the
+  source (dup RATE preserved) — while across copies the word
+  SEQUENCES differ (rotation: MinHash/shingle/LSH does not link copy
+  families) and the word SETS differ by ~40% of the union (suffixing:
+  word-set-Jaccard ops — PPJoin, the pretrain near-dup stage — do not
+  link them either; cross-copy J ≈ 0.43 ≪ any production threshold).
+  The first sf1 run taught why BOTH are needed: rotation alone keeps
+  token SETS identical, so ``ppjoin_pairs`` saw K-member cross-copy
+  cliques (1.16M pairs instead of ~10× the source's), an O(K²)
+  fabricated explosion that read as a super-linear operator defect and
+  ground the all-pairs pretrain oracle for >1 h. Tail caveat: a short
+  doc can escape suffixing in two copies at once (P≈(0.75²)^n_words),
+  leaving a handful of genuinely-linked cross-copy pairs — negligible,
+  and both engines agree on them. n_chars is recomputed (the source
+  invariant n_chars = length(text)).
 - ``embeddings``: vec_id shifted; vectors copied as-is (distance math is
   indifferent to duplicates; the ANN rows time search, not recall).
 - ``lineitem``: l_orderkey shifted by i·1e9; value columns copied, so
@@ -75,18 +87,28 @@ def build(src: str, out: str, k: int) -> None:
         COPY (
           WITH src AS (SELECT * FROM read_parquet('{src}/documents.parquet')),
           reps AS (SELECT i FROM range({k}) t(i)),
+          sfx AS (
+            SELECT d.doc_id, d.lang, d.source, i,
+                   CASE WHEN i = 0 THEN d.words ELSE
+                     list_transform(d.words, w ->
+                       CASE WHEN w IN ('the', 'a', 'of')
+                                 OR hash(w || '#' || i) % 4 <> 0
+                            THEN w ELSE w || '_' || i END)
+                   END AS words
+            FROM (SELECT *, string_split(text, ' ') AS words FROM src) d
+            CROSS JOIN reps
+          ),
           rot AS (
-            SELECT d.doc_id + i * 100000000 AS doc_id,
-                   CASE WHEN i = 0 THEN d.text ELSE
+            SELECT doc_id + i * 100000000 AS doc_id,
+                   CASE WHEN i = 0 THEN array_to_string(words, ' ') ELSE
                      array_to_string(
                        list_concat(
                          words[1 + (i % len(words)):],
                          words[:(i % len(words))]
                        ), ' ')
                    END AS text,
-                   d.lang, d.source
-            FROM (SELECT *, string_split(text, ' ') AS words FROM src) d
-            CROSS JOIN reps
+                   lang, source
+            FROM sfx
           )
           SELECT doc_id, text, lang, source,
                  length(text)::BIGINT AS n_chars
