@@ -31,6 +31,13 @@ Replication must not distort the SHAPE the queries key on:
   invariant n_chars = length(text)).
 - ``embeddings``: vec_id shifted; vectors copied as-is (distance math is
   indifferent to duplicates; the ANN rows time search, not recall).
+  Deliberate consequence: every vector has K exact copies, so
+  SemDeDup-style within-cluster pairwise work at sf1 is an UPPER BOUND
+  on a real 10× corpus (duplicate points concentrate in one cluster and
+  pair quadratically there — 153 s at sf1, vs ~10 s at sf0.1). A
+  cosine-meaningful per-copy jitter would have to be tuned against the
+  dedup threshold to avoid silently changing which pairs link; the
+  conservative duplicate structure is preferred over that risk.
 - ``lineitem``: l_orderkey shifted by i·1e9; value columns copied, so
   every per-column distribution (the quantile targets) is unchanged.
 
