@@ -254,24 +254,32 @@ def q_rfm_scores(spark, sf):
     The tercile boundaries come from ONE tiny aggregate row broadcast back
     (same no-global-sort shape as ``equidepth_buckets``); scoring is a
     map-side sum of comparisons.
+
+    Monetary is summed as exact integer CENTS (sf1 lesson): a double sum
+    is partial-sum-order-dependent, and with K-replicated fixtures many
+    customers TIE exactly at a tercile boundary — one ULP of engine- or
+    layout-dependent noise then flips ``monetary > m1`` and the m_score
+    hash. Integer summation is associative, so the boundary comparison
+    is exact in both engines at every scale.
     """
     o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum("o_totalprice").alias("monetary"),
+        F.sum(cents).alias("monetary_c"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
         F.datediff("max_date", "last_order").cast("long").alias("recency_days"),
         "freq",
-        "monetary",
+        "monetary_c",
     )
     bounds = rfm.agg(
         *[
             F.percentile(c, F.lit(q)).alias(f"_{c}{i}")
-            for c in ("recency_days", "freq", "monetary")
+            for c in ("recency_days", "freq", "monetary_c")
             for i, q in ((1, 1 / 3), (2, 2 / 3))
         ]
     )
@@ -285,38 +293,39 @@ def q_rfm_scores(spark, sf):
         "o_custkey",
         "recency_days",
         "freq",
-        round4(F.col("monetary")).alias("monetary"),
+        round4(F.col("monetary_c") / 100.0).alias("monetary"),
         # low recency = GOOD, so the r score inverts the tercile
         (F.lit(4) - score("recency_days")).cast("int").alias("r_score"),
         score("freq").alias("f_score"),
-        score("monetary").alias("m_score"),
+        score("monetary_c").alias("m_score"),
     )
 
 
 ORACLES["rfm_scores"] = f"""
     WITH per_cust AS (
       SELECT o_custkey, MAX(o_orderdate) AS last_order,
-             CAST(COUNT(*) AS BIGINT) AS freq, SUM(o_totalprice) AS monetary
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_c
       FROM orders GROUP BY o_custkey
     ), anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
     rfm AS (
       SELECT o_custkey,
              CAST(date_diff('day', last_order, max_date) AS BIGINT) AS recency_days,
-             freq, monetary
+             freq, monetary_c
       FROM per_cust CROSS JOIN anchor
     ), b AS (
       SELECT quantile_cont(recency_days, 1.0/3) AS r1, quantile_cont(recency_days, 2.0/3) AS r2,
              quantile_cont(freq, 1.0/3)         AS f1, quantile_cont(freq, 2.0/3)         AS f2,
-             quantile_cont(monetary, 1.0/3)     AS m1, quantile_cont(monetary, 2.0/3)     AS m2
+             quantile_cont(monetary_c, 1.0/3)   AS m1, quantile_cont(monetary_c, 2.0/3)   AS m2
       FROM rfm
     )
-    SELECT o_custkey, recency_days, freq, {R("monetary")} AS monetary,
+    SELECT o_custkey, recency_days, freq, {R("monetary_c / 100.0")} AS monetary,
            CAST(4 - (1 + (CASE WHEN recency_days > r1 THEN 1 ELSE 0 END)
                        + (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END)) AS INTEGER) AS r_score,
            CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
                   + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) AS INTEGER) AS f_score,
-           CAST(1 + (CASE WHEN monetary > m1 THEN 1 ELSE 0 END)
-                  + (CASE WHEN monetary > m2 THEN 1 ELSE 0 END) AS INTEGER) AS m_score
+           CAST(1 + (CASE WHEN monetary_c > m1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary_c > m2 THEN 1 ELSE 0 END) AS INTEGER) AS m_score
     FROM rfm CROSS JOIN b
 """
 QUERIES["rfm_scores"] = q_rfm_scores
@@ -1077,24 +1086,27 @@ QUERIES["approx_equidepth_buckets"] = q_approx_equidepth_buckets
 
 def q_approx_rfm_scores(spark, sf):
     """``rfm_scores`` with sketched tercile boundaries — per-customer
-    relations stay exact; only the 6-value boundary row is approximate."""
+    relations stay exact; only the 6-value boundary row is approximate.
+    Monetary is exact integer cents, mirroring the exact query (the
+    boundary-tie determinism argument applies identically)."""
     o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum("o_totalprice").alias("monetary"),
+        F.sum(cents).alias("monetary_c"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
         F.datediff("max_date", "last_order").cast("long").alias("recency_days"),
         "freq",
-        "monetary",
+        "monetary_c",
     )
     bounds = rfm.agg(
         *[
             F.approx_percentile(c, F.lit(q), F.lit(10000)).alias(f"_{c}{i}")
-            for c in ("recency_days", "freq", "monetary")
+            for c in ("recency_days", "freq", "monetary_c")
             for i, q in ((1, 1 / 3), (2, 2 / 3))
         ]
     )
@@ -1110,10 +1122,10 @@ def q_approx_rfm_scores(spark, sf):
         "o_custkey",
         "recency_days",
         "freq",
-        round4(F.col("monetary")).alias("monetary"),
+        round4(F.col("monetary_c") / 100.0).alias("monetary"),
         (F.lit(4) - score("recency_days")).cast("int").alias("r_score"),
         score("freq").alias("f_score"),
-        score("monetary").alias("m_score"),
+        score("monetary_c").alias("m_score"),
     )
 
 
