@@ -891,3 +891,119 @@ def test_autocomplete_serving_pipeline_bucketed_scale_path(spark, tmp_path):
     zebra_prefixes = {"ze", "zeb", "zebr", "zebra"}
     run1_keys = {k for k in expect if k not in zebra_prefixes}
     assert n_records == len(run1_keys) + len(zebra_prefixes)
+
+
+def _run_serving(spark, logs, work, ckpt, kv_root, kafka_log, buckets):
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_autocomplete_serving_pipeline,
+    )
+
+    FakeKV, FakeProducer = _make_serving_fakes()
+    q = run_autocomplete_serving_pipeline(
+        spark, logs, work, ckpt, k=5,
+        redis_client_factory=lambda root=kv_root: FakeKV(root),
+        kafka_producer_factory=lambda p=kafka_log: FakeProducer(p),
+        state_buckets=buckets,
+    )
+    q.awaitTermination()
+
+
+def test_serving_pipeline_crash_between_publish_and_commit(spark, tmp_path):
+    """Fault injection for the docstring's crash anatomy, BOTH layouts:
+    the publish succeeds, then the batch dies BEFORE its commit point
+    (symlink swap / bucketed suggestion overwrite). The restart must
+    re-deliver the batch, recompute the IDENTICAL delta against the
+    still-old serving table, re-publish it (at-least-once — the log gets
+    the delta twice), and converge: store == one-shot, compacted Kafka
+    log == store. A crash AFTER the commit is the already-pinned replay
+    guard (max_files_and_commit_guard test); this pins the window the
+    guard cannot cover."""
+    import pyspark.sql.utils as _  # noqa: F401  (exception type varies by version)
+
+    from batch_processing_pipeline_spark.plans.autocomplete import (
+        autocomplete_batch,
+        suggestions,
+    )
+    from batch_processing_pipeline_spark.sources import kafka as kafka_mod
+
+    for mode, buckets in (("symlink", None), ("bucketed", 8)):
+        base = tmp_path / mode
+        logs = str(base / "logs")
+        kv_root = str(base / "kv")
+        os.makedirs(logs)
+        os.makedirs(kv_root)
+        kafka_log = str(base / "kafka.jsonl")
+        work = str(base / "work")
+        ckpt = str(base / "ckpt")
+        os.makedirs(work)
+
+        with open(os.path.join(logs, "2025-01-04-00.txt"), "w") as f:
+            f.write("test\ntest\nkheder\n")
+        _run_serving(spark, logs, work, ckpt, kv_root, kafka_log, buckets)
+
+        # hour 1 arrives; its publish lands but the commit never does
+        with open(os.path.join(logs, "2025-01-04-01.txt"), "w") as f:
+            f.write("zebra\n")
+        real_publish = kafka_mod.publish_delta_records
+
+        def crash_after_publish(delta, factory, _real=real_publish):
+            _real(delta, factory)
+            raise RuntimeError("injected crash before the commit point")
+
+        kafka_mod.publish_delta_records = crash_after_publish
+        try:
+            crashed = False
+            try:
+                _run_serving(spark, logs, work, ckpt, kv_root, kafka_log, buckets)
+            except Exception as exc:  # StreamingQueryException wraps it
+                crashed = "injected crash" in str(exc)
+            assert crashed, f"[{mode}] injected crash did not surface"
+        finally:
+            kafka_mod.publish_delta_records = real_publish
+
+        def zebra_records():
+            out = []
+            with open(kafka_log) as f:
+                for line in f:
+                    key, value = json.loads(line)
+                    if key in {"ze", "zeb", "zebr", "zebra"}:
+                        out.append((key, value))
+            return sorted(out)
+
+        first_publish = zebra_records()
+        assert first_publish, f"[{mode}] crash fired before the publish"
+        if mode == "symlink":
+            # the commit point never ran: still serving the hour-0 version
+            link = os.path.join(work, "current")
+            assert os.path.basename(os.readlink(link)) == "ver=0"
+
+        # restart: the batch re-delivers and must converge
+        _run_serving(spark, logs, work, ckpt, kv_root, kafka_log, buckets)
+
+        all_lines = spark.createDataFrame(
+            [("test",), ("test",), ("kheder",), ("zebra",)], "value string"
+        )
+        merged, _ = autocomplete_batch(all_lines, None, k=5)
+        expect = {
+            r.prefix: r.completions_json
+            for r in suggestions(merged, k=5).collect()
+        }
+        FakeKV, _unused = _make_serving_fakes()
+        assert FakeKV(kv_root).dump() == expect, f"[{mode}] store diverged"
+
+        # at-least-once: the SAME delta was published twice, verbatim
+        both = zebra_records()
+        assert both == sorted(first_publish + first_publish), (
+            f"[{mode}] redelivered delta differs from the crashed publish"
+        )
+
+        # and the log still compacts to the store
+        compacted = {}
+        with open(kafka_log) as f:
+            for line in f:
+                key, value = json.loads(line)
+                if value is None:
+                    compacted.pop(key, None)
+                else:
+                    compacted[key] = value
+        assert compacted == expect, f"[{mode}] compacted log diverged"
