@@ -54,22 +54,44 @@ _LOW33 = (1 << 33) - 1
 _MAX_PART_ROWS = 1 << 33
 
 
-def _require_exchange_reuse(df: DataFrame) -> None:
-    """The two-branch helpers below are only correct when the counts /
-    totals branch reads the SAME materialized range exchange as the main
-    branch (identical sampled partition boundaries). Exchange reuse is on
-    by default and covers both the AQE (stage reuse) and non-AQE
-    (ReuseExchangeAndSubquery) planners; a session that explicitly
-    disables it would re-shuffle each branch independently with
-    independent boundary samples and return silently wrong results —
-    fail loudly instead."""
-    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    if str(reuse).lower() == "false":
-        raise ValueError(
-            "operators.rank requires spark.sql.exchange.reuse=true: with "
-            "reuse disabled the offsets branch samples its own range "
-            "boundaries and ranks/cumaggs would be silently wrong"
-        )
+def _pinned_range_partitions(
+    df: DataFrame, order_by: Sequence[Column], num_partitions: int | None
+) -> DataFrame:
+    """Range-shuffle ONCE and pin the physical result so every downstream
+    branch reads the same partitioning instance.
+
+    Why pinning is load-bearing (round-11, caught by the sf1 fourth
+    correctness decade): the two-branch helpers below join per-partition
+    offsets back onto locally-ranked rows BY PARTITION ID, which is only
+    correct if both branches observe the same sampled range boundaries.
+    The previous design relied on Catalyst exchange/stage reuse to
+    deduplicate the two range exchanges — but reuse matches CANONICALIZED
+    subtrees, and column pruning makes the branches diverge whenever the
+    relation carries columns one branch doesn't need (`auc_eval`'s per-
+    score relation carries `pos`: the totals branch pruned it, the two
+    no-longer-identical exchanges each sampled their OWN boundaries, and
+    cumulative counts jumped backwards at partition seams — wrong at sf1,
+    invisible at small scales where AQE coalesced the exchange to one
+    partition). A conf guard on ``spark.sql.exchange.reuse`` cannot see
+    that failure mode.
+
+    ``localCheckpoint(eager=True)`` materializes the shuffled partitions
+    and rewrites the plan to scan that ONE instance: boundaries are frozen
+    in the materialized layout, ``spark_partition_id`` is the storage
+    partition index, and no consumer can re-instantiate (or re-sample) the
+    shuffle. Costs: the relation is written to executor storage once
+    (comparable to one extra exchange — at 100 TB, size executor storage
+    for it), and a lost executor fails the query instead of recomputing
+    (the repo's iterative operators already accept this localCheckpoint
+    trade). The range exchange itself disappears from the visible plan
+    (it lives inside the checkpointed lineage) — plan tests assert the
+    RDD-scan shape instead."""
+    order_by = list(order_by)
+    if num_partitions is not None:
+        parts = df.repartitionByRange(num_partitions, *order_by)
+    else:
+        parts = df.repartitionByRange(*order_by)
+    return parts.localCheckpoint(eager=True)
 
 
 def exact_global_rank(
@@ -91,15 +113,12 @@ def exact_global_rank(
     need (rank, n) pairs (NTILE arithmetic, quantile targets) don't pay a
     second full aggregation of the source.
 
-    Invariant this leans on: the counts branch and the rank branch share
-    ONE materialized range exchange (``spark.sql.exchange.reuse`` /
-    AQE stage reuse, both on by default — ``tests/test_rank.py`` asserts
-    the ``ReusedExchange`` node), so both sides observe identical sampled
-    partition boundaries. Range boundaries come from a sampling pass, so
-    two INDEPENDENT shuffles of the same data need not agree; reuse makes
-    the offsets provably consistent with the local row numbers. A session
-    that explicitly disables reuse gets a loud ValueError, not wrong
-    answers.
+    Invariant this leans on: the counts branch and the rank branch read
+    ONE PINNED range shuffle (:func:`_pinned_range_partitions` — the
+    round-11 sf1 decade showed Catalyst exchange reuse is not a reliable
+    carrier of this invariant: column pruning can split the branches into
+    two independently-sampled exchanges), so both sides observe identical
+    boundaries and an identical ``spark_partition_id`` mapping.
 
     Caller contract (guarded): no single range partition may hold
     >= 2^33 rows — ``monotonically_increasing_id`` documents 33 bits for
@@ -110,12 +129,8 @@ def exact_global_rank(
     ``num_partitions`` so the biggest partition stays far below ~8.6e9
     rows.
     """
-    _require_exchange_reuse(df)
     order_by = list(order_by)
-    if num_partitions is not None:
-        parts = df.repartitionByRange(num_partitions, *order_by)
-    else:
-        parts = df.repartitionByRange(*order_by)
+    parts = _pinned_range_partitions(df, order_by, num_partitions)
     local = (
         parts.sortWithinPartitions(*order_by)
         .withColumn("__mid", F.monotonically_increasing_id())
@@ -202,21 +217,20 @@ def exact_global_cumagg(
     cross-engine exposure class the repo's round4-before-compare
     discipline already covers; integer/date measures are exact.
 
-    Same exchange-reuse invariant as exact_global_rank (the totals branch
-    must see the rank branch's boundaries), same total-order caller
-    contract.
+    Same pinned-shuffle invariant as exact_global_rank (the totals branch
+    must see the running branch's boundaries — this operator is the one
+    that CAUGHT the exchange-reuse fragility: its registry user
+    ``auc_eval`` carries an extra column, pruning split the branches into
+    two independently-sampled range exchanges, and the sf1 fourth decade
+    hash-mismatched), same total-order caller contract.
     """
-    _require_exchange_reuse(df)
     order_by = list(order_by)
     measures = list(measures)
     ops = {"sum": F.sum, "max": F.max, "min": F.min}
     for _, _, op in measures:
         if op not in ops:
             raise ValueError(f"unsupported op: {op!r}")
-    if num_partitions is not None:
-        parts = df.repartitionByRange(num_partitions, *order_by)
-    else:
-        parts = df.repartitionByRange(*order_by)
+    parts = _pinned_range_partitions(df, order_by, num_partitions)
     local = parts.withColumn("__pid", F.spark_partition_id())
     end = 0 if inclusive else -1
     w_run = (

@@ -108,8 +108,14 @@ def _agg_bounds(node_text: str) -> bool | None:
     return not any(_scaling_name(n) for n in _KEY_NAME.findall(blob))
 
 #: leaves that read a (potentially) corpus-sized stored relation.
-#: LocalTableScan / Scan ExistingRDD (createDataFrame literals, bounded
-#: localCheckpoints) are deliberately NOT corpus leaves.
+#: LocalTableScan / Scan ExistingRDD (createDataFrame literals,
+#: localCheckpoints) are deliberately NOT corpus leaves. Known blind
+#: spot (round-11): operators/rank.py pins its range shuffle via
+#: localCheckpoint, so a CORPUS-sized relation can now appear as an RDD
+#: scan — in those plans the single-partition offsets exchange is bounded
+#: by the per-partition HashAggregate anyway, but a future query feeding
+#: a checkpointed corpus STRAIGHT into a single-partition exchange would
+#: slip past this sweep; per-query plan review still covers it.
 _CORPUS_LEAF = re.compile(r"FileScan|Scan parquet")
 
 _SINGLE_PART = "Exchange SinglePartition"

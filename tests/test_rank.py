@@ -45,17 +45,24 @@ def test_exact_global_rank_matches_naive_window(spark):
     assert naive.exceptAll(got).isEmpty()
 
 
-def test_exact_global_rank_reuses_the_range_exchange(spark):
-    """The counts branch MUST observe the same sampled range boundaries as
-    the rank branch — guaranteed by exchange/stage reuse, not by sampling
-    determinism. Pin the ReusedExchange node in the final adaptive plan."""
+def test_exact_global_rank_pins_one_range_shuffle(spark):
+    """The counts branch MUST observe the same boundaries and partition-id
+    mapping as the rank branch. Round-11 (sf1 fourth decade) showed
+    Catalyst exchange reuse is NOT a reliable carrier: column pruning can
+    split the branches into two independently-planned range exchanges
+    whose AQE shuffle reads coalesce differently (auc_eval's cumulative
+    counts jumped backwards at partition seams). The fix pins ONE
+    materialized instance via localCheckpoint — the bug class requires a
+    second range-exchange instantiation, so the structural assert is:
+    NO rangepartitioning survives in the visible plan (the single pinned
+    one lives inside the checkpointed lineage, scanned as an RDD)."""
     df = _fixture(spark)
     out = exact_global_rank(df, [F.col("v").asc(), F.col("id").asc()])
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
-    assert "rangepartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_exact_global_rank_empty_and_tiny(spark):
@@ -168,10 +175,13 @@ def test_exact_global_cumagg_empty_and_bad_op(spark):
         exact_global_cumagg(df, [F.col("id").asc()], [("c", "m", "avg")])
 
 
-def test_exact_global_cumagg_reuses_the_range_exchange(spark):
-    """Same invariant as exact_global_rank: the totals branch must see
-    the running branch's sampled range boundaries — exchange/stage reuse
-    is the mechanism, so pin the ReusedExchange node."""
+def test_exact_global_cumagg_pins_one_range_shuffle(spark):
+    """Same pinned-instance invariant as exact_global_rank — and cumagg is
+    the operator that CAUGHT the old design's fragility at sf1 (auc_eval).
+    Structural assert: zero visible range exchanges (single checkpointed
+    instance), plus a wide-relation differential in the auc_eval shape —
+    an AGGREGATE input carrying a column the totals branch prunes — against
+    the naive running-sum window."""
     df = _fixture(spark).select("id", "v", (F.col("id") % 13).alias("m"))
     out = exact_global_cumagg(
         df, [F.col("v").asc(), F.col("id").asc()], [("cs", "m", "sum")]
@@ -179,8 +189,33 @@ def test_exact_global_cumagg_reuses_the_range_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
-    assert "rangepartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_exact_global_cumagg_wide_aggregate_input_matches_window(spark):
+    """The auc_eval shape end-to-end: per-key aggregate with an EXTRA
+    aggregated column (pruned by the totals branch — the exact divergence
+    that produced two independently-coalesced range exchanges pre-fix),
+    cumulative count compared row-for-row against the sequential window."""
+    base = spark.range(0, 200_000).select(
+        (F.col("id") % 61_129).cast("double").alias("s"),
+        (F.col("id") % 7).alias("y"),
+    )
+    per_s = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    got = exact_global_cumagg(per_s, [F.col("s").asc()], [("ccnt", "cnt", "sum")])
+    naive = per_s.withColumn(
+        "ccnt",
+        F.sum("cnt").over(
+            Window.orderBy(F.col("s").asc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert got.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(got).isEmpty()
 
 
 def test_exact_global_rank_extreme_skew(spark):
