@@ -105,3 +105,52 @@ def test_exact_global_cumagg_matches_python(spark, rows, inclusive):
             run_sum += key
             run_max = rid if run_max is None else max(run_max, rid)
     assert got == expected
+
+
+# Round-11 regression dimension: the old two-branch design was only
+# correct when Catalyst exchange reuse happened to deduplicate the two
+# range exchanges, and column pruning broke that for WIDE relations
+# (the auc_eval sf1 bug). Pinning made width irrelevant — this property
+# drives the helpers over relations with a RANDOM number of extra
+# payload columns (the exact dimension the old design was blind to) and
+# checks full equality against python.
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=_ROWS,
+    extra_cols=st.integers(min_value=1, max_value=4),
+    inclusive=st.booleans(),
+)
+def test_rank_and_cumagg_independent_of_relation_width(
+    spark, rows, extra_cols, inclusive
+):
+    schema = "id long, k long" + "".join(
+        f", p{i} long" for i in range(extra_cols)
+    )
+    wide = [(i, k, *[(i * 7 + j) % 11 for j in range(extra_cols)]) for i, k in rows]
+    df = spark.createDataFrame(wide, schema).repartition(5)
+    order = [F.col("k").desc(), F.col("id").asc()]
+
+    got_rank = {
+        r.id: r.rnk
+        for r in exact_global_rank(df, order, out_col="rnk").collect()
+    }
+    expected_rank = {r[0]: i + 1 for i, r in enumerate(_sorted_rows(rows))}
+    assert got_rank == expected_rank
+
+    got_cum = {
+        r.id: r.cs
+        for r in exact_global_cumagg(
+            df, order, [("cs", "p0", "sum")], inclusive=inclusive
+        ).collect()
+    }
+    ordered = _sorted_rows(rows)
+    p0 = {i: (i * 7) % 11 for i, _ in rows}
+    running, expected_cum = 0, {}
+    for idx, (i, _k) in enumerate(ordered):
+        if inclusive:
+            running += p0[i]
+            expected_cum[i] = running
+        else:
+            expected_cum[i] = running if idx > 0 else None
+            running += p0[i]
+    assert got_cum == expected_cum
