@@ -271,11 +271,26 @@ def dq19(spark, sf):
 
 
 def dq20(spark, sf):
-    """Date/time surface (UTC session — H9)."""
+    """Date/time surface (UTC session — H9).
+
+    The money total sums EXACT INTEGER CENTS (the rfm_scores sf1
+    lesson, re-taught by this row at sf10): a double SUM over ~190k
+    values/group diverges from DuckDB's summation order by up to ~8e-4,
+    which round4 then amplifies across the 4th decimal — and at this
+    row's total magnitudes (~1e4-1e10 across partial/full months) the
+    canonicalizer's 10-significant-digit format does NOT absorb the
+    flip. o_totalprice is 2-decimal money, so cents are exact longs and
+    both engines agree bit-for-bit at every scale."""
     o = _t(spark, sf, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
     return o.groupBy(
         F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
-    ).agg(F.count(F.lit(1)).alias("n"), round4(F.sum("o_totalprice")).alias("total"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents) / F.lit(100.0)).alias("total"),
+    )
 
 
 def dq21(spark, sf):
@@ -1006,10 +1021,13 @@ ORACLES.update({
                reverse(p_brand)                      AS b_rev
         FROM part
     """,
-    "dq20_datetime": f"""
+    "dq20_datetime": """
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
                CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
-               COUNT(*) AS n, {R("SUM(o_totalprice)")} AS total
+               COUNT(*) AS n,
+               SUM(CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                 / CAST(100.0 AS DOUBLE) AS total
         FROM orders GROUP BY 1, 2
     """,
     "dq21_math": f"""
