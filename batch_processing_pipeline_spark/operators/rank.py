@@ -128,6 +128,13 @@ def exact_global_rank(
     asserted there for free (``raise_error``, not a silent wrap); size
     ``num_partitions`` so the biggest partition stays far below ~8.6e9
     rows.
+
+    EAGER-EXECUTION side effect (ADVICE r11): CONSTRUCTING this DataFrame
+    runs a Spark job — the pinned range shuffle is
+    ``localCheckpoint(eager=True)``-materialized at plan-build time, so
+    callers that merely compose or ``explain`` the plan still pay the
+    shuffle+storage cost, and a lost executor fails the query instead of
+    recomputing the checkpointed lineage.
     """
     order_by = list(order_by)
     parts = _pinned_range_partitions(df, order_by, num_partitions)
@@ -222,7 +229,11 @@ def exact_global_cumagg(
     that CAUGHT the exchange-reuse fragility: its registry user
     ``auc_eval`` carries an extra column, pruning split the branches into
     two independently-sampled range exchanges, and the sf1 fourth decade
-    hash-mismatched), same total-order caller contract.
+    hash-mismatched), same total-order caller contract — and the same
+    EAGER-EXECUTION side effect (ADVICE r11): constructing this DataFrame
+    materializes the pinned shuffle via ``localCheckpoint(eager=True)``,
+    so plan-building alone runs a job and the checkpointed lineage is not
+    recomputable after executor loss.
     """
     order_by = list(order_by)
     measures = list(measures)

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_processing_pipeline_spark.catalog import table_path
-from batch_processing_pipeline_spark.functions.rounding import round4, sql_round4
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    round4,
+    sql_cents,
+    sql_round4,
+)
 
 R = sql_round4
 
@@ -42,6 +47,31 @@ def _rev():
 
 
 _REV_SQL = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+
+
+# Exact revenue in integer units of 1e-4 dollars (the r12 integer-cents
+# sweep): l_extendedprice is exact cents E, l_discount exact hundredths D,
+# so E·(100−D) is an exact long and the SUM is associative — both engines
+# agree bit-for-bit at any scale (a double SUM diverges with group size;
+# proven wrong at sf10 by dq20). Headroom: |unit| ≤ ~1e9/row → Σ exact to
+# ~9e18 ≈ sf1000 for a global revenue sum.
+def _rev_u():
+    return cents(F.col("l_extendedprice")) * (
+        F.lit(100).cast("long") - cents(F.col("l_discount"))
+    )
+
+
+_REV_U_SQL = (
+    f"({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))"
+)
+
+
+def _sum_rev():
+    """Exact SUM of per-line revenue, returned as double dollars."""
+    return F.sum(_rev_u()) / F.lit(10000.0)
+
+
+_SUM_REV_SQL = f"(SUM({_REV_U_SQL}) / CAST(10000.0 AS DOUBLE))"
 
 
 def _ts(s: str):
@@ -57,31 +87,45 @@ def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
 
     One scan, map-side partial aggregation on a 6-group key; the shipdate
     predicate pushes into the parquet scan.
+
+    All money aggregates run on exact integer units (r12 sweep): cents for
+    base price, 1e-4 dollars for disc_price, 1e-6 for charge (cents ×
+    hundredths twice) — associative sums, so both engines agree at any
+    scale. Quantity sums are exact already (integer-valued doubles) but go
+    through longs too so the avg divisions see identical operands.
+    Charge headroom: ≤ ~1.1e11/row in 1e-6 units → a single group stays
+    exact to ~80M rows/group past sf10; beyond that switch to
+    DECIMAL(38,0).
     """
     l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= _ts("2001-09-01"))
-    disc_price = _rev()
-    charge = _rev() * (F.lit(1.0) + F.col("l_tax"))
+    qty = F.col("l_quantity").cast("long")
+    ep_c = cents(F.col("l_extendedprice"))
+    dh = cents(F.col("l_discount"))
+    th = cents(F.col("l_tax"))
+    rev_u = ep_c * (F.lit(100).cast("long") - dh)
+    charge_u = rev_u * (F.lit(100).cast("long") + th)
+    n = F.count(F.lit(1))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        round4(F.sum("l_quantity")).alias("sum_qty"),
-        round4(F.sum("l_extendedprice")).alias("sum_base_price"),
-        round4(F.sum(disc_price)).alias("sum_disc_price"),
-        round4(F.sum(charge)).alias("sum_charge"),
-        round4(F.avg("l_quantity")).alias("avg_qty"),
-        round4(F.avg("l_extendedprice")).alias("avg_price"),
-        round4(F.avg("l_discount")).alias("avg_disc"),
+        round4(F.sum(qty).cast("double")).alias("sum_qty"),
+        round4(F.sum(ep_c) / F.lit(100.0)).alias("sum_base_price"),
+        round4(F.sum(rev_u) / F.lit(10000.0)).alias("sum_disc_price"),
+        round4(F.sum(charge_u) / F.lit(1000000.0)).alias("sum_charge"),
+        round4(F.sum(qty).cast("double") / n).alias("avg_qty"),
+        round4(F.sum(ep_c) / (F.lit(100.0) * n)).alias("avg_price"),
+        round4(F.sum(dh) / (F.lit(100.0) * n)).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
 
 TPCH_ORACLES["tpch_q1"] = f"""
     SELECT l_returnflag, l_linestatus,
-           {R("SUM(l_quantity)")}      AS sum_qty,
-           {R("SUM(l_extendedprice)")} AS sum_base_price,
-           {R(f"SUM({_REV_SQL})")}     AS sum_disc_price,
-           {R(f"SUM({_REV_SQL} * (CAST(1.0 AS DOUBLE) + l_tax))")} AS sum_charge,
-           {R("AVG(l_quantity)")}      AS avg_qty,
-           {R("AVG(l_extendedprice)")} AS avg_price,
-           {R("AVG(l_discount)")}      AS avg_disc,
+           {R("CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)")} AS sum_qty,
+           {R(f"SUM({sql_cents('l_extendedprice')}) / CAST(100.0 AS DOUBLE)")} AS sum_base_price,
+           {R(f"SUM({_REV_U_SQL}) / CAST(10000.0 AS DOUBLE)")} AS sum_disc_price,
+           {R(f"SUM({_REV_U_SQL} * (100 + {sql_cents('l_tax')})) / CAST(1000000.0 AS DOUBLE)")} AS sum_charge,
+           {R("CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)")} AS avg_qty,
+           {R(f"SUM({sql_cents('l_extendedprice')}) / (CAST(100.0 AS DOUBLE) * COUNT(*))")} AS avg_price,
+           {R(f"SUM({sql_cents('l_discount')}) / (CAST(100.0 AS DOUBLE) * COUNT(*))")} AS avg_disc,
            COUNT(*)                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -104,12 +148,12 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round4(F.sum(_rev())).alias("revenue"))
+        .agg(round4(_sum_rev()).alias("revenue"))
     )
 
 
 TPCH_ORACLES["tpch_q3"] = f"""
-    SELECT l.l_orderkey, o.o_orderdate, {R(f"SUM({_REV_SQL})")} AS revenue
+    SELECT l.l_orderkey, o.o_orderdate, {R(_SUM_REV_SQL)} AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey  = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -176,12 +220,12 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(round4(F.sum(_rev())).alias("revenue"))
+        .agg(round4(_sum_rev()).alias("revenue"))
     )
 
 
 TPCH_ORACLES["tpch_q5"] = f"""
-    SELECT n.n_name, {R(f"SUM({_REV_SQL})")} AS revenue
+    SELECT n.n_name, {R(_SUM_REV_SQL)} AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey  = o.o_orderkey
     JOIN customer c ON o.o_custkey   = c.c_custkey
@@ -206,13 +250,14 @@ def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_discount") <= F.lit(0.07))
         & (F.col("l_quantity") < F.lit(24.0))
     )
+    disc_u = cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))
     return l.agg(
-        round4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue")
+        round4(F.sum(disc_u) / F.lit(10000.0)).alias("revenue")
     )
 
 
 TPCH_ORACLES["tpch_q6"] = f"""
-    SELECT {R("SUM(l_extendedprice * l_discount)")} AS revenue
+    SELECT {R(f"SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')}) / CAST(10000.0 AS DOUBLE)")} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -251,14 +296,14 @@ def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(round4(F.sum(_rev())).alias("revenue"))
+        .agg(round4(_sum_rev()).alias("revenue"))
     )
 
 
 TPCH_ORACLES["tpch_q7"] = f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           {R(f"SUM({_REV_SQL})")} AS revenue
+           {R(_SUM_REV_SQL)} AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey  = s.s_suppkey
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -304,20 +349,25 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
         .join(n2, s.s_nationkey == F.col("s_nk"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            _rev().alias("volume"),
+            _rev_u().alias("volume_u"),
             "nation",
         )
     )
+    # exact integer numerator/denominator (r12 sweep); units cancel in the
+    # ratio, so the only float ops are two correctly-rounded long→double
+    # conversions and one division — identical in both engines
     share = F.sum(
-        F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
-    ) / F.sum("volume")
+        F.when(F.col("nation") == "NATION_3", F.col("volume_u")).otherwise(
+            F.lit(0).cast("long")
+        )
+    ).cast("double") / F.sum("volume_u").cast("double")
     return vol.groupBy("o_year").agg(round4(share).alias("mkt_share"))
 
 
 TPCH_ORACLES["tpch_q8"] = f"""
     WITH vol AS (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             {_REV_SQL} AS volume, n2.n_name AS nation
+             {_REV_U_SQL} AS volume_u, n2.n_name AS nation
       FROM lineitem l
       JOIN part p     ON l.l_partkey  = p.p_partkey
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -330,7 +380,7 @@ TPCH_ORACLES["tpch_q8"] = f"""
         AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
     )
     SELECT o_year,
-           {R("SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DOUBLE) END) / SUM(volume)")}
+           {R("CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_u ELSE 0 END) AS DOUBLE) / CAST(SUM(volume_u) AS DOUBLE)")}
                AS mkt_share
     FROM vol GROUP BY o_year
 """
@@ -350,20 +400,24 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     s = _t(spark, sf, "supplier")
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     l = _t(spark, sf, "lineitem")
-    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    # exact 1e-4-dollar units (r12 sweep): 0.6·retailprice·qty =
+    # 60·retail_cents·qty in 1e-4 units (retailprice 2-dec, qty integer)
+    profit_u = _rev_u() - F.lit(60).cast("long") * cents(
+        F.col("p_retailprice")
+    ) * F.col("l_quantity").cast("long")
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(round4(F.sum(profit)).alias("sum_profit"))
+        .agg(round4(F.sum(profit_u) / F.lit(10000.0)).alias("sum_profit"))
     )
 
 
 TPCH_ORACLES["tpch_q9"] = f"""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           {R(f"SUM({_REV_SQL} - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity)")}
+           {R(f"SUM({_REV_U_SQL} - 60 * {sql_cents('p.p_retailprice')} * CAST(l.l_quantity AS BIGINT)) / CAST(10000.0 AS DOUBLE)")}
                AS sum_profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey  = p.p_partkey
@@ -390,7 +444,7 @@ def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("c_acctbal"), "n_name")
-        .agg(round4(F.sum(_rev())).alias("revenue"))
+        .agg(round4(_sum_rev()).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -403,7 +457,7 @@ def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
 
 TPCH_ORACLES["tpch_q10"] = f"""
     SELECT c.c_custkey, c.c_name, {R("c.c_acctbal")} AS acctbal, n.n_name,
-           {R(f"SUM({_REV_SQL})")} AS revenue
+           {R(_SUM_REV_SQL)} AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -450,17 +504,25 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1997-09-01"))
         & (F.col("l_shipdate") < _ts("1997-10-01"))
     )
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    # exact integer numerator/denominator (r12 sweep); units cancel
+    promo_u = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev_u()).otherwise(
+            F.lit(0).cast("long")
+        )
     )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
-        .agg(round4(F.lit(100.0) * promo / F.sum(_rev())).alias("promo_revenue"))
+        .agg(
+            round4(
+                F.lit(100.0) * promo_u.cast("double")
+                / F.sum(_rev_u()).cast("double")
+            ).alias("promo_revenue")
+        )
     )
 
 
 TPCH_ORACLES["tpch_q14"] = f"""
-    SELECT {R(f"CAST(100.0 AS DOUBLE) * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0.0 AS DOUBLE) END) / SUM({_REV_SQL})")}
+    SELECT {R(f"CAST(100.0 AS DOUBLE) * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_U_SQL} ELSE 0 END) AS DOUBLE) / CAST(SUM({_REV_U_SQL}) AS DOUBLE)")}
                AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -483,7 +545,7 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(round4(F.sum(_rev())).alias("total_revenue"))
+        .agg(round4(_sum_rev()).alias("total_revenue"))
     )
     # scalar max via aggregate + broadcast, not a whole-relation window
     # (supplier is SF-growing; Window.partitionBy() would funnel every
@@ -500,7 +562,7 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
 
 TPCH_ORACLES["tpch_q15"] = f"""
     WITH revenue AS (
-      SELECT l_suppkey AS supplier_no, {R(f"SUM({_REV_SQL})")} AS total_revenue
+      SELECT l_suppkey AS supplier_no, {R(_SUM_REV_SQL)} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -531,12 +593,16 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .join(part_avg, l.l_partkey == F.col("avg_pk"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(round4(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(
+            round4(
+                F.sum(cents(F.col("l_extendedprice"))) / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
     )
 
 
 TPCH_ORACLES["tpch_q17"] = f"""
-    SELECT {R("SUM(l.l_extendedprice) / CAST(7.0 AS DOUBLE)")} AS avg_yearly
+    SELECT {R(f"SUM({sql_cents('l.l_extendedprice')}) / CAST(700.0 AS DOUBLE)")} AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
@@ -625,12 +691,12 @@ def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .where(b1 | b2 | b3)
-        .agg(round4(F.sum(_rev())).alias("revenue"))
+        .agg(round4(_sum_rev()).alias("revenue"))
     )
 
 
 TPCH_ORACLES["tpch_q19"] = f"""
-    SELECT {R(f"SUM({_REV_SQL})")} AS revenue
+    SELECT {R(_SUM_REV_SQL)} AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN CAST(1.0 AS DOUBLE) AND CAST(11.0 AS DOUBLE))
@@ -647,9 +713,10 @@ def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     nationkeys below 14.
 
     The AVG threshold is one broadcast row; the NOT EXISTS is an
-    anti-join — both scale-safe. Threshold comparison uses the raw
-    double: both engines average the identical value set (sub-ulp
-    divergence only; acctbals are cents-valued, far from the boundary).
+    anti-join — both scale-safe. The threshold comparison is EXACT
+    INTEGER arithmetic (r12 sweep): ``acctbal > avg`` cross-multiplies to
+    ``acctbal_cents · n > sum_cents`` so no float enters the boundary
+    decision; the sign-safe ``cents`` handles the negative balances.
     "No orders" is "no orders since 2000-06-01" — every fixture customer
     has SOME order, which would make the official predicate vacuous.
     """
@@ -657,7 +724,8 @@ def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_nationkey").isin([1, 3, 5, 7, 9, 11, 13])
     )
     avg_bal = c.where(F.col("c_acctbal") > F.lit(0.0)).agg(
-        F.avg("c_acctbal").alias("_ab")
+        F.sum(cents(F.col("c_acctbal"))).alias("_sum_c"),
+        F.count(F.lit(1)).alias("_n_c"),
     )
     o = (
         _t(spark, sf, "orders")
@@ -666,23 +734,29 @@ def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("_ab"))
+        .where(cents(F.col("c_acctbal")) * F.col("_n_c") > F.col("_sum_c"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            round4(F.sum("c_acctbal")).alias("totacctbal"),
+            round4(
+                F.sum(cents(F.col("c_acctbal"))) / F.lit(100.0)
+            ).alias("totacctbal"),
         )
     )
 
 
 TPCH_ORACLES["tpch_q22"] = f"""
     SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
-           {R("SUM(c.c_acctbal)")} AS totacctbal
+           {R(f"SUM({sql_cents('c.c_acctbal')}) / CAST(100.0 AS DOUBLE)")} AS totacctbal
     FROM customer c
     WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-      AND c.c_acctbal > (
-        SELECT AVG(c2.c_acctbal) FROM customer c2
+      AND {sql_cents('c.c_acctbal')} * (
+        SELECT COUNT(*) FROM customer c2
+        WHERE c2.c_acctbal > CAST(0.0 AS DOUBLE)
+          AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      ) > (
+        SELECT SUM({sql_cents('c2.c_acctbal')}) FROM customer c2
         WHERE c2.c_acctbal > CAST(0.0 AS DOUBLE)
           AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
       )
@@ -822,9 +896,11 @@ def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     fixture SFs).
 
     The total-value threshold is a 1-row aggregate broadcast back via
-    cross join — no driver collect, no rescan. Threshold comparison uses
-    rounded values on BOTH sides of both engines so partial-sum order
-    cannot flip a boundary row.
+    cross join — no driver collect, no rescan. The threshold comparison is
+    EXACT INTEGER arithmetic (r12 sweep): value and total are summed as
+    long cents (supplycost is 2-decimal, availqty integer) and the 0.001
+    fraction becomes the cross-multiplied ``1000·value_c > total_c`` —
+    no float ever enters the boundary decision, in either engine.
     """
     ps = derived_partsupp(spark, sf)
     n = F.broadcast(_t(spark, sf, "nation").where(F.col("n_name") == "NATION_7"))
@@ -832,30 +908,40 @@ def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     nat_ps = (
         ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
-        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+        .select(
+            "ps_partkey",
+            (
+                cents(F.col("ps_supplycost"))
+                * F.col("ps_availqty").cast("long")
+            ).alias("v_c"),
+        )
     )
-    per_part = nat_ps.groupBy("ps_partkey").agg(round4(F.sum("v")).alias("value"))
-    total = nat_ps.agg(round4(F.sum("v") * F.lit(0.001)).alias("thresh"))
+    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("v_c").alias("value_c"))
+    total = nat_ps.agg(F.sum("v_c").alias("total_c"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("value") > F.col("thresh"))
-        .select("ps_partkey", "value")
+        .where(F.col("value_c") * F.lit(1000).cast("long") > F.col("total_c"))
+        .select(
+            "ps_partkey",
+            round4(F.col("value_c") / F.lit(100.0)).alias("value"),
+        )
     )
 
 
 TPCH_ORACLES["tpch_q11"] = f"""
     WITH {_PS_SQL},
     nat_ps AS (
-      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+      SELECT ps.ps_partkey,
+             {sql_cents('ps.ps_supplycost')} * CAST(ps.ps_availqty AS BIGINT) AS v_c
       FROM partsupp ps
       JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name = 'NATION_7'
     )
-    SELECT ps_partkey, {R("SUM(v)")} AS value
+    SELECT ps_partkey, {R("SUM(v_c) / CAST(100.0 AS DOUBLE)")} AS value
     FROM nat_ps
     GROUP BY ps_partkey
-    HAVING {R("SUM(v)")} > (SELECT {R("SUM(v) * CAST(0.001 AS DOUBLE)")} FROM nat_ps)
+    HAVING SUM(v_c) * 1000 > (SELECT SUM(v_c) FROM nat_ps)
 """
 
 

@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_processing_pipeline_spark.catalog import table_path
-from batch_processing_pipeline_spark.functions.rounding import round4, sql_round4
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    round4,
+    sql_cents,
+    sql_round4,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.functions.text_analysis import (
     STOPWORDS,
     bpe_ish_token_count,

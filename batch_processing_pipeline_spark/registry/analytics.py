@@ -6,6 +6,10 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     F,
     ORACLES,
@@ -1527,16 +1531,21 @@ def q_smb_join(spark, sf):
     j = bucketed_join(spark, f"smb_orders_{tag}", f"smb_lineitem_{tag}", ["okey"])
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        ),
+        # exact 1e-4-dollar units (r12 integer-cents sweep)
+        round4(
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * (F.lit(100).cast("long") - cents(F.col("l_discount")))
+            )
+            / F.lit(10000.0)
+        ).alias("revenue"),
     )
 
 
 ORACLES["smb_join"] = f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           {R("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+           {R(f"SUM({sql_cents('l.l_extendedprice')} * (100 - {sql_cents('l.l_discount')})) / CAST(10000.0 AS DOUBLE)")} AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
 """

@@ -6,6 +6,12 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     Callable,
     DataFrame,
@@ -83,8 +89,14 @@ def dq05(spark, sf):
     l = _t(spark, sf, "lineitem")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         round4(F.sum("l_quantity")).alias("sum_qty"),
-        round4(F.sum("l_extendedprice")).alias("sum_price"),
-        round4(F.avg("l_discount")).alias("avg_disc"),
+        # money/ratio sums in exact integer cents (r12 sweep — order-free,
+        # so both engines agree at any group size); quantity sums stay
+        # double: integer-valued, exact under any association below 2^53
+        round4(sum_money(F.col("l_extendedprice"))).alias("sum_price"),
+        round4(
+            F.sum(cents(F.col("l_discount")))
+            / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -101,7 +113,7 @@ def dq07(spark, sf):
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), round4(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), round4(sum_money(F.col("o_totalprice"))).alias("total"))
     )
 
 
@@ -179,7 +191,9 @@ def dq14(spark, sf):
         "user_id",
         "event_id",
         round4(F.col("value")).alias("v"),
-        round4(F.sum("value").over(run)).alias("running"),
+        round4(
+            F.sum(cents(F.col("value"))).over(run) / F.lit(100.0)
+        ).alias("running"),
         round4(F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("prev_v"),
     )
 
@@ -280,16 +294,15 @@ def dq20(spark, sf):
     row's total magnitudes (~1e4-1e10 across partial/full months) the
     canonicalizer's 10-significant-digit format does NOT absorb the
     flip. o_totalprice is 2-decimal money, so cents are exact longs and
-    both engines agree bit-for-bit at every scale."""
+    both engines agree bit-for-bit at every scale. Round 12: uses the
+    repo-wide ``sum_money`` helper (functions/rounding.py — sign-safe
+    ROUND, not the positive-only floor(x·100+0.5) this row debuted)."""
     o = _t(spark, sf, "orders")
-    cents = F.floor(
-        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
-    ).cast("long")
     return o.groupBy(
         F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(cents) / F.lit(100.0)).alias("total"),
+        sum_money(F.col("o_totalprice")).alias("total"),
     )
 
 
@@ -330,7 +343,10 @@ def dq23(spark, sf):
     return e.groupBy(
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h_epoch"),
         "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"), round4(F.sum("value")).alias("sv"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(sum_money(F.col("value"))).alias("sv"),
+    )
 
 
 def dq24(spark, sf):
@@ -775,7 +791,7 @@ def q_range_window(spark, sf):
     return spark.sql(
         f"""
         SELECT user_id, event_id,
-               {R("SUM(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")} AS hour_sum
+               {R(f"SUM({sql_cents('value')}) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) / CAST(100.0 AS DOUBLE)")} AS hour_sum
         FROM events
         """
     )
@@ -922,8 +938,8 @@ ORACLES.update({
     "dq05_agg_sum": f"""
         SELECT l_returnflag, l_linestatus,
                {R("SUM(l_quantity)")}      AS sum_qty,
-               {R("SUM(l_extendedprice)")} AS sum_price,
-               {R("AVG(l_discount)")}      AS avg_disc,
+               {R(sql_sum_money('l_extendedprice'))} AS sum_price,
+               {R(f"SUM({sql_cents('l_discount')}) / (CAST(100.0 AS DOUBLE) * COUNT(*))")}      AS avg_disc,
                COUNT(*)                    AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -932,7 +948,7 @@ ORACLES.update({
         FROM orders GROUP BY o_orderstatus
     """,
     "dq07_join_inner": f"""
-        SELECT c.c_mktsegment, COUNT(*) AS n, {R("SUM(o.o_totalprice)")} AS total
+        SELECT c.c_mktsegment, COUNT(*) AS n, {R(sql_sum_money('o.o_totalprice'))} AS total
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
@@ -976,7 +992,7 @@ ORACLES.update({
     "dq14_analytic_window": f"""
         SELECT user_id, event_id,
                {R("value")} AS v,
-               {R("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running,
+               {R(f"SUM({sql_cents('value')}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(100.0 AS DOUBLE)")} AS running,
                {R("COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0)")} AS prev_v
         FROM events
     """,
@@ -1025,8 +1041,7 @@ ORACLES.update({
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
                CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
                COUNT(*) AS n,
-               SUM(CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
-                              + CAST(0.5 AS DOUBLE)) AS BIGINT))
+               SUM(CAST(ROUND((o_totalprice) * CAST(100.0 AS DOUBLE)) AS BIGINT))
                  / CAST(100.0 AS DOUBLE) AS total
         FROM orders GROUP BY 1, 2
     """,
@@ -1049,7 +1064,7 @@ ORACLES.update({
     """,
     "dq23_time_bucket": f"""
         SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h_epoch,
-               event_type, COUNT(*) AS n, {R("SUM(value)")} AS sv
+               event_type, COUNT(*) AS n, {R(sql_sum_money('value'))} AS sv
         FROM events GROUP BY 1, 2
     """,
     "dq24_sessionize": """
@@ -1277,7 +1292,7 @@ ORACLES.update({
     """,
     "range_window": f"""
         SELECT user_id, event_id,
-               {R("SUM(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")} AS hour_sum
+               {R(f"SUM({sql_cents('value')}) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) / CAST(100.0 AS DOUBLE)")} AS hour_sum
         FROM events
     """,
     "approx_distinct": None,

@@ -6,6 +6,12 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     F,
     ORACLES,
@@ -830,7 +836,7 @@ def q_attribution(spark, sf):
         .groupBy("touch_day")
         .agg(
             F.count(F.lit(1)).alias("n_conversions"),
-            round4(F.sum("revenue")).alias("attributed_revenue"),
+            round4(sum_money(F.col("revenue"))).alias("attributed_revenue"),
         )
         .select(
             F.date_format("touch_day", "yyyy-MM-dd").alias("touch_day"),
@@ -857,7 +863,7 @@ ORACLES["attribution"] = f"""
     )
     SELECT strftime(CAST(click_ts AS DATE), '%Y-%m-%d') AS touch_day,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
-           {R("SUM(revenue)")} AS attributed_revenue
+           {R(sql_sum_money('revenue'))} AS attributed_revenue
     FROM joined WHERE rk = 1
     GROUP BY 1
 """
@@ -1015,18 +1021,22 @@ def q_cohort_ltv(spark, sf):
             "cohort",
             F.datediff(F.to_date("ts"), F.col("cohort")).alias("age"),
         )
-        .agg(F.sum("value").alias("rev"))
+        .agg(F.sum(cents(F.col("value"))).alias("rev_c"))
     )
     grid = act.join(rev, ["cohort", "age"], "left").select(
-        "cohort", "age", F.coalesce("rev", F.lit(0.0)).alias("rev")
+        "cohort",
+        "age",
+        F.coalesce("rev_c", F.lit(0).cast("long")).alias("rev_c"),
     )
     w_cum = (
         Window.partitionBy("cohort")
         .orderBy("age")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cumulative sum over exact long cents (r12 sweep): the running
+    # window re-associates float additions differently per engine
     cum = grid.select(
-        "cohort", "age", F.sum("rev").over(w_cum).alias("cum_rev")
+        "cohort", "age", F.sum("rev_c").over(w_cum).alias("cum_rev_c")
     )
     return (
         cum.join(F.broadcast(sizes), "cohort")
@@ -1034,10 +1044,11 @@ def q_cohort_ltv(spark, sf):
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
             F.col("age").cast("long").alias("age"),
             F.col("cohort_users").cast("long").alias("cohort_users"),
-            round4(F.col("cum_rev")).alias("cum_revenue"),
-            round4(F.col("cum_rev") / F.col("cohort_users")).alias(
-                "ltv_per_user"
-            ),
+            round4(F.col("cum_rev_c") / F.lit(100.0)).alias("cum_revenue"),
+            round4(
+                F.col("cum_rev_c")
+                / (F.lit(100.0) * F.col("cohort_users"))
+            ).alias("ltv_per_user"),
         )
     )
 
@@ -1056,24 +1067,24 @@ ORACLES["cohort_ltv"] = f"""
     ), rev AS (
       SELECT f.cohort,
              date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age,
-             SUM(e.value) AS rev
+             SUM({sql_cents('e.value')}) AS rev_c
       FROM events e JOIN first f ON f.user_id = e.user_id
       WHERE e.event_type = 'purchase'
       GROUP BY 1, 2
     ), grid AS (
-      SELECT a.cohort, a.age, COALESCE(r.rev, 0.0) AS rev
+      SELECT a.cohort, a.age, COALESCE(r.rev_c, 0) AS rev_c
       FROM act a LEFT JOIN rev r ON r.cohort = a.cohort AND r.age = a.age
     ), cum AS (
       SELECT cohort, age,
-             SUM(rev) OVER (PARTITION BY cohort ORDER BY age
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+             SUM(rev_c) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_c
       FROM grid
     )
     SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
            CAST(c.age AS BIGINT) AS age,
            CAST(s.cohort_users AS BIGINT) AS cohort_users,
-           {R("c.cum_rev")} AS cum_revenue,
-           {R("c.cum_rev / s.cohort_users")} AS ltv_per_user
+           {R("c.cum_rev_c / CAST(100.0 AS DOUBLE)")} AS cum_revenue,
+           {R("c.cum_rev_c / (CAST(100.0 AS DOUBLE) * s.cohort_users)")} AS ltv_per_user
     FROM cum c JOIN sizes s ON s.cohort = c.cohort
 """
 QUERIES["cohort_ltv"] = q_cohort_ltv
@@ -1255,7 +1266,7 @@ def q_orc_roundtrip(spark, sf):
     back = spark.read.orc(store)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        round4(F.sum("o_totalprice")).alias("total_price"),
+        round4(sum_money(F.col("o_totalprice"))).alias("total_price"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
     )
@@ -1263,7 +1274,7 @@ def q_orc_roundtrip(spark, sf):
 
 ORACLES["orc_roundtrip"] = f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           {R("SUM(o_totalprice)")} AS total_price,
+           {R(sql_sum_money('o_totalprice'))} AS total_price,
            strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS first_date,
            strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS last_date
     FROM orders GROUP BY o_orderstatus
@@ -2075,7 +2086,7 @@ def q_managed_table(spark, sf):
     import os
 
     tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
-    tbl = f"events_rollup_{tag}"
+    tbl = f"events_rollup2_{tag}"  # v2: sv stored as exact long cents (r12 sweep)
     e = _events(spark, sf).select(
         F.to_date("ts").alias("d"), "event_type", "value"
     )
@@ -2094,25 +2105,29 @@ def q_managed_table(spark, sf):
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
     if not spark.catalog.tableExists(tbl):
         e.where(F.col("d") < F.lit(cutoff)).groupBy("d", "event_type").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sv_c"),
         ).write.format("parquet").saveAsTable(tbl)
         tail = (
             e.where(F.col("d") >= F.lit(cutoff))
             .groupBy("d", "event_type")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("value"))).alias("sv_c"),
+            )
         )
         tail.write.insertInto(tbl)
     return spark.table(tbl).groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.countDistinct("d").alias("n_days"),
-        round4(F.sum("sv")).alias("total_value"),
+        round4(F.sum("sv_c") / F.lit(100.0)).alias("total_value"),
     )
 
 
 ORACLES["managed_table"] = f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-           {R("SUM(value)")} AS total_value
+           {R(f"SUM({sql_cents('value')}) / CAST(100.0 AS DOUBLE)")} AS total_value
     FROM events GROUP BY event_type
 """
 QUERIES["managed_table"] = q_managed_table

@@ -6,6 +6,12 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     F,
     ORACLES,
@@ -504,7 +510,10 @@ def q_full_outer_recon(spark, sf):
     purchases = (
         e.where((F.col("event_type") == "purchase") & (F.col("value") > 200.0))
         .groupBy(F.to_date("ts").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n_purch"), round4(F.sum("value")).alias("rev"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purch"),
+            round4(sum_money(F.col("value"))).alias("rev"),
+        )
     )
     clicks = (
         e.where((F.col("event_type") == "click") & (F.col("value") > 200.0))
@@ -529,7 +538,7 @@ def q_full_outer_recon(spark, sf):
 ORACLES["full_outer_recon"] = f"""
     WITH purchases AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_purch,
-             {R("SUM(value)")} AS rev
+             {R(sql_sum_money('value'))} AS rev
       FROM events WHERE event_type = 'purchase' AND value > 200.0 GROUP BY 1
     ), clicks AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_click
@@ -1278,7 +1287,7 @@ def q_gini_concentration(spark, sf):
     c = _t(spark, sf, "customer")
     rev = (
         o.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("r"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("r"))
         .join(
             c.select(
                 F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
@@ -1290,6 +1299,14 @@ def q_gini_concentration(spark, sf):
         F.col("r").asc(), F.col("o_custkey").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     w_seg = Window.partitionBy("c_mktsegment")
+    # r/cum/tot are exact long CENTS (r12 sweep — the per-customer rollup
+    # and both windows are order-free integer sums). The lorenz2 and sq
+    # sums can exceed 2^63 at sf10-class segment sizes (n·tot ≈ 3e20), so
+    # they accumulate as DECIMAL(38,0)/HUGEINT — still exact integers; the
+    # cents unit cancels in both ratios, and the final int->double
+    # conversions are the only float ops (≤1 ulp, engine-identical in
+    # practice; divided by a same-unit total so a round4 flip would need
+    # a value ~1e12 ulps from the boundary).
     t = rev.select(
         "c_mktsegment",
         "r",
@@ -1301,22 +1318,31 @@ def q_gini_concentration(spark, sf):
     per_seg = t.groupBy("c_mktsegment").agg(
         F.max("n").alias("n"),
         F.max("tot").alias("tot"),
-        F.sum(2.0 * F.col("cum") - F.col("r")).alias("lorenz2"),
-        F.sum(F.col("r") * F.col("r")).alias("sq"),
+        F.sum(
+            (F.lit(2).cast("long") * F.col("cum") - F.col("r")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("lorenz2"),
+        F.sum(F.col("r").cast("decimal(19,0)") * F.col("r")).alias("sq"),
     )
     return per_seg.select(
         F.col("c_mktsegment").alias("segment"),
         F.col("n").cast("long").alias("n_customers"),
         round4(
-            1.0 - F.col("lorenz2") / (F.col("n") * F.col("tot"))
+            1.0
+            - F.col("lorenz2").cast("double")
+            / (F.col("n") * F.col("tot").cast("double"))
         ).alias("gini"),
-        round4(F.col("sq") / (F.col("tot") * F.col("tot"))).alias("hhi"),
+        round4(
+            F.col("sq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        ).alias("hhi"),
     )
 
 
 ORACLES["gini_concentration"] = f"""
     WITH rev AS (
-      SELECT o.o_custkey, SUM(o.o_totalprice) AS r, c.c_mktsegment
+      SELECT o.o_custkey, SUM({sql_cents('o.o_totalprice')}) AS r, c.c_mktsegment
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY o.o_custkey, c.c_mktsegment
     ), t AS (
@@ -1330,8 +1356,8 @@ ORACLES["gini_concentration"] = f"""
     )
     SELECT c_mktsegment AS segment,
            CAST(MAX(n) AS BIGINT) AS n_customers,
-           {R("1.0 - SUM(2.0 * cum - r) / (MAX(n) * MAX(tot))")} AS gini,
-           {R("SUM(r * r) / (MAX(tot) * MAX(tot))")} AS hhi
+           {R("1.0 - CAST(SUM(2 * cum - r) AS DOUBLE) / (MAX(n) * CAST(MAX(tot) AS DOUBLE))")} AS gini,
+           {R("CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) / (CAST(MAX(tot) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))")} AS hhi
     FROM t GROUP BY c_mktsegment
 """
 QUERIES["gini_concentration"] = q_gini_concentration

@@ -6,6 +6,12 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     F,
     ORACLES,
@@ -263,11 +269,10 @@ def q_rfm_scores(spark, sf):
     is exact in both engines at every scale.
     """
     o = _t(spark, sf, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum(cents).alias("monetary_c"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
@@ -344,7 +349,10 @@ def q_hopping_window(spark, sf):
     w = F.window("ts", "1 hour", "30 minutes")
     return (
         e.groupBy(w.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), round4(F.sum("value")).alias("sv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(sum_money(F.col("value"))).alias("sv"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("w_start"),
             "event_type",
@@ -361,7 +369,7 @@ ORACLES["hopping_window"] = f"""
              event_type, value
       FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
     )
-    SELECT w_start, event_type, COUNT(*) AS n, {R("SUM(value)")} AS sv
+    SELECT w_start, event_type, COUNT(*) AS n, {R(sql_sum_money('value'))} AS sv
     FROM hopped GROUP BY w_start, event_type
 """
 QUERIES["hopping_window"] = q_hopping_window
@@ -799,7 +807,7 @@ def q_incremental_agg(spark, sf):
         )
         agg = df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sv"),
+            F.sum(cents(F.col("value"))).alias("sv_c"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -811,7 +819,7 @@ def q_incremental_agg(spark, sf):
         b1,
         b2,
         keys=["event_type"],
-        sums=("n", "sv"),
+        sums=("n", "sv_c"),
         mins=("mn",),
         maxs=("mx",),
         latest=("last_value",),
@@ -819,7 +827,8 @@ def q_incremental_agg(spark, sf):
         id_col="event_id",
     )
     return merged.select(
-        "event_type", "n", round4(F.col("sv")).alias("sv"),
+        "event_type", "n",
+        round4(F.col("sv_c") / F.lit(100.0)).alias("sv"),
         round4(F.col("mn")).alias("mn"), round4(F.col("mx")).alias("mx"),
         round4(F.col("last_value")).alias("last_value"),
     )
@@ -834,7 +843,7 @@ ORACLES["incremental_agg"] = f"""
         FROM events
       ) WHERE rn = 1
     )
-    SELECT e.event_type, COUNT(*) AS n, {R("SUM(e.value)")} AS sv,
+    SELECT e.event_type, COUNT(*) AS n, {R(sql_sum_money('e.value'))} AS sv,
            {R("MIN(e.value)")} AS mn, {R("MAX(e.value)")} AS mx,
            {R("ANY_VALUE(l.last_value)")} AS last_value
     FROM events e JOIN last l ON e.event_type = l.event_type
@@ -1090,11 +1099,10 @@ def q_approx_rfm_scores(spark, sf):
     Monetary is exact integer cents, mirroring the exact query (the
     boundary-tie determinism argument applies identically)."""
     o = _t(spark, sf, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum(cents).alias("monetary_c"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(

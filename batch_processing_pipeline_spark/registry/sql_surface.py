@@ -6,6 +6,12 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     F,
     ORACLES,
@@ -131,15 +137,21 @@ def q_window_frames(spark, sf):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        round4(F.sum("o_totalprice").over(w)).alias("mov_sum"),
-        round4(F.avg("o_totalprice").over(w)).alias("mov_avg"),
+        # exact cents inside the frame (r12 sweep): Spark re-sums the
+        # sliding frame in row order while DuckDB's segment tree can
+        # associate differently — integers are order-free
+        round4(F.sum(cents(F.col("o_totalprice"))).over(w) / F.lit(100.0)).alias("mov_sum"),
+        round4(
+            F.sum(cents(F.col("o_totalprice"))).over(w)
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("mov_avg"),
     )
 
 
 ORACLES["window_frames"] = f"""
     SELECT o_custkey, o_orderkey,
-           {R("SUM(o_totalprice) OVER w")} AS mov_sum,
-           {R("AVG(o_totalprice) OVER w")} AS mov_avg
+           {R(f"SUM({sql_cents('o_totalprice')}) OVER w / CAST(100.0 AS DOUBLE)")} AS mov_sum,
+           {R(f"SUM({sql_cents('o_totalprice')}) OVER w / (CAST(100.0 AS DOUBLE) * COUNT(*) OVER w)")} AS mov_avg
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -180,7 +192,13 @@ def q_filtered_aggs(spark, sf):
     return o.groupBy("o_orderstatus").agg(
         F.count(F.when(F.col("o_totalprice") > 150000.0, 1)).alias("n_big"),
         round4(
-            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")))
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    cents(F.col("o_totalprice")),
+                )
+            )
+            / F.lit(100.0)
         ).alias("sum_urgent"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -189,7 +207,7 @@ def q_filtered_aggs(spark, sf):
 ORACLES["filtered_aggs"] = f"""
     SELECT o_orderstatus,
            COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
-           {R("SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')")}
+           {R(f"SUM({sql_cents('o_totalprice')}) FILTER (WHERE o_orderpriority = '1-URGENT') / CAST(100.0 AS DOUBLE)")}
                AS sum_urgent,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
@@ -842,7 +860,7 @@ def q_time_rollup(spark, sf):
         .rollup("day", "hour")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            round4(F.sum("value")).alias("sum_value"),
+            round4(sum_money(F.col("value"))).alias("sum_value"),
         )
     )
 
@@ -851,7 +869,7 @@ ORACLES["time_rollup"] = f"""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            strftime(ts, '%Y-%m-%d %H:00') AS hour,
            CAST(COUNT(*) AS BIGINT) AS n,
-           {R("SUM(value)")} AS sum_value
+           {R(sql_sum_money('value'))} AS sum_value
     FROM events
     GROUP BY ROLLUP(day, hour)
 """

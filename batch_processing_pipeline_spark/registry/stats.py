@@ -6,6 +6,12 @@ queries into the shared ``QUERIES``/``ORACLES`` dicts at import time.
 
 from __future__ import annotations
 
+from batch_processing_pipeline_spark.functions.rounding import (
+    cents,
+    sql_cents,
+    sql_sum_money,
+    sum_money,
+)
 from batch_processing_pipeline_spark.registry._base import (  # noqa: F401
     F,
     ORACLES,
@@ -777,13 +783,15 @@ def q_continuous_aggregate(spark, sf):
         F.to_date("ts").alias("_day"),
     )
     cutoff = F.lit("2024-01-25").cast("date")
+    # the materialized rollup persists EXACT long cents (r12 sweep):
+    # rounded doubles in the store could not merge exactly with the tail
     agg_cols = [
         F.count(F.lit(1)).cast("long").alias("n"),
-        round4(F.sum("value")).alias("sum_v"),
+        F.sum(cents(F.col("value"))).alias("sv_c"),
     ]
     app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
     tag = f"{app}_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}"
-    store = f"/tmp/bpps_cagg/{tag}"
+    store = f"/tmp/bpps_cagg2/{tag}"  # v2: exact-cents rollup schema
     if store not in _SMB_CLEANUP_DIRS:
         _SMB_CLEANUP_DIRS.add(store)
         atexit.register(shutil.rmtree, store, ignore_errors=True)
@@ -802,8 +810,10 @@ def q_continuous_aggregate(spark, sf):
         .agg(*agg_cols)
     )
     return mat.unionByName(tail).select(
-        "event_type", F.col("hour_bucket").cast("timestamp").alias("hour_bucket"),
-        "n", "sum_v",
+        "event_type",
+        F.col("hour_bucket").cast("timestamp").alias("hour_bucket"),
+        "n",
+        round4(F.col("sv_c") / F.lit(100.0)).alias("sum_v"),
     )
 
 
@@ -811,7 +821,7 @@ ORACLES["continuous_aggregate"] = f"""
     SELECT event_type,
            date_trunc('hour', ts) AS hour_bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           {R("SUM(value)")} AS sum_v
+           {R(sql_sum_money('value'))} AS sum_v
     FROM events
     GROUP BY event_type, date_trunc('hour', ts)
 """
@@ -1548,10 +1558,14 @@ def q_pareto_abc(spark, sf):
     aggregate — dimension-sized, not fact-sized; the fact-table pass is
     one partial-aggregated groupBy."""
     li = _t(spark, sf, "lineitem")
+    # per-part revenue as exact long 1e-4-dollar units (r12 sweep): the
+    # rollup, the cumulative shards, and the class sums are then all
+    # order-free integer arithmetic in both engines
     rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
-            "revenue"
-        )
+        F.sum(
+            cents(F.col("l_extendedprice"))
+            * (F.lit(100).cast("long") - cents(F.col("l_discount")))
+        ).alias("rev_u")
     )
     from batch_processing_pipeline_spark.operators.rank import (
         exact_global_cumagg,
@@ -1566,35 +1580,39 @@ def q_pareto_abc(spark, sf):
     # whole-relation window
     classed = exact_global_cumagg(
         rev,
-        [F.col("revenue").desc(), F.col("p").asc()],
-        [("cum_rev", "revenue", "sum")],
+        [F.col("rev_u").desc(), F.col("p").asc()],
+        [("cum_rev", "rev_u", "sum")],
     ).crossJoin(
-        F.broadcast(rev.agg(F.sum("revenue").alias("__t")))
+        F.broadcast(rev.agg(F.sum("rev_u").alias("__t")))
     ).select(
         "p",
-        "revenue",
-        round4(F.col("cum_rev") / F.col("__t")).alias("cum_share"),
+        "rev_u",
+        round4(
+            F.col("cum_rev").cast("double") / F.col("__t").cast("double")
+        ).alias("cum_share"),
     ).select(
         "p",
-        "revenue",
+        "rev_u",
         F.when(F.col("cum_share") <= 0.80, "A")
         .when(F.col("cum_share") <= 0.95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
-    tot = rev.agg(F.sum("revenue").alias("tot"))
+    tot = rev.agg(F.sum("rev_u").alias("tot"))
     return (
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("revenue").alias("_rev"),
+            F.sum("rev_u").alias("_rev_u"),
         )
         .crossJoin(F.broadcast(tot))
         .select(
             "abc_class",
             "n_parts",
-            round4(F.col("_rev")).alias("class_revenue"),
-            round4(F.col("_rev") / F.col("tot")).alias("revenue_share"),
+            round4(F.col("_rev_u") / F.lit(10000.0)).alias("class_revenue"),
+            round4(
+                F.col("_rev_u").cast("double") / F.col("tot").cast("double")
+            ).alias("revenue_share"),
         )
     )
 
@@ -1602,23 +1620,23 @@ def q_pareto_abc(spark, sf):
 ORACLES["pareto_abc"] = f"""
     WITH rev AS (
       SELECT l_partkey AS p,
-             SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+             SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS rev_u
       FROM lineitem GROUP BY 1
     ), classed AS (
-      SELECT p, revenue,
-             CASE WHEN {R("SUM(revenue) OVER (ORDER BY revenue DESC, p ASC "
+      SELECT p, rev_u,
+             CASE WHEN {R("CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, p ASC "
                           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                          " / SUM(revenue) OVER ()")} <= 0.80 THEN 'A'
-                  WHEN {R("SUM(revenue) OVER (ORDER BY revenue DESC, p ASC "
+                          " AS DOUBLE) / CAST(SUM(rev_u) OVER () AS DOUBLE)")} <= 0.80 THEN 'A'
+                  WHEN {R("CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, p ASC "
                           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                          " / SUM(revenue) OVER ()")} <= 0.95 THEN 'B'
+                          " AS DOUBLE) / CAST(SUM(rev_u) OVER () AS DOUBLE)")} <= 0.95 THEN 'B'
                   ELSE 'C' END AS abc_class
       FROM rev
     )
     SELECT abc_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           {R("SUM(revenue)")} AS class_revenue,
-           {R("SUM(revenue) / (SELECT SUM(revenue) FROM rev)")}
+           {R("SUM(rev_u) / CAST(10000.0 AS DOUBLE)")} AS class_revenue,
+           {R("CAST(SUM(rev_u) AS DOUBLE) / CAST((SELECT SUM(rev_u) FROM rev) AS DOUBLE)")}
              AS revenue_share
     FROM classed GROUP BY abc_class
 """

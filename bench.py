@@ -238,6 +238,10 @@ def _bench_stream_batch(
     try:
         logs = os.path.join(work, "logs")
         os.makedirs(logs)
+        # bounded driver pull (ADVICE r11): cap the fixture pull so a
+        # larger sf_dir can't balloon driver memory (240k lines ≈ 10k
+        # queries/hour-file, plenty for the per-batch cost timed here),
+        # and skip empty hour files on tiny fixtures
         lines = [
             r.q
             for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -247,11 +251,15 @@ def _bench_stream_batch(
                     F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 3),
                 ).alias("q")
             )
+            .limit(240_000)
             .collect()
+            if r.q
         ]
         per_file = max(1, len(lines) // 24)
         for h in range(24):
-            chunk = lines[h * per_file : (h + 1) * per_file]
+            chunk = [q for q in lines[h * per_file : (h + 1) * per_file] if q]
+            if not chunk:
+                continue
             with open(os.path.join(logs, f"2025-01-01-{h:02d}.txt"), "w") as f:
                 f.write("\n".join(chunk) + "\n")
         t0 = time.time()
@@ -423,6 +431,10 @@ def _bench_serving_pipeline(
     try:
         logs = os.path.join(work, "logs")
         os.makedirs(logs)
+        # bounded driver pull (ADVICE r11): cap the fixture pull so a
+        # larger sf_dir can't balloon driver memory (240k lines ≈ 10k
+        # queries/hour-file, plenty for the per-batch cost timed here),
+        # and skip empty hour files on tiny fixtures
         lines = [
             r.q
             for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -432,11 +444,15 @@ def _bench_serving_pipeline(
                     F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 3),
                 ).alias("q")
             )
+            .limit(240_000)
             .collect()
+            if r.q
         ]
         per_file = max(1, len(lines) // 24)
         for h in range(24):
-            chunk = lines[h * per_file : (h + 1) * per_file]
+            chunk = [q for q in lines[h * per_file : (h + 1) * per_file] if q]
+            if not chunk:
+                continue
             with open(os.path.join(logs, f"2025-01-01-{h:02d}.txt"), "w") as f:
                 f.write("\n".join(chunk) + "\n")
         os.makedirs(os.path.join(work, "serve"))

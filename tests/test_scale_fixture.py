@@ -109,9 +109,10 @@ def test_cross_copy_token_sets_unlinked(fixture_dir):
     """The first sf1 run's lesson: rotation alone preserves token SETS,
     so word-set-Jaccard operators (ppjoin_pairs, the pretrain near-dup
     stage) saw K-member cross-copy cliques — an O(K²) fabricated pair
-    explosion. Per-copy vocabulary suffixing must push cross-copy set
-    Jaccard far below every production threshold, while keeping each
-    copy's INTERNAL set-similarity structure bijective to the source."""
+    explosion. The per-copy letter-rotation cipher (r12) must push
+    cross-copy set Jaccard far below every production threshold (only
+    stopwords and digit runs stay shared), while keeping each copy's
+    INTERNAL set-similarity structure bijective to the source."""
     con = duckdb.connect()
     # cross-copy: same source doc, copies (0,1) and (1,2) — J must be
     # well under the tightest production threshold (0.9, pretrain)
@@ -152,3 +153,43 @@ def test_cross_copy_token_sets_unlinked(fixture_dir):
             """
         ).fetchone()[0]
     assert n_same[1] == n_same[0], n_same
+
+
+def test_cross_copy_char_grams_unlinked(fixture_dir):
+    """The round-11 honest-density gap: the ~25% vocabulary suffixing
+    left most CHAR-5-GRAMS shared across copies, so char-shingle MinHash
+    banding and winnowing fingerprints linked copy families — 460M
+    fabricated candidate pairs at sf1 and a fake super-linear
+    dedup_minhash exponent. The letter-rotation cipher must push
+    cross-copy char-gram Jaccard near zero (residual overlap: grams
+    fully inside stopword/space/digit runs), so near-dup DENSITY is
+    constant across copies and scaling exponents measure the OPERATOR,
+    not the fixture."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH d AS (
+          SELECT doc_id % 100000000 AS src_id, doc_id // 100000000 AS copy,
+                 text
+          FROM read_parquet('{fixture_dir}/documents.parquet')
+          WHERE doc_id // 100000000 IN (0, 1, 2)
+            AND doc_id % 100000000 < 200 AND length(text) >= 5
+        ), g AS (
+          SELECT src_id, copy,
+                 list_distinct(
+                   [text[j:j+4] FOR j IN range(1, length(text) - 3)]
+                 ) AS grams
+          FROM d
+        )
+        SELECT a.copy, b.copy,
+               MAX(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))))
+        FROM g a JOIN g b ON a.src_id = b.src_id AND a.copy + 1 = b.copy
+        GROUP BY a.copy, b.copy
+        """
+    ).fetchall()
+    assert rows, "no cross-copy pairs sampled"
+    for ca, cb, max_j in rows:
+        # minhash_lsh_dedup's loosest production threshold is 0.5; the
+        # cipher keeps cross-copy gram overlap an order of magnitude under
+        assert max_j < 0.10, (ca, cb, max_j)

@@ -185,11 +185,24 @@ def main() -> int:
     # hash-join builds meet ~300 queries' accumulated broadcasts — set
     # an explicit size (bench.py defaults to 24g; 16g suffices here)
     # rather than let a late SHJ build OOM
+    # SPARK_GRAFT_MASTER overrides the local[8] default — used by the
+    # round-12 multi-executor rehearsal to run the SAME differential pass
+    # under local-cluster[N,cores,mem] (real separate executor JVMs:
+    # serialized shuffle, independent memory pools), the one regime
+    # single-JVM local mode cannot exercise
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    extra = {}
+    if master.startswith("local-cluster"):
+        # local-cluster workers get the per-executor memory from the
+        # master string (MiB); executor.memory must agree or launch fails
+        mem_mb = master.rstrip("]").split(",")[-1]
+        extra["spark.executor.memory"] = f"{mem_mb}m"
     spark = get_spark(
         "check-oracle",
-        master="local[8]",
+        master=master,
         shuffle_partitions=16,
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

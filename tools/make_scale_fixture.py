@@ -9,26 +9,32 @@ tools/scaling_rehearsal.py can measure wall-clock across three decades.
 
 Replication must not distort the SHAPE the queries key on:
 
-- ``documents``: copy i shifts doc_id by i·1e8, SUFFIXES a deterministic
-  ~25% of the vocabulary (``hash(word‖i) % 4 == 0`` → ``word_i``;
-  stopwords the/a/of excepted so stopword-membership quality rules keep
-  their per-copy shape), and ROTATES each text's word order by i.
-  Both transforms are per-copy word bijections, so each copy's internal
-  exact-duplicate AND set-similarity structure is identical to the
-  source (dup RATE preserved) — while across copies the word
-  SEQUENCES differ (rotation: MinHash/shingle/LSH does not link copy
-  families) and the word SETS differ by ~40% of the union (suffixing:
-  word-set-Jaccard ops — PPJoin, the pretrain near-dup stage — do not
-  link them either; cross-copy J ≈ 0.43 ≪ any production threshold).
-  The first sf1 run taught why BOTH are needed: rotation alone keeps
-  token SETS identical, so ``ppjoin_pairs`` saw K-member cross-copy
-  cliques (1.16M pairs instead of ~10× the source's), an O(K²)
-  fabricated explosion that read as a super-linear operator defect and
-  ground the all-pairs pretrain oracle for >1 h. Tail caveat: a short
-  doc can escape suffixing in two copies at once (P≈(0.75²)^n_words),
-  leaving a handful of genuinely-linked cross-copy pairs — negligible,
-  and both engines agree on them. n_chars is recomputed (the source
-  invariant n_chars = length(text)).
+- ``documents``: copy i shifts doc_id by i·1e8, applies a per-copy
+  LETTER-ROTATION CIPHER to every non-stopword word (``translate`` with
+  the a–z/A–Z alphabet rotated by 1+(i−1)%25; the 40 STOPWORDS of all
+  four langid languages stay verbatim so stopword-ratio / language-ID /
+  quality-gate shapes are identical per copy), and ROTATES each text's
+  word order by i. Both transforms are per-copy word bijections, so each
+  copy's internal exact-duplicate AND set-similarity structure is
+  identical to the source (dup RATE preserved) — while across copies
+  essentially EVERYTHING differs: word sets share only stopwords and
+  digit runs (set-Jaccard ops — PPJoin, the pretrain near-dup stage —
+  cannot link copies), and, the round-12 honest-density fix, the
+  CHAR-GRAM streams differ too (every gram touching a ciphered letter
+  maps to a different gram per copy), so char-shingle MinHash and
+  winnowing fingerprints no longer link copy families. History: the
+  first sf1 run used rotation alone (token sets identical → ppjoin saw
+  K-member cross-copy cliques, an O(K²) fabricated 1.16M-pair
+  explosion); round 11 added ~25% vocabulary SUFFIXING, which fixed
+  word-set ops but left ~75% of words — hence most char-5-grams —
+  shared, fabricating 460M cross-copy MinHash candidate pairs at sf1
+  and a fake e=1.12 scaling exponent for ``dedup_minhash``. The cipher
+  subsumes the suffix: near-dup DENSITY is now constant across copies
+  at both the word and the character granularity. Residual cross-copy
+  overlap: grams fully inside stopword/space/digit runs — far below
+  any banding threshold. n_chars is recomputed (the source invariant
+  n_chars = length(text); the cipher is length-preserving, so n_chars
+  actually matches the source rows).
 - ``embeddings``: vec_id shifted; vectors copied as-is (distance math is
   indifferent to duplicates; the ANN rows time search, not recall).
   Deliberate consequence: every vector has K exact copies, so
@@ -81,6 +87,37 @@ import os
 
 import duckdb
 
+# the langid/quality stopword vocabulary (all four languages) — these words
+# stay VERBATIM in every copy so stopword-membership signals keep their
+# per-copy shape; kept as a literal so the tool has no Spark import
+_KEEP_WORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "that", "for", "it",
+    "der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf",
+    "el", "la", "de", "que", "y", "en", "un", "es", "por", "con",
+    "le", "et", "est", "pour", "dans", "ce",
+)
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _cipher_case_sql(k: int) -> str:
+    """A chained CASE mapping copy i>0 to a per-copy letter-rotation
+    cipher of ``w`` (identity on digits/punct; case preserved)."""
+    keep = ", ".join(f"'{w}'" for w in _KEEP_WORDS)
+    branches = []
+    for i in range(1, k):
+        shift = 1 + (i - 1) % 25
+        tgt = (
+            _LOWER[shift:] + _LOWER[:shift] + _UPPER[shift:] + _UPPER[:shift]
+        )
+        branches.append(
+            f"WHEN i = {i} THEN list_transform(words, w -> "
+            f"CASE WHEN w IN ({keep}) THEN w "
+            f"ELSE translate(w, '{_LOWER}{_UPPER}', '{tgt}') END)"
+        )
+    return "CASE WHEN i = 0 THEN words " + " ".join(branches) + " END"
+
 
 def build(src: str, out: str, k: int) -> None:
     if os.path.realpath(out).startswith("/root/testdata"):
@@ -96,12 +133,7 @@ def build(src: str, out: str, k: int) -> None:
           reps AS (SELECT i FROM range({k}) t(i)),
           sfx AS (
             SELECT d.doc_id, d.lang, d.source, i,
-                   CASE WHEN i = 0 THEN d.words ELSE
-                     list_transform(d.words, w ->
-                       CASE WHEN w IN ('the', 'a', 'of')
-                                 OR hash(w || '#' || i) % 4 <> 0
-                            THEN w ELSE w || '_' || i END)
-                   END AS words
+                   {_cipher_case_sql(k)} AS words
             FROM (SELECT *, string_split(text, ' ') AS words FROM src) d
             CROSS JOIN reps
           ),
