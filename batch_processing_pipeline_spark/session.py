@@ -11,6 +11,10 @@ session-TZ ``current_timestamp()``): the session timezone is pinned to UTC.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
 
 #: Defaults chosen for correctness + scale. AQE handles runtime re-planning
@@ -66,4 +70,50 @@ def get_spark(
     spark = builder.getOrCreate()
     # Session TZ must hold even when reusing an existing session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if master and not _is_single_jvm(master):
+        _ship_package(spark)
     return spark
+
+
+def _is_single_jvm(master: str) -> bool:
+    """True for plain ``local[...]`` masters, where executor Python
+    workers inherit the driver's sys.path and nothing needs shipping."""
+    return master.startswith("local[") or master == "local"
+
+
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this library to executor Python workers (cluster parity).
+
+    Caught by the round-12 multi-executor rehearsal: under
+    ``local-cluster[N,c,m]`` (and any real cluster) executors run their
+    OWN Python workers, whose sys.path does not include the driver's
+    repo checkout — every Pandas-UDF path (multimodal codecs, BPE) died
+    un-unpickling with ``ModuleNotFoundError`` while the pure-JVM
+    DataFrame queries, which never ship Python closures, all passed.
+    Single-JVM ``local[N]`` masks this completely, which is why 11
+    rounds of green local runs never saw it.
+
+    The fix is what a production submission does (``spark-submit
+    --py-files engine.zip``), performed engine-side so tools/tests get
+    cluster parity for free: zip the package once per application and
+    ``addPyFile`` it — executors unpack onto their worker sys.path.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"bpps_pkg_{os.getpid()}_{app_id}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APP_IDS.add(app_id)

@@ -1007,3 +1007,146 @@ def test_serving_pipeline_crash_between_publish_and_commit(spark, tmp_path):
                 else:
                     compacted[key] = value
         assert compacted == expect, f"[{mode}] compacted log diverged"
+
+
+def test_serving_pipeline_hot_prefix_skew(spark, tmp_path):
+    """VERDICT r11 stretch: a Zipf-hot prefix family (~30% of ALL query
+    mass on one head token) must not break the bucketed serving path's
+    scale contracts. Pinned: (a) correctness under skew — after a mixed
+    run plus a hot-only late run the Redis store equals the one-shot
+    suggestions table over everything; (b) O(touched buckets) survives a
+    hot key — the late batch (hot family only) rewrites ONLY the
+    buckets holding the hot family's prefixes, every other bucket's
+    state AND suggestions files are byte-untouched; (c) the publish is
+    delta-bounded — run 2 publishes only the hot family's prefixes, not
+    the serving table; (d) the per-bucket top-k plans as
+    WindowGroupLimit, so the hot group's rank filter runs below the
+    sort instead of materializing the whole group in one window buffer."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.state_store import (
+        read_bucketed_state,
+    )
+    from batch_processing_pipeline_spark.plans.autocomplete import (
+        autocomplete_batch,
+        suggestions,
+    )
+    from batch_processing_pipeline_spark.streaming.jobs import (
+        run_autocomplete_serving_pipeline,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cold = [
+        r.q
+        for r in docs.select(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 2),
+            ).alias("q")
+        ).collect()
+        if r.q
+    ]
+    hot = ["zzhot query"] * (len(cold) * 3 // 7)  # ~30% of total mass
+    logs = str(tmp_path / "logs")
+    os.makedirs(logs)
+    per = len(cold) // 3
+    for h in range(3):  # mixed load: cold tail + a slice of the hot family
+        chunk = cold[h * per : (h + 1) * per] + hot[h * 20 : (h + 1) * 20]
+        with open(os.path.join(logs, f"2025-01-01-{h:02d}.txt"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    FakeKV, FakeProducer = _make_serving_fakes()
+    kv_root = str(tmp_path / "kv")
+    os.makedirs(kv_root)
+    kafka_log = str(tmp_path / "kafka.jsonl")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(work)
+    BUCKETS = 8
+
+    def run():
+        q = run_autocomplete_serving_pipeline(
+            spark, logs, work, ckpt, k=5,
+            redis_client_factory=lambda root=kv_root: FakeKV(root),
+            kafka_producer_factory=lambda p=kafka_log: FakeProducer(p),
+            state_buckets=BUCKETS,
+        )
+        q.awaitTermination()
+
+    run()
+    kafka_run1 = sum(1 for _ in open(kafka_log))
+
+    def bucket_mtimes(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                files = [
+                    os.path.getmtime(os.path.join(root, d, f))
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                ]
+                out[d] = max(files) if files else 0.0
+        return out
+
+    state_dir = os.path.join(work, "state")
+    sugg_dir = os.path.join(work, "suggestions")
+    state_before = bucket_mtimes(state_dir)
+    sugg_before = bucket_mtimes(sugg_dir)
+
+    # the late hour is the HOT FAMILY ONLY (the skew burst) — a NEW hot
+    # variant, so the burst genuinely changes the shared prefixes' top-k
+    # (re-sending the incumbent would correctly publish an empty delta)
+    n_late_hot = len(hot) - 60
+    late_q = "zzhot quartz"
+    with open(os.path.join(logs, "2025-01-01-03.txt"), "w") as f:
+        f.write("\n".join([late_q] * n_late_hot) + "\n")
+    run()  # same checkpoint: only the late hot hour replays
+
+    # (b) only the hot family's prefix buckets were rewritten
+    hot_prefixes = [late_q[:n] for n in range(2, len(late_q) + 1)]
+    hot_buckets = {
+        f"bucket={r.b}"
+        for r in spark.createDataFrame(
+            [(p,) for p in hot_prefixes], "prefix string"
+        )
+        .select(F.pmod(F.xxhash64("prefix"), F.lit(BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    untouched = set(state_before) - hot_buckets
+    assert untouched, "skew test needs >=1 bucket outside the hot family"
+    state_after = bucket_mtimes(state_dir)
+    sugg_after = bucket_mtimes(sugg_dir)
+    for d in untouched:
+        assert state_after[d] == state_before[d], f"state {d} rewritten"
+        assert sugg_after[d] == sugg_before[d], f"suggestions {d} rewritten"
+
+    # (c) run-2 publish is bounded by the delta: hot-family prefixes only
+    with open(kafka_log) as f:
+        run2_keys = {
+            json.loads(line)[0] for line in list(f)[kafka_run1:]
+        }
+    assert run2_keys, "the hot burst must publish its changed prefixes"
+    assert run2_keys <= set(hot_prefixes), run2_keys
+
+    # (a) store equals the one-shot suggestions over ALL arrived lines
+    all_lines = cold[: per * 3] + hot[:60] + [late_q] * n_late_hot
+    merged, _ = autocomplete_batch(
+        spark.createDataFrame([(ln,) for ln in all_lines], "value string"),
+        None, k=5,
+    )
+    expect = {
+        r.prefix: r.completions_json
+        for r in suggestions(merged, k=5).collect()
+    }
+    got = FakeKV(kv_root).dump()
+    assert got == expect
+
+    # (d) the per-bucket top-k pushes the rank below the sort
+    plan = suggestions(
+        read_bucketed_state(spark, state_dir), k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
