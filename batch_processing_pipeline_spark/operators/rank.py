@@ -91,7 +91,20 @@ def _pinned_range_partitions(
         parts = df.repartitionByRange(num_partitions, *order_by)
     else:
         parts = df.repartitionByRange(*order_by)
-    return parts.localCheckpoint(eager=True)
+    # plan-visible corpus marker (ADVICE r11): a checkpointed relation
+    # surfaces as `Scan ExistingRDD[...]`, which the registry-wide plan
+    # sweep would otherwise treat like a harmless literal relation. The
+    # null-boolean marker column rides INTO the checkpoint (so the RDD
+    # scan's schema carries `__pinned_corpus__` — ExistingRDD scans don't
+    # column-prune) and is dropped immediately after; plancheck counts
+    # any marker-bearing RDD scan as a corpus leaf, closing the
+    # single-partition-exchange blind spot the pin opened. Cost: one
+    # null boolean per checkpointed row.
+    return (
+        parts.withColumn("__pinned_corpus__", F.lit(None).cast("boolean"))
+        .localCheckpoint(eager=True)
+        .drop("__pinned_corpus__")
+    )
 
 
 def exact_global_rank(

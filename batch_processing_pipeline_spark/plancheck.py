@@ -108,15 +108,18 @@ def _agg_bounds(node_text: str) -> bool | None:
     return not any(_scaling_name(n) for n in _KEY_NAME.findall(blob))
 
 #: leaves that read a (potentially) corpus-sized stored relation.
-#: LocalTableScan / Scan ExistingRDD (createDataFrame literals,
-#: localCheckpoints) are deliberately NOT corpus leaves. Known blind
-#: spot (round-11): operators/rank.py pins its range shuffle via
-#: localCheckpoint, so a CORPUS-sized relation can now appear as an RDD
-#: scan — in those plans the single-partition offsets exchange is bounded
-#: by the per-partition HashAggregate anyway, but a future query feeding
-#: a checkpointed corpus STRAIGHT into a single-partition exchange would
-#: slip past this sweep; per-query plan review still covers it.
-_CORPUS_LEAF = re.compile(r"FileScan|Scan parquet")
+#: LocalTableScan / plain Scan ExistingRDD (createDataFrame literals,
+#: ad-hoc localCheckpoints) are deliberately NOT corpus leaves — BUT a
+#: checkpoint produced by operators/rank.py's pinned range shuffle IS a
+#: corpus-sized relation, and it tags itself with a plan-visible
+#: ``__pinned_corpus__`` marker column (ExistingRDD scans don't prune,
+#: so the marker always shows in the scan's schema). Matching the marker
+#: closes the round-11 blind spot: a future query feeding a pinned
+#: corpus straight into a single-partition exchange is now flagged by
+#: this sweep instead of relying on per-query review.
+_CORPUS_LEAF = re.compile(
+    r"FileScan|Scan parquet|Scan ExistingRDD[^\n]*__pinned_corpus__"
+)
 
 _SINGLE_PART = "Exchange SinglePartition"
 

@@ -207,3 +207,40 @@ def test_fixed_dim_key_aggregate_still_bounds(spark):
     )
     plan = bad._jdf.queryExecution().executedPlan().toString()
     assert unbounded_single_partition_exchanges(plan), plan[:1500]
+
+
+def test_pinned_corpus_checkpoint_is_a_corpus_leaf(spark):
+    """Round-12 (ADVICE r11): the rank family's localCheckpoint pin made
+    corpus relations surface as `Scan ExistingRDD`, which the sweep
+    deliberately ignores for literal relations — a checkpointed CORPUS
+    fed straight into a single-partition exchange slipped past. The pin
+    now stamps a plan-visible `__pinned_corpus__` marker column into the
+    checkpoint (ExistingRDD scans don't prune, so it always shows), and
+    plancheck counts marker-bearing RDD scans as corpus leaves. Planted
+    negative: a pinned corpus under a global unpartitioned window goes
+    red; the rank helpers' own plans (offsets bounded by per-partition
+    aggregation) stay green — asserted on a production caller."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.rank import (
+        _pinned_range_partitions,
+        exact_global_rank,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pinned = _pinned_range_partitions(docs, [F.asc("doc_id")], 4)
+    planted = pinned.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n_chars")))
+    )
+    plan = planted._jdf.queryExecution().executedPlan().toString()
+    assert "__pinned_corpus__" in plan, plan[:1500]
+    assert unbounded_single_partition_exchanges(plan), plan[:1500]
+
+    # the production shape stays green: exact_global_rank's offsets
+    # exchange is bounded by the per-partition aggregate
+    ranked = exact_global_rank(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], num_partitions=4
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_exchanges(plan), plan[:2000]
