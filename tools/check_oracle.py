@@ -197,6 +197,11 @@ def main() -> int:
         # master string (MiB); executor.memory must agree or launch fails
         mem_mb = master.rstrip("]").split(",")[-1]
         extra["spark.executor.memory"] = f"{mem_mb}m"
+    # 4g result cap (r12): winnowing_dup_pairs' HONEST pair relation at
+    # sf1 is ~21.5M real rows (~1.1 GiB arrow-serialized) — a harness
+    # transfer limit, not an engine bound; the default 1g cap aborted the
+    # toPandas fetch
+    extra.setdefault("spark.driver.maxResultSize", "4g")
     spark = get_spark(
         "check-oracle",
         master=master,
