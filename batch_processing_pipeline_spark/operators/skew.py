@@ -108,13 +108,20 @@ def salted_join(
     Dim replication uses ``explode(sequence(0 .. salt_buckets-1))`` —
     codegen, no Python.  Result equals ``fact.join(dim, on, how)`` exactly.
 
-    The replicated dim carries a ``shuffle_hash`` hint: broadcasting it
-    would be strictly wrong (a broadcast join has no reducer skew to cure,
-    so if the dim broadcasts you should not be salting at all — and the
-    replicated build side is ``salt_buckets`` × the memory), while a
-    sort-merge join pays a needless sort on the fact side.  With the hint
-    each reducer hash-builds only its own (key, salt) slice of the dim —
-    the exact regime salting is for.
+    Build strategy is SIZE-AWARE (round-12 — the fifth-decade harness
+    caught the failure mode): a hard ``shuffle_hash`` hint makes each
+    reducer hash-build ``|dim|·salt_buckets / shuffle.partitions`` rows,
+    which GROWS with data at any fixed partition count — at sf10 (15M
+    orders × 16 salts / 16 partitions) the build map OOMed
+    (``SparkOutOfMemoryError: not enough memory to build hash map``),
+    and a build-side OOM is not recoverable by AQE. The hint is now
+    applied only when the optimizer's size estimate says the
+    per-partition build fits (``_HASH_BUILD_BUDGET_BYTES``); above that
+    the planner's default (sort-merge) takes over — it pays a sort but
+    never OOMs, and AQE may still downgrade it to a hash join per
+    partition where safe. Broadcasting remains deliberately unhinted:
+    a broadcast join has no reducer skew to cure, and the replicated
+    build side is ``salt_buckets`` × the memory.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left")
@@ -122,8 +129,47 @@ def salted_join(
     d_replicated = dim.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
-    ).hint("shuffle_hash")
+    )
+    if _hash_build_fits(dim, salt_buckets):
+        d_replicated = d_replicated.hint("shuffle_hash")
     return f_salted.join(d_replicated, [on, "_salt"], how).drop("_salt")
+
+
+#: per-reducer hash-build budget for the salted dim slice, in IN-MEMORY
+#: bytes (UnsafeHashedRelation), kept well under a per-task execution
+#: memory share
+_HASH_BUILD_BUDGET_BYTES = 256 * 1024 * 1024
+
+#: optimizer sizeInBytes → in-memory hash-relation inflation. The
+#: estimate is COMPRESSED COLUMNAR bytes (parquet stats); the build is
+#: UnsafeRow + open-addressing map overhead. Measured at sf10: a 79 MB
+#: estimate (15M two-column orders rows) OOMed a >1.1 GB build — ~14×;
+#: 16× adds margin.
+_HASH_BUILD_INFLATION = 16
+
+
+def _hash_build_fits(dim: DataFrame, salt_buckets: int) -> bool:
+    """True when the replicated dim's PER-REDUCER slice fits a hash build.
+
+    Uses the optimizer's size estimate (parquet stats / logical-plan
+    sizeInBytes — no action) × the measured columnar→hash-relation
+    inflation, divided across ``spark.sql.shuffle.partitions``. On any
+    stats failure the answer is True (the historical hint behavior)."""
+    try:
+        spark = dim.sparkSession
+        size = int(
+            str(
+                dim._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:  # noqa: BLE001
+        return True
+    per_part = size * salt_buckets / max(parts, 1)
+    return per_part * _HASH_BUILD_INFLATION < _HASH_BUILD_BUDGET_BYTES
 
 
 def salted_avg(
