@@ -3930,3 +3930,109 @@ ORACLES["exact_quantiles"] = f"""
     FROM ranked JOIN targets t USING (r)
 """
 QUERIES["exact_quantiles"] = q_exact_quantiles
+
+
+def q_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over each user's event-type
+    sequence — counts and row-normalized probabilities of (from -> to)
+    steps, the classic behavioral-sequence model (and the stats a
+    synthetic-session generator or next-event baseline is fit from).
+
+    Scale shape: the only fact-sized operation is one window shuffle
+    partitioned by ``user_id`` (high-cardinality — scales out) computing
+    ``lag(event_type)``; the transition counts then fold through a
+    map-side-combined hash aggregate whose output is DOMAIN-bounded
+    (|event types|² rows), and the row normalization is a window over
+    that bounded relation. No fact-sized join, no global ordering.
+    """
+    e = _events(spark, sf).where(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        round4(F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )
+
+
+ORACLES["markov_transitions"] = f"""
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_type,
+             event_type AS to_type
+      FROM events WHERE event_type IS NOT NULL
+    ), t AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           {R("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)")} AS p
+    FROM t
+"""
+QUERIES["markov_transitions"] = q_markov_transitions
+
+
+def q_series_autocorr(spark, sf):
+    """Autocorrelation function (lags 1..7) of each event type's daily
+    count series — the standard seasonality/trend diagnostic before
+    fitting any forecaster (a weekly cycle shows as a lag-7 peak).
+
+    Scale shape: the fact-sized work is ONE partially-aggregated
+    ``groupBy(event_type, day)`` count; everything after runs on the
+    CALENDAR-bounded daily relation (|types| × days rows): the lag
+    fan-out is a codegen ``explode`` (no join node), the (series,
+    series-shifted) alignment is an equi-join on (type, day-lag) —
+    broadcastable at any corpus size because days are bounded by the
+    calendar, not the data — and ``corr`` is a single Pearson aggregate
+    per (type, lag). The 100-TB cost is the daily count, nothing else.
+    """
+    e = _events(spark, sf)
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a = daily.withColumn(
+        "lag_k", F.explode(F.array(*[F.lit(i) for i in range(1, 8)]))
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("x").alias("bx"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bd") == F.col("d") - F.col("lag_k")),
+        "inner",
+    )
+    return pairs.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        round4(F.corr("x", "bx")).alias("acf"),
+    )
+
+
+ORACLES["series_autocorr"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, l.lag_k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {R("corr(a.x, b.x)")} AS acf
+    FROM daily a
+    CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS l(lag_k)
+    JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - l.lag_k
+    GROUP BY 1, 2
+"""
+QUERIES["series_autocorr"] = q_series_autocorr
