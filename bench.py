@@ -484,16 +484,27 @@ def _bench_topk_skew(spark, naive: bool) -> float:
     return _bench_topk_skew_n(spark, naive=naive, n=3_000_000)
 
 
-def _bench_topk_skew_n(spark, naive: bool, n: int) -> float:
+def _bench_topk_skew_n(spark, naive: bool, n: int, parts: int = 32) -> float:
     """Parameterized form of the Zipf guard — tools/scaling_rehearsal.py
     scales ``n`` by a decade per step to measure the two-phase plan's
-    scaling exponent on a synthetic relation whose hot key is always 30%."""
+    scaling exponent on a synthetic relation whose hot key is always 30%.
+
+    ``parts`` sizes the input partitions. The bench row keeps the fixed
+    32 (n=3M -> ~94k rows/partition, comparable across rounds), but a
+    FIXED count at growing ``n`` measures partition-size pathology, not
+    the operator: the map-side WindowGroupLimit sorts each input
+    partition, and a 9.4M-row partition sort (n=300M/32) spills where a
+    ~1M-row one doesn't (round-12 marginal measurement: 21.1 s at 32
+    parts vs 11.2 s at 512, same data). Real 100-TB inputs arrive from
+    file scans where ``maxPartitionBytes`` bounds partition size
+    automatically — pass parts ∝ n to rehearse that regime (the
+    scaling rehearsal does)."""
     from pyspark.sql import functions as F
 
     from batch_processing_pipeline_spark.fixtures import zipf_prefix_fixture
     from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 
-    df = zipf_prefix_fixture(spark, n=n, num_partitions=32)
+    df = zipf_prefix_fixture(spark, n=n, num_partitions=parts)
     key = "spark.sql.optimizer.windowGroupLimitThreshold"
     prior = spark.conf.get(key)
     try:
