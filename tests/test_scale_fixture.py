@@ -10,7 +10,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from tools.make_scale_fixture import build
+from tools.make_scale_fixture import _LOWER, _UPPER, _copy_perms, build
 
 SRC = "/root/testdata/sf0.001"
 K = 3
@@ -193,3 +193,58 @@ def test_cross_copy_char_grams_unlinked(fixture_dir):
         # minhash_lsh_dedup's loosest production threshold is 0.5; the
         # cipher keeps cross-copy gram overlap an order of magnitude under
         assert max_j < 0.10, (ca, cb, max_j)
+
+
+def test_copy_perms_distinct_at_any_k():
+    """The sixth-decade prerequisite: rotation has only 25 distinct
+    non-identity values, so k=100 copies i and i+25 shared a cipher
+    (bounded 4-member classes) and k=1000 would fabricate 40-member
+    cross-copy near-dup cliques. ``_copy_perms`` must (a) keep the
+    historical rotations for copies 1–25 (committed-artifact
+    reproducibility), (b) be a valid letter bijection per copy, and
+    (c) be pairwise distinct across ALL copies at k=1000 — so no two
+    copies anywhere share a cipher and cross-copy char-gram density
+    stays honest at every decade."""
+    perms = _copy_perms(1000)
+    assert perms[0] == _LOWER + _UPPER
+    for i in range(1, 26):  # historical rotation preserved
+        lo = _LOWER[i:] + _LOWER[:i]
+        assert perms[i] == lo + lo.upper(), i
+    for i, p in enumerate(perms):  # each is a bijection, case-aligned
+        assert sorted(p[:26]) == list(_LOWER), i
+        assert p[26:] == p[:26].upper(), i
+    assert len(set(perms)) == len(perms)  # pairwise distinct
+
+
+def test_cross_copy_grams_unlinked_beyond_rotation_space(tmp_path):
+    """Copies 1 and 26 shared a cipher under the pre-r12-session-2
+    rotation scheme (shift 1+(i-1)%25 collides every 25 copies): their
+    char-grams were IDENTICAL up to word order, fabricating near-dup
+    pairs at k>25. With the seeded-permutation extension their grams
+    must be as unlinked as any other copy pair. Build k=27 on the tiny
+    sf0.001 documents table and compare the previously-colliding pair
+    directly."""
+    out = str(tmp_path / "k27")
+    build(SRC, out, 27)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH d AS (
+          SELECT doc_id % 100000000 AS src_id, doc_id // 100000000 AS copy,
+                 text
+          FROM read_parquet('{out}/documents.parquet')
+          WHERE doc_id // 100000000 IN (1, 26) AND length(text) >= 5
+        ), g AS (
+          SELECT src_id, copy,
+                 list_distinct(
+                   [text[j:j+4] FOR j IN range(1, length(text) - 3)]
+                 ) AS grams
+          FROM d
+        )
+        SELECT MAX(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))))
+        FROM g a JOIN g b ON a.src_id = b.src_id AND a.copy = 1 AND b.copy = 26
+        """
+    ).fetchone()
+    assert rows[0] is not None, "no cross-copy pairs sampled"
+    assert rows[0] < 0.10, rows[0]

@@ -10,9 +10,12 @@ tools/scaling_rehearsal.py can measure wall-clock across three decades.
 Replication must not distort the SHAPE the queries key on:
 
 - ``documents``: copy i shifts doc_id by i·1e8, applies a per-copy
-  LETTER-ROTATION CIPHER to every non-stopword word (``translate`` with
-  the a–z/A–Z alphabet rotated by 1+(i−1)%25; the 40 STOPWORDS of all
-  four langid languages stay verbatim so stopword-ratio / language-ID /
+  LETTER CIPHER to every non-stopword word (``translate`` with a
+  per-copy alphabet: rotation by i for copies 1–25 — byte-compatible
+  with every fixture built at k ≤ 26 — and a deterministic seeded
+  Fisher-Yates PERMUTATION for copies ≥ 26, pairwise-distinct across
+  ALL copies, see ``_copy_perms``; the 40 STOPWORDS of all four langid
+  languages stay verbatim so stopword-ratio / language-ID /
   quality-gate shapes are identical per copy), and ROTATES each text's
   word order by i. Both transforms are per-copy word bijections, so each
   copy's internal exact-duplicate AND set-similarity structure is
@@ -101,22 +104,47 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
-def _cipher_case_sql(k: int) -> str:
-    """A chained CASE mapping copy i>0 to a per-copy letter-rotation
-    cipher of ``w`` (identity on digits/punct; case preserved)."""
-    keep = ", ".join(f"'{w}'" for w in _KEEP_WORDS)
-    branches = []
+def _copy_perms(k: int) -> list[str]:
+    """Per-copy cipher targets (lower+upper, 52 chars each), copy 0 =
+    identity. Copies 1..25 keep the historical letter ROTATION by i (so
+    every fixture built at k ≤ 26 — the committed sf1 artifacts —
+    reproduces byte-for-byte). Rotation has only 25 distinct non-identity
+    values, so at k=100 copies i and i+25 shared a cipher (bounded
+    4-member classes — accepted for the r12 sf10 artifacts) and at
+    k=1000 it would fabricate 40-member cross-copy near-dup cliques.
+    Copies ≥ 26 therefore draw a DETERMINISTIC seeded Fisher-Yates
+    permutation of the 26 letters (inline 64-bit LCG — no dependence on
+    Python's random module internals), with a uniqueness guard across
+    ALL copies: every copy's cipher is pairwise distinct, so cross-copy
+    char-grams stay unlinked at any k."""
+    seen = {_LOWER}
+    out = [_LOWER + _UPPER]
     for i in range(1, k):
-        shift = 1 + (i - 1) % 25
-        tgt = (
-            _LOWER[shift:] + _LOWER[:shift] + _UPPER[shift:] + _UPPER[:shift]
-        )
-        branches.append(
-            f"WHEN i = {i} THEN list_transform(words, w -> "
-            f"CASE WHEN w IN ({keep}) THEN w "
-            f"ELSE translate(w, '{_LOWER}{_UPPER}', '{tgt}') END)"
-        )
-    return "CASE WHEN i = 0 THEN words " + " ".join(branches) + " END"
+        if i <= 25:
+            lo = _LOWER[i:] + _LOWER[:i]
+        else:
+            state = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & (2**64 - 1)
+            while True:
+                letters = list(_LOWER)
+                for j in range(25, 0, -1):
+                    state = (state * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+                    r = (state >> 33) % (j + 1)
+                    letters[j], letters[r] = letters[r], letters[j]
+                lo = "".join(letters)
+                if lo not in seen:
+                    break
+        seen.add(lo)
+        out.append(lo + lo.upper())
+    return out
+
+
+def _perms_values_sql(k: int) -> str:
+    """A VALUES relation (i, tgt) with one cipher target per copy.
+    ``i`` is cast to BIGINT: the doc_id offset is i·1e8, which overflows
+    the INT32 a bare VALUES literal would type."""
+    return ", ".join(
+        f"({i}::BIGINT, '{t}')" for i, t in enumerate(_copy_perms(k))
+    )
 
 
 def build(src: str, out: str, k: int) -> None:
@@ -126,16 +154,21 @@ def build(src: str, out: str, k: int) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
 
+    keep = ", ".join(f"'{w}'" for w in _KEEP_WORDS)
     con.execute(
         f"""
         COPY (
           WITH src AS (SELECT * FROM read_parquet('{src}/documents.parquet')),
-          reps AS (SELECT i FROM range({k}) t(i)),
+          perms(i, tgt) AS (VALUES {_perms_values_sql(k)}),
           sfx AS (
-            SELECT d.doc_id, d.lang, d.source, i,
-                   {_cipher_case_sql(k)} AS words
+            SELECT d.doc_id, d.lang, d.source, p.i,
+                   CASE WHEN p.i = 0 THEN words ELSE
+                     list_transform(words, w ->
+                       CASE WHEN w IN ({keep}) THEN w
+                       ELSE translate(w, '{_LOWER}{_UPPER}', p.tgt) END)
+                   END AS words
             FROM (SELECT *, string_split(text, ' ') AS words FROM src) d
-            CROSS JOIN reps
+            CROSS JOIN perms p
           ),
           rot AS (
             SELECT doc_id + i * 100000000 AS doc_id,
