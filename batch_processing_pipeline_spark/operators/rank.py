@@ -53,6 +53,41 @@ _LOW33 = (1 << 33) - 1
 #: construction — see its docstring — so it carries no guard.)
 _MAX_PART_ROWS = 1 << 33
 
+#: target bytes per range partition when the caller leaves
+#: ``num_partitions`` adaptive — mirrors the scan-side
+#: ``maxPartitionBytes`` discipline (the round-12 zipf lesson made
+#: data-proportional partition sizing POLICY: fixed counts at growing n
+#: are spill/OOM pathology, not operator cost). 64 MB of optimizer-
+#: estimated input per partition keeps the eager checkpoint's per-task
+#: blocks and the per-partition local sorts in the regime every real
+#: file scan runs under.
+_RANGE_PART_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def _adaptive_range_partitions(df: DataFrame) -> int | None:
+    """Size-derived range partition count (None = let the session
+    default stand). The sixth-decade rehearsal caught the defect this
+    guards: with ``num_partitions=None`` the range shuffle inherited
+    ``spark.sql.shuffle.partitions`` (32), so a 600M-row relation
+    materialized 18.75M-row partitions through the EAGER localCheckpoint
+    and OOMed a 24g heap — invisible at every scale where 32 partitions
+    keep blocks small. Same machinery as ``skew._hash_build_fits``: the
+    optimizer's ``sizeInBytes`` (parquet file stats — no action
+    triggered), divided into ~64 MB partitions, floored at the session
+    shuffle-partition count (small relations keep today's exact plans)
+    and capped at 20k (the offsets branch aggregates one row per
+    partition; a silly cap-less estimate would bloat that relation).
+    Any stats failure returns None — historical behavior."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        floor = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        parts = max(floor, min(20_000, size // _RANGE_PART_TARGET_BYTES))
+        return parts if parts > floor else None
+    except Exception:  # noqa: BLE001 — stats are advisory, never fatal
+        return None
+
 
 def _pinned_range_partitions(
     df: DataFrame, order_by: Sequence[Column], num_partitions: int | None
@@ -87,6 +122,8 @@ def _pinned_range_partitions(
     (it lives inside the checkpointed lineage) — plan tests assert the
     RDD-scan shape instead."""
     order_by = list(order_by)
+    if num_partitions is None:
+        num_partitions = _adaptive_range_partitions(df)
     if num_partitions is not None:
         parts = df.repartitionByRange(num_partitions, *order_by)
     else:
