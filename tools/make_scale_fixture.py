@@ -147,15 +147,48 @@ def _perms_values_sql(k: int) -> str:
     )
 
 
-def build(src: str, out: str, k: int) -> None:
+def build(src: str, out: str, k: int, skip_existing: bool = False) -> None:
     if os.path.realpath(out).startswith("/root/testdata"):
         raise SystemExit("refusing to write into /root/testdata")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    # Scale discipline (learned at k=1000, the sf100-class build): COPY
+    # preserves insertion order by default, which buffers the whole
+    # CROSS-JOIN output in memory — the 600M-row lineitem copy was
+    # OOM-killed at 88 GB. None of these tables needs implicit order
+    # (documents/embeddings state an explicit ORDER BY, which is still
+    # honored as an external spill-sort), so stream the copies and cap
+    # the engine well below the host so concurrent Spark JVMs survive.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '24GB'")
+    tmp = os.path.join(out, ".duckdb_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmp}'")
+
+    def _done(t: str) -> bool:
+        """--skip-existing resume: a table counts as built only if its
+        parquet file has a readable row count (a 0-byte file from a
+        killed COPY does not)."""
+        p = os.path.join(out, f"{t}.parquet")
+        if not (skip_existing and os.path.exists(p)):
+            return False
+        try:
+            con.execute(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()
+            return True
+        except duckdb.Error:
+            return False
+
+    def _copy(t: str, sql: str) -> None:
+        if _done(t):
+            print(f"{t}: kept (skip-existing)", flush=True)
+            return
+        con.execute(sql)
+        print(f"{t}: written", flush=True)
 
     keep = ", ".join(f"'{w}'" for w in _KEEP_WORDS)
-    con.execute(
+    _copy(
+        "documents",
         f"""
         COPY (
           WITH src AS (SELECT * FROM read_parquet('{src}/documents.parquet')),
@@ -186,9 +219,10 @@ def build(src: str, out: str, k: int) -> None:
                  length(text)::BIGINT AS n_chars
           FROM rot ORDER BY doc_id
         ) TO '{out}/documents.parquet' (FORMAT parquet)
-        """
+        """,
     )
-    con.execute(
+    _copy(
+        "embeddings",
         f"""
         COPY (
           SELECT vec_id + i * 100000000 AS vec_id, embedding, label
@@ -196,9 +230,10 @@ def build(src: str, out: str, k: int) -> None:
           CROSS JOIN range({k}) t(i)
           ORDER BY vec_id
         ) TO '{out}/embeddings.parquet' (FORMAT parquet)
-        """
+        """,
     )
-    con.execute(
+    _copy(
+        "lineitem",
         f"""
         COPY (
           SELECT l_orderkey + i * 1000000000 AS l_orderkey,
@@ -210,12 +245,13 @@ def build(src: str, out: str, k: int) -> None:
           FROM read_parquet('{src}/lineitem.parquet')
           CROSS JOIN range({k}) t(i)
         ) TO '{out}/lineitem.parquet' (FORMAT parquet)
-        """
+        """,
     )
     for t in ("region", "nation"):
-        con.execute(
+        _copy(
+            t,
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
-            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)",
         )
     shifted = {
         "customer": "c_custkey + i * 100000000 AS c_custkey, c_name, "
@@ -231,14 +267,15 @@ def build(src: str, out: str, k: int) -> None:
                   "user_id + i * 100000000 AS user_id, event_type, value, props",
     }
     for t, proj in shifted.items():
-        con.execute(
+        _copy(
+            t,
             f"""
             COPY (
               SELECT {proj}
               FROM read_parquet('{src}/{t}.parquet')
               CROSS JOIN range({k}) t(i)
             ) TO '{out}/{t}.parquet' (FORMAT parquet)
-            """
+            """,
         )
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -255,5 +292,8 @@ if __name__ == "__main__":
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--src", default="/root/testdata/sf0.1")
     p.add_argument("--out", default="/tmp/spark_graft_sf1")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="resume a killed build: keep tables whose parquet "
+                        "already has a readable row count")
     a = p.parse_args()
-    build(a.src, a.out, a.k)
+    build(a.src, a.out, a.k, skip_existing=a.skip_existing)
