@@ -220,35 +220,36 @@ def shingle_hash_sets(
 ) -> DataFrame:
     """(id, shingles array<bigint>) — the exact-verification relation.
 
-    Codegen bulk path: explode shingle START positions, hash each n-gram
-    once (seed 1_000_003 — an independent channel from the signature
-    family), ``collect_set`` the longs (dedups AND keeps shuffle rows
-    fixed-width). ``only_ids`` (one ``id_col`` column) semi-joins FIRST
-    so only candidate documents are ever re-shingled. Texts shorter than
-    ``shingle_n`` are excluded (their shingle set is empty — without the
-    guard ``F.sequence`` would run descending and hash wrapped
-    substrings into garbage shingles)."""
+    WITHIN-ROW formulation: a document's shingle set is a pure function
+    of its own text, so it is computed as an array expression — hash
+    every n-gram start position (seed 1_000_003, an independent channel
+    from the signature family), ``array_distinct`` the longs. No explode,
+    no shuffle, no aggregation state. The historical explode +
+    ``collect_set`` bulk form was codegen-faster per shingle but
+    hash-shuffled the full exploded shingle stream and held per-document
+    sets as JVM objects in ObjectHashAggregate — at the sf100-class
+    corpus (sixth-decade rehearsal) that aggregate fell back to
+    sort-based and spilled the sandbox disk dry. The per-row form's only
+    cost is the interpreted array lambda, paid exactly once per
+    candidate document.
+
+    ``only_ids`` (one ``id_col`` column) semi-joins FIRST so only
+    candidate documents are ever shingled (hash build = the bounded id
+    set; a sort-merge semi-join would sort the fat text stream for
+    nothing). Texts shorter than ``shingle_n`` are excluded (their
+    shingle set is empty — without the guard ``F.sequence`` would run
+    descending and hash wrapped substrings into garbage shingles)."""
     norm = F.lower(F.trim(F.col(text_col)))
     scoped = docs.where(F.length(norm) >= shingle_n)
     if only_ids is not None:
-        scoped = scoped.join(only_ids, id_col, "left_semi")
-    return (
-        scoped.select(F.col(id_col), norm.alias("_t"))
-        .select(
-            id_col,
-            "_t",
-            F.explode(
-                F.sequence(F.lit(1), F.length("_t") - F.lit(shingle_n - 1))
-            ).alias("_i"),
-        )
-        .select(
-            id_col,
-            F.xxhash64(
-                F.col("_t").substr(F.col("_i"), F.lit(shingle_n)), F.lit(1_000_003)
-            ).alias("_h"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("shingles"))
+        scoped = scoped.join(only_ids.hint("shuffle_hash"), id_col, "left_semi")
+    t = F.col("_t")
+    starts = F.sequence(F.lit(1), F.length(t) - F.lit(shingle_n - 1))
+    hashes = F.transform(
+        starts, lambda i: F.xxhash64(t.substr(i, F.lit(shingle_n)), F.lit(1_000_003))
+    )
+    return scoped.select(F.col(id_col), norm.alias("_t")).select(
+        id_col, F.array_distinct(hashes).alias("shingles")
     )
 
 
@@ -330,13 +331,31 @@ def minhash_lsh_dedup(
         sigs = minhash_signatures(
             docs, id_col, text_col, shingle_n, num_perm, sample_mod=sample_mod
         ).persist()
-        sigs.count()
+    n_docs = sigs.count()  # materializes an owned cache eagerly (see above)
     # The signature travels WITH the band keys through the self-join
     # (num_perm·8 B extra per banded row) so the estimate prefilter applies
     # to the raw join output — BEFORE the distinct — and no join back to
     # the signature relation is needed (see signature_agreement for why
     # the estimate is unrolled, not a HOF).
     banded = banded_signatures(sigs, id_col, bands, rows_per_band)
+    # Size the band self-join's shuffle WITH THE DATA, not the session
+    # default (the rank-family lesson, round 12): the banded relation is
+    # n_docs × bands rows of ~(8·num_perm + 48) B — at an sf100-class
+    # corpus (5M docs) that is ~11.5 GB, and sorting it across a
+    # session-default 32 partitions needs ~360 MB of execution memory per
+    # concurrent task, which UNABLE_TO_ACQUIRE_MEMORY-failed on a single
+    # 24 GB JVM whose storage pool also protects the sigs/sh caches.
+    # ~64 MB sort slices keep per-task memory flat at any corpus size.
+    # An explicit REPARTITION_BY_NUM also pins BOTH join branches to the
+    # same exchange at a fixed count — AQE cannot re-coalesce the two
+    # consumers divergently (the reuse-fragility class of the r11 rank
+    # bug and this round's sf100 "Can't zip RDDs" failure).
+    band_row_bytes = 8 * num_perm + 48
+    band_parts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        (n_docs * bands * band_row_bytes) // (64 << 20) + 1,
+    )
+    banded = banded.repartition(band_parts, "band_id", "band_key")
     # Singleton-bucket pruning (opt-in; see docstring): the count runs as
     # a window over the SAME hash-partitioning the equi-join needs, so it
     # adds no extra exchange — one shuffle of the banded relation feeds
@@ -349,6 +368,21 @@ def minhash_lsh_dedup(
         banded = (
             banded.withColumn("_bn", bucket_n).where(F.col("_bn") > 1).drop("_bn")
         )
+    # Sort-free self-join (sixth-decade lesson): the join output feeds an
+    # unordered distinct, so a SortMergeJoin's two 8·num_perm-B-per-row
+    # sorts are pure scratch — at the sf100-class corpus they spilled
+    # ~2 × 11.5 GB and exhausted the sandbox disk. A shuffled hash join
+    # builds exactly the ~64 MB partition slice the band_parts sizing
+    # above guarantees (the gate the salted_join policy requires for a
+    # pinned hash strategy IS that sizing formula), probes the reused
+    # exchange, and spills nothing. A band bucket pathological enough to
+    # blow a per-partition build is already quadratic in OUTPUT pairs —
+    # no join strategy survives that regime. The hint lives INSIDE the
+    # shared subtree (before aliasing) so both branches stay physically
+    # identical and the 8·num_perm-B-per-row exchange is written ONCE
+    # (ReusedExchange) — safe here because REPARTITION_BY_NUM pins the
+    # partition count against divergent AQE re-coalescing.
+    banded = banded.hint("shuffle_hash")
     left = banded.alias("a")
     right = banded.alias("b")
     prefiltered = (
@@ -368,12 +402,29 @@ def minhash_lsh_dedup(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-        # feeds both the candidate-id set and the verify joins — persist so
-        # the band self-join + prefilter chain runs once, not per branch.
-        # The relation is tiny (16 B/pair), unlike sigs.
-        .persist()
+        # feeds both the candidate-id set and the verify joins.
+        # localCheckpoint, NOT persist (sixth-decade scratch lesson): the
+        # relation is tiny (16 B/pair), but a persist KEEPS ITS LINEAGE —
+        # which pins the band self-join's shuffle files (8·num_perm B ×
+        # bands per doc, the biggest scratch in the operator) on local
+        # disk for the whole verify phase. The eager checkpoint
+        # materializes the pairs once (same eagerness the persist+count
+        # had) and severs the lineage, so the ContextCleaner can reclaim
+        # the band shuffles while verification runs; the checkpoint
+        # itself is released when the caller drops the returned frame
+        # (the pq_topk precedent). Recompute-on-executor-loss is traded
+        # away, as in the rank family.
+        #
+        # The repartition ahead of the checkpoint is load-bearing: AQE
+        # can coalesce the tiny distinct to ONE partition, and a
+        # 1-partition checkpoint scan reports SinglePartition — which
+        # SATISFIES any join clustering, so EnsureRequirements would
+        # drag the corpus-scan side of the verify semi-join through an
+        # Exchange SinglePartition (caught by the registry plan sweep).
+        # A fixed multi-partition round-robin keeps the scan parallel.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
-    prefiltered.count()  # eager, for the same race reason as sigs
     # prefiltered is materialized; nothing downstream reads sigs — release
     # an owned cache now instead of leaking it into the session (the
     # prefiltered pair cache is 16 B/pair and documented to live until
@@ -392,9 +443,34 @@ def minhash_lsh_dedup(
         .unionByName(prefiltered.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = shingle_hash_sets(docs, cand_ids, id_col, text_col, shingle_n)
+    # The shingle relation is read by BOTH verify joins (id_a and id_b
+    # sides). Those two subtrees are structurally identical, which makes
+    # the un-cached plan depend on exchange reuse + coherent AQE
+    # re-optimization across consumer stages — the invariant the r11
+    # rank bug proved unreliable (sixth-decade evidence: at the
+    # sf100-class scale this exact query died with "Can't zip RDDs with
+    # unequal numbers of partitions: List(32, 64)" inside the final
+    # SortMergeJoin codegen). Materializing sh ONCE and letting both
+    # joins scan the cache removes the shared-subtree hazard by
+    # construction — and guarantees the candidate re-shingling pass runs
+    # once even when reuse would not have fired. Like ``prefiltered``,
+    # the cache is small (candidate docs only) and documented to live
+    # until the caller materializes the returned DataFrame.
+    sh = shingle_hash_sets(docs, cand_ids, id_col, text_col, shingle_n).persist()
+    sh.count()  # eager, for the same race reason as sigs
+    # First join: hash build = the BARE 16 B/pair candidate relation
+    # (bounded by the near-dup population; sorting the fat shingle-array
+    # stream for a SortMergeJoin would spill array-width × |candidates|
+    # for an output nobody needs ordered). The SECOND join is left to the
+    # planner: its smaller side already carries the sh_a arrays, and a
+    # pinned hash build of fat array rows is exactly the
+    # memory-footprint-scales-with-data hint the salted_join policy
+    # forbids (observed: LongHashedRelation build OOM at the sf100
+    # rehearsal) — sort-merge there spills gracefully and stays
+    # candidate-bounded.
     verified = (
-        prefiltered.join(
+        prefiltered.hint("shuffle_hash")
+        .join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"),
             "id_a",
         )
