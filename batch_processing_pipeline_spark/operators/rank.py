@@ -64,6 +64,13 @@ _MAX_PART_ROWS = 1 << 33
 _RANGE_PART_TARGET_BYTES = 64 * 1024 * 1024
 
 
+#: any single leaf estimated at or above this is an "unknown size"
+#: sentinel (Catalyst's ``defaultSizeInBytes`` for stat-less leaves such
+#: as LogicalRDD is Long.MaxValue) — adaptive sizing must bail, not
+#: divide a sentinel into a partition count.
+_UNKNOWN_STATS_BYTES = 1 << 50
+
+
 def _adaptive_range_partitions(df: DataFrame) -> int | None:
     """Size-derived range partition count (None = let the session
     default stand). The sixth-decade rehearsal caught the defect this
@@ -71,17 +78,33 @@ def _adaptive_range_partitions(df: DataFrame) -> int | None:
     ``spark.sql.shuffle.partitions`` (32), so a 600M-row relation
     materialized 18.75M-row partitions through the EAGER localCheckpoint
     and OOMed a 24g heap — invisible at every scale where 32 partitions
-    keep blocks small. Same machinery as ``skew._hash_build_fits``: the
-    optimizer's ``sizeInBytes`` (parquet file stats — no action
-    triggered), divided into ~64 MB partitions, floored at the session
-    shuffle-partition count (small relations keep today's exact plans)
-    and capped at 20k (the offsets branch aggregates one row per
-    partition; a silly cap-less estimate would bloat that relation).
-    Any stats failure returns None — historical behavior."""
+    keep blocks small.
+
+    Sized from the SUM OF THE PLAN'S LEAF RELATIONS (parquet footer
+    stats — no action triggered), NOT the optimized plan's root
+    estimate: round-12 optimization measurement caught the root
+    estimate fabricating 265 GB for a 780 KB-leaf cross-join projection
+    (``hybrid_rrf_search``'s cosine side), which pinned a 3960-partition
+    range shuffle under 2000 rows and tripled the query (1.44 s →
+    4.46 s; the whole rank family paid smaller versions of the same
+    tax). Leaf file sizes are the one estimate Catalyst cannot inflate
+    through join/generator cardinality guesses. The trade: a relation
+    genuinely LARGER than its scan leaves (post-explode ranks) falls
+    back to the session floor — the pre-round-12 behavior, with the
+    2^33-row guard still raising on catastrophe. Division into ~64 MB
+    partitions, floored at the session shuffle-partition count (small
+    relations keep today's exact plans) and capped at 20k (the offsets
+    branch aggregates one row per partition). A stat-less leaf (e.g. a
+    checkpointed LogicalRDD reports ``defaultSizeInBytes``) or any
+    stats failure returns None — historical behavior."""
     try:
-        size = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        size = 0
+        for i in range(leaves.size()):
+            leaf_bytes = int(str(leaves.apply(i).stats().sizeInBytes()))
+            if leaf_bytes >= _UNKNOWN_STATS_BYTES:
+                return None
+            size += leaf_bytes
         floor = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         parts = max(floor, min(20_000, size // _RANGE_PART_TARGET_BYTES))
         return parts if parts > floor else None

@@ -301,3 +301,26 @@ def test_exact_global_ntile_matches_spark_ntile(spark):
     # rank_col omitted -> bucket only, no stray helper columns
     slim = exact_global_ntile(df, order, 7, out_col="nt")
     assert set(slim.columns) == {"id", "v", "nt"}
+
+
+def test_adaptive_range_partitions_ignores_inflated_root_estimates(spark):
+    """Round-12 optimization regression pin: `_adaptive_range_partitions`
+    must size from the plan's LEAF relations, never the optimized root
+    estimate — a cross-join projection's root estimate is fabricated
+    (observed 265 GB over a 780 KB parquet leaf in hybrid_rrf_search,
+    which pinned a 3960-partition range shuffle under 2000 rows). A
+    small-leaf plan, however inflated its root estimate, must return
+    None (session floor); a stat-less leaf (checkpointed RDD scan
+    reports defaultSizeInBytes) must also return None."""
+    from batch_processing_pipeline_spark.operators import rank as rank_mod
+
+    small = spark.range(2000).select(F.col("id"), F.lit("x" * 64).alias("t"))
+    blown = small.crossJoin(
+        spark.range(1).select(F.lit("q").alias("qq"))
+    ).select("id", "t", "qq")
+    # root estimate of the cross-join product is inflated; leaves are tiny
+    assert rank_mod._adaptive_range_partitions(blown) is None
+    # a checkpointed leaf has no honest stats -> bail, never divide a
+    # Long.MaxValue sentinel into a partition count
+    pinned = spark.range(64).localCheckpoint(eager=True)
+    assert rank_mod._adaptive_range_partitions(pinned) is None
