@@ -57,9 +57,9 @@ def label_propagation(
         bidir.select(F.col("u").alias("n"))
         .distinct()
         .select("n", F.col("n").alias("label"))
-    ).localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label").asc())
-    for _ in range(rounds):
+    for i in range(rounds):
         neigh = bidir.join(
             labels.withColumnRenamed("n", "v"), "v"
         ).select(F.col("u").alias("n"), "label")
@@ -68,9 +68,24 @@ def label_propagation(
             counted.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
             .select("n", "label")
-            .localCheckpoint(eager=True)
         )
-    return labels
+        # Round-12 optimization: rounds are FUSED into one lazy plan —
+        # each round references the previous labels exactly ONCE (the
+        # neighbor join), so lineage grows linearly, not exponentially,
+        # and no per-round materialization is needed; the whole horizon
+        # runs as one job (one pipeline of 2 shuffles/round) instead of
+        # `rounds` jobs each paying checkpoint storage + scheduling.
+        # All values are integers and the argmax is fully tie-broken, so
+        # fusion cannot move a result. A checkpoint every 8 rounds keeps
+        # plan size bounded for long horizons (the registry users run 5).
+        if (i + 1) % 8 == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    # ONE materialization for the whole fused horizon (was: one per
+    # round). It must happen HERE, not at the caller's first action:
+    # both registry users unpersist the edge cache as soon as this
+    # function returns, and a still-lazy plan would then recompute the
+    # co-purchase join once per fused round at action time.
+    return labels.localCheckpoint(eager=True)
 
 
 def bfs_distances(
@@ -112,6 +127,13 @@ def bfs_distances(
             .select("n", F.lit(i + 1).cast("long").alias("d"))
             .localCheckpoint(eager=True)
         )
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        # Round-12 optimization: `dist` stays a LAZY union of the
+        # checkpointed per-round discoveries — its lineage is a shallow
+        # union of R leaves, so re-checkpointing the whole reached set
+        # every round (O(reached) storage writes per round, O(R·reached)
+        # total) bought nothing. Only `new` needs pinning: it feeds three
+        # consumers (the union, next round's frontier, next round's
+        # anti-join) and is frontier-sized.
+        dist = dist.unionByName(new)
         frontier = new.select("n")
     return dist

@@ -106,17 +106,33 @@ def pagerank(
             )
             extra = damping * (leaked or 0.0) / n_nodes
         c = F.broadcast(contrib) if small else contrib
-        ranks = (
-            nodes.join(c, nodes.node == c.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base + extra)
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(c, nodes.node == c.dst, "left").select(
+            "node",
+            (
+                F.lit(base + extra)
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # Round-12 optimization: on the SMALL (broadcast) path the rounds
+        # fuse into one lazy plan — each round references the previous
+        # ranks exactly once (inside the broadcast contrib), so lineage
+        # grows linearly and the per-round eager checkpoint bought only
+        # an extra materialization job per round. The nested broadcast
+        # exchanges still materialize once each (driver holds ≤2·rounds
+        # relations bounded by broadcast_nodes_limit ≈ 16 MB each). The
+        # BIG path keeps the per-round checkpoint: its ranks relation
+        # re-shuffles into two joins per round, and an uncut lineage
+        # would re-plan the whole history each round. Dangling
+        # redistribution also keeps it — the per-round scalar collect
+        # would otherwise recompute all prior rounds each time (O(R²)).
+        if not small or redistribute_dangling:
+            ranks = ranks.localCheckpoint(eager=True)
+    if small and not redistribute_dangling:
+        # one materialization for the whole fused horizon (was: one per
+        # round) — it must land BEFORE the unpersists below, which would
+        # otherwise pull the cached e/nodes/ew from under the lazy plan
+        # and recompute the edge join once per fused round at action time
+        ranks = ranks.localCheckpoint(eager=True)
     if redistribute_dangling:
         dangling.unpersist()
     ew.unpersist()
