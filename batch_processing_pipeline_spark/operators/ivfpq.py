@@ -45,7 +45,10 @@ from batch_processing_pipeline_spark.fsutil import hadoop_fs
 from batch_processing_pipeline_spark.fsutil import read_text as fs_read_text
 from batch_processing_pipeline_spark.fsutil import write_text as fs_write_text
 from batch_processing_pipeline_spark.functions.vector import cosine_similarity
-from batch_processing_pipeline_spark.operators.pq import subspace_codebooks
+from batch_processing_pipeline_spark.operators.pq import (
+    collect_vectors,
+    subspace_codebooks,
+)
 from batch_processing_pipeline_spark.operators.topk import top_k_per_group
 
 
@@ -68,13 +71,12 @@ def train_ivfpq(
     the cosine geometry; residuals (x - centroid[cell]) feed the
     subspace codebooks — the IVFADC arrangement.
     """
-    rows = (
+    X = collect_vectors(
         corpus.select(F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.concat(F.lit("ivfpqtrain:"), F.col(vec_col).cast("string"))))
-        .limit(max_train)
-        .collect()
+        .limit(max_train),
+        "v",
     )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), k_coarse, replace=False)].copy()
@@ -884,17 +886,16 @@ def refresh_ivfpq_index(
             )
             .limit(max_train)
             .select(vec_col)
-            .collect()
         )
-        if len(rows) < ksub:
+        X = collect_vectors(rows, vec_col)
+        if len(X) < ksub:
             # not enough members to train ksub codewords — leave the
             # cell on the global/previous books and say so in the report
             for entry in report:
                 if entry["cell"] == int(c):
                     entry["refreshed"] = False
-                    entry["skipped"] = f"only {len(rows)} members < ksub={ksub}"
+                    entry["skipped"] = f"only {len(X)} members < ksub={ksub}"
             continue
-        X = np.asarray([r[0] for r in rows], dtype=np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         R = X - C[int(c)]
         cell_books[int(c)] = subspace_codebooks(

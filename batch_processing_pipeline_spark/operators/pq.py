@@ -65,15 +65,25 @@ def train_pq_codebooks(
     ml.KMeans-per-subspace variant cost m sequential fits — 70s at m=16
     on the sf0.01 fixture vs <1s for this).
     """
-    rows = (
+    X = collect_vectors(
         corpus.select(F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.concat(F.lit("pqtrain:"), F.col(vec_col).cast("string"))))
-        .limit(max_train)
-        .collect()
+        .limit(max_train),
+        "v",
     )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return subspace_codebooks(X, m=m, ksub=ksub, seed=seed, iters=iters)
+
+
+def collect_vectors(df: DataFrame, vec_col: str) -> "np.ndarray":
+    """Bounded driver pull of a vector column as a float64 matrix, via
+    Arrow (``toPandas``) instead of pickled rows — round-12 optimization:
+    the row path deserialized each element through Python object floats
+    (~1 s per training collect at bench scale vs ~0.1 s through Arrow).
+    Values are identical: the stored float32s widen exactly to float64
+    on either path, and row order is preserved."""
+    s = df.toPandas()[vec_col]
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in s])
 
 
 def subspace_codebooks(
