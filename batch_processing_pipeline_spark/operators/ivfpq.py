@@ -47,6 +47,7 @@ from batch_processing_pipeline_spark.fsutil import write_text as fs_write_text
 from batch_processing_pipeline_spark.functions.vector import cosine_similarity
 from batch_processing_pipeline_spark.operators.pq import (
     collect_vectors,
+    md5_ordered_sample,
     subspace_codebooks,
 )
 from batch_processing_pipeline_spark.operators.topk import top_k_per_group
@@ -72,10 +73,7 @@ def train_ivfpq(
     subspace codebooks — the IVFADC arrangement.
     """
     X = collect_vectors(
-        corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.concat(F.lit("ivfpqtrain:"), F.col(vec_col).cast("string"))))
-        .limit(max_train),
-        "v",
+        md5_ordered_sample(corpus, "ivfpqtrain:", vec_col, max_train), "v"
     )
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -874,16 +872,16 @@ def refresh_ivfpq_index(
     C = np.asarray(centroids, dtype=np.float64)
     trained: list[int] = []
     for c in dirty:
+        # key materialized before the orderBy — TakeOrderedAndProject
+        # re-evaluates an ordering EXPRESSION per comparison (see
+        # pq.md5_ordered_sample)
+        key = F.md5(
+            F.concat(F.lit(f"ivfpqrefresh:{c}:"), F.col(id_col).cast("string"))
+        )
         rows = (
             vec.join(assigned.where(F.col("cell") == int(c)), id_col)
-            .orderBy(
-                F.md5(
-                    F.concat(
-                        F.lit(f"ivfpqrefresh:{c}:"),
-                        F.col(id_col).cast("string"),
-                    )
-                )
-            )
+            .select(key.alias("__k"), F.col(vec_col))
+            .orderBy("__k")
             .limit(max_train)
             .select(vec_col)
         )

@@ -66,13 +66,33 @@ def train_pq_codebooks(
     on the sf0.01 fixture vs <1s for this).
     """
     X = collect_vectors(
-        corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.concat(F.lit("pqtrain:"), F.col(vec_col).cast("string"))))
-        .limit(max_train),
-        "v",
+        md5_ordered_sample(corpus, "pqtrain:", vec_col, max_train), "v"
     )
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return subspace_codebooks(X, m=m, ksub=ksub, seed=seed, iters=iters)
+
+
+def md5_ordered_sample(
+    corpus: DataFrame, salt: str, vec_col: str, max_train: int
+) -> DataFrame:
+    """The deterministic ``max_train``-row training sample: rows with the
+    smallest ``md5(salt || vector-as-string)``, in that order, projected
+    to one ``v`` column.
+
+    The key is MATERIALIZED into a column before the orderBy (round-12
+    optimization): ``orderBy(<expr>).limit(k)`` plans TakeOrderedAndProject,
+    whose priority-queue comparator RE-EVALUATES the ordering expression on
+    every comparison — for this key that is an array→string render plus an
+    md5 per compare, measured 0.83 s vs 0.14 s for the identical sample at
+    bench scale (6×). Selected rows and their order are unchanged (asserted
+    directly when the rewrite landed)."""
+    key = F.md5(F.concat(F.lit(salt), F.col(vec_col).cast("string")))
+    return (
+        corpus.select(key.alias("__k"), F.col(vec_col).alias("v"))
+        .orderBy("__k")
+        .limit(max_train)
+        .select("v")
+    )
 
 
 def collect_vectors(df: DataFrame, vec_col: str) -> "np.ndarray":
