@@ -19,6 +19,8 @@ dependency-free.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,44 +117,75 @@ def signlsh_buckets(
     n_planes: int,
     n_tables: int,
     seed: int,
+    carry_vec: bool = False,
 ) -> DataFrame:
-    """(id, table_id, bucket) for every vector — codegen bulk formulation.
+    """(id, table_id, bucket) for every vector — one map-side Arrow pass.
 
-    Array-lambda folds run interpreted, so the per-column ``signlsh_bucket``
-    costs ~µs per (plane × dim) element. Here the vector explodes to
-    (id, pos, v) rows once, joins a broadcast (table, plane, pos, coef)
-    relation, and two map-side-combining aggregations build projections
-    then bucket bits — the whole thing stays in whole-stage codegen.
+    Round-12 optimization (guide §4.2, the ``ivfpq_encode`` precedent):
+    the historical "codegen bulk" form exploded every vector to
+    (id, pos, v) rows, joined a broadcast (table, plane, pos, coef)
+    relation — a ×(dim·planes·tables) row blow-up, 3072 rows per 64-dim
+    vector — and rebuilt buckets through TWO hash-aggregation shuffles.
+    Measured at bench scale: 1.26 s for 2000 vectors, ~2/3 of the whole
+    signlsh_topk row; at corpus scale it re-shuffles the corpus twice for
+    a value that is a pure function of the row. Here all ``n_tables``
+    buckets are computed in one Arrow-batched matmul per batch
+    (X @ coefᵀ → sign bits → bucket ints) with the coefficient matrix
+    riding the closure (KBs), then ``posexplode`` fans out the
+    (table_id, bucket) rows map-side. No shuffle, no join, no
+    aggregation state. FP note: the matmul associates additions
+    differently from the old per-element aggregate — a sign could in
+    principle flip for a projection within ~1e-15 of zero; recall
+    bounds, planted-pair behavior, and the full differential pass are
+    re-asserted on the new kernel.
     """
+    from pyspark.sql.functions import pandas_udf
+
     spark = df.sparkSession
-    # The bucket pass is CPU-bound (dim × planes × tables multiply-adds per
-    # vector); compacted inputs (few parquet row groups) would serialize it
-    # on a handful of tasks — spread it when the source has fewer
-    # partitions than cores (no-op at real scale).
+    # The bucket pass is CPU-bound; compacted inputs (few parquet row
+    # groups) would serialize it on a handful of tasks — spread it when
+    # the source has fewer partitions than cores (no-op at real scale).
     if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    coef_rows = [
-        (t, p, d, c)
-        for t in range(n_tables)
-        for p, row in enumerate(_coeff_matrix(n_planes, dim, seed + 1000 * t))
-        for d, c in enumerate(row)
-    ]
-    coefs = spark.createDataFrame(
-        coef_rows, "table_id int, plane int, pos int, coef double"
-    )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
-    )
-    proj = (
-        exploded.join(F.broadcast(coefs), "pos")
-        .groupBy(id_col, "table_id", "plane")
-        .agg(F.sum(F.col("v").cast("double") * F.col("coef")).alias("proj"))
-    )
-    return proj.groupBy(id_col, "table_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("plane")).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("bucket")
+    # (dim, tables·planes) coefficient matrix; column t·n_planes+p is
+    # table t's plane p — identical planes to the historical form.
+    coef = np.asarray(
+        [
+            row
+            for t in range(n_tables)
+            for row in _coeff_matrix(n_planes, dim, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    ).T
+    powers = np.asarray([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def all_buckets(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        X = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            a = np.asarray(v, dtype=np.float64)[:dim]
+            X[i, : len(a)] = a
+        bits = (X @ coef) > 0  # (batch, tables·planes)
+        b = bits.reshape(n, n_tables, n_planes) @ powers  # (batch, tables)
+        return pd.Series(list(b))
+
+    # zero-pad/truncate to ``dim`` inside the kernel = the historical
+    # partial-dot semantics for ragged vectors (absent positions
+    # contributed nothing to the projection); empty/NULL vectors emitted
+    # no bucket rows in the explode form, so they are filtered here too.
+    # ``carry_vec`` rides the vector column through the fan-out so a
+    # caller that needs (bucket, vector) rows — the candidate join —
+    # skips the historical join-back to the corpus (one fewer corpus
+    # shuffle; the candidate join ships the vector either way).
+    keep = [F.col(id_col)] + ([F.col(vec_col)] if carry_vec else [])
+    return df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(
+        *keep,
+        F.posexplode(all_buckets(F.col(vec_col))).alias("table_id", "bucket"),
     )
 
 
@@ -252,25 +285,21 @@ def signlsh_topk(
     sum(C(n_planes, i) for i <= m)x before dedup while recall rises
     sharply (m=1 pinned >= 0.8 in tests/test_similarity.py).
     """
-    c = (
-        signlsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables, seed)
-        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            "table_id",
-            "bucket",
-        )
+    c = signlsh_buckets(
+        corpus, id_col, vec_col, dim, n_planes, n_tables, seed, carry_vec=True
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "table_id",
+        "bucket",
     )
-    qb = (
-        signlsh_buckets(queries, id_col, vec_col, dim, n_planes, n_tables, seed)
-        .join(queries.select(F.col(id_col), F.col(vec_col)), id_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            "table_id",
-            "bucket",
-        )
+    qb = signlsh_buckets(
+        queries, id_col, vec_col, dim, n_planes, n_tables, seed, carry_vec=True
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "table_id",
+        "bucket",
     )
     if multiprobe:
         # probe set: the exact bucket plus every bucket within Hamming
