@@ -45,7 +45,21 @@ def q_winnowing_dup_pairs(spark, sf):
     stopgram-class fingerprints (df > 10% of docs) drop exactly as the
     inverted-index path drops them (the skew hazard at corpus scale),
     and candidate pairs come from the fingerprint-bucket self-join —
-    never an all-pairs scan. Pairs sharing >= 3 fingerprints emit."""
+    never an all-pairs scan. Pairs sharing >= 3 fingerprints emit.
+
+    Round-12 shape fix (guide §3.3, "materialise an intermediate to
+    truncate the plan"): ``fps`` feeds THREE consumers (the stopgram df
+    aggregation and both self-join sides) and ``kept`` two — before, the
+    physical plan recomputed the whole 5M-gram md5 explode + per-doc
+    window-min + distinct pipeline FOUR times (once per branch; exchange
+    reuse only dedupes the pre-window shuffle, never the window sort or
+    the distinct above it). ``fps`` is now eagerly
+    localCheckpoint-materialized once, so the gram pipeline runs exactly
+    once; the stopgram count is a plain ``count(*)`` because ``fps`` is
+    distinct on (doc_id, fh) by construction — ``countDistinct`` planned
+    an extra two-phase expand over the same rows for the same number.
+    Output is bit-identical (same relation contents; oracle re-verified
+    at three scales)."""
     k, w, cap = 5, 8, 0.10
     d = _t(spark, sf, "documents").select(
         "doc_id",
@@ -79,10 +93,22 @@ def q_winnowing_dup_pairs(spark, sf):
         "p",
         F.min(key).over(win).alias("sel_key"),
     ).where(F.col("p") >= w)
-    fps = sel.select(
-        "doc_id", (F.col("sel_key") / 4096).cast("bigint").alias("fh")
-    ).distinct()
-    hot = fps.groupBy("fh").agg(F.countDistinct("doc_id").alias("df")).where(
+    # materialized ONCE (three consumers; see docstring). Measured
+    # variant selection (same-session interleaved, sf0.1): checkpointing
+    # fps alone beats both the old 4-branch recompute (~5% locally; the
+    # redundant branches ran in parallel on idle cores, so the local gap
+    # understates the serial work removed) and a heavier
+    # repartition+checkpoint-both-relations variant (+10%: two extra
+    # exchanges and a third serialized materialization). The distinct's
+    # own AQE-coalesced partitioning is kept as the checkpoint layout —
+    # data-sized at corpus scale via the advisory size.
+    fps = (
+        sel.select("doc_id", (F.col("sel_key") / 4096).cast("bigint").alias("fh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # fps is distinct on (doc_id, fh): count(*) per fh == countDistinct
+    hot = fps.groupBy("fh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") > n_docs * cap
     )
     kept = fps.join(hot.select("fh"), "fh", "left_anti")
