@@ -70,7 +70,17 @@ def fuzzy_self_join(
     """
     if max_distance != 1:
         raise ValueError("only max_distance=1 is supported")
-    base = df.select(F.col(id_col), F.col(s_col)).where(F.col(s_col).isNotNull())
+    # base feeds THREE consumers (the variant relation plus both verify
+    # join sides) — materialized once so the caller's upstream (typically
+    # a distinct over the dictionary) is not recomputed per branch
+    # (round 12, guide §3.3; same-session A/B at sf0.1: 0.47 → 0.42 s).
+    # Eager checkpoint: construction runs a job (rank-family precedent);
+    # the pin is dictionary-sized.
+    base = (
+        df.select(F.col(id_col), F.col(s_col))
+        .where(F.col(s_col).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     v = deletion_variants(base, id_col, s_col)
     a = v.alias("a")
     b = v.alias("b")

@@ -149,21 +149,27 @@ def domain_mix(
     )
     cnt = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c"))
     joined = cnt.join(tgt, domain_col)
-    scale = joined.agg(F.min(F.col("_c") / F.col("_p")).alias("_nstar"))
-    thresholds = (
-        joined.crossJoin(F.broadcast(scale))
-        .select(
-            F.col(domain_col),
-            F.format_string(
-                "%08x",
-                F.least(
-                    F.floor(
-                        F.col("_p") * F.col("_nstar") / F.col("_c") * F.lit(2.0**32)
-                    ).cast("long"),
-                    F.lit(_MAX32),
-                ),
-            ).alias("_thr"),
-        )
+    # N* as a MIN over an empty-partition window on the (bounded,
+    # #domains-row) aggregate instead of a separate scalar aggregate +
+    # crossJoin: the old two-branch form computed the corpus count
+    # aggregation twice — once under the scalar, once under the
+    # thresholds projection (round 12, guide §2.4; same-session A/B at
+    # sf0.1: 0.86 → 0.59 s; output bit-identical, exceptAll 0 both
+    # ways + oracle re-green ×3 scales). The single-partition window is
+    # safe: its input is the post-aggregate domain relation, never the
+    # corpus.
+    nstar = F.min(F.col("_c") / F.col("_p")).over(Window.partitionBy())
+    thresholds = joined.select(
+        F.col(domain_col),
+        F.format_string(
+            "%08x",
+            F.least(
+                F.floor(
+                    F.col("_p") * nstar / F.col("_c") * F.lit(2.0**32)
+                ).cast("long"),
+                F.lit(_MAX32),
+            ),
+        ).alias("_thr"),
     )
     return (
         df.join(F.broadcast(thresholds), domain_col)

@@ -1727,6 +1727,16 @@ def q_triangle_count(spark, sf):
             F.least("s1", "s2").alias("s1"), F.greatest("s1", "s2").alias("s2")
         )
         .distinct()
+        # materialized ONCE (round 12, guide §3.3): the triangle join
+        # reads edges from THREE branches — without the checkpoint the
+        # whole upstream (lineitem self-join, pair agg, k-NN window,
+        # distinct) re-ran per branch (12 scans in the before-plan).
+        # The relation is bounded at k·n rows by the sparsification, so
+        # the pin is small at any scale. Measured (same-session A/B,
+        # sf0.1): 2.66 → 2.52 s; checkpointing `pairs` as well was
+        # SLOWER (2.79 s — a second serialized materialization for a
+        # subtree whose two union branches already share one exchange).
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -2095,8 +2105,8 @@ def q_dup_spans(spark, sf):
     near-doc (MinHash/SimHash/PPJoin), and cross-set (decontaminate).
 
     Scale shape: spans never leave their row as text — only the 16-byte
-    fingerprint exits to the groupBy, with map-side partial counts; the
-    flag join is fingerprint-keyed.  Span strings assemble from 7 LEAD()s
+    fingerprint exits to the one fingerprint-keyed exchange, where a
+    window count flags duplicates.  Span strings assemble from 7 LEAD()s
     over the per-doc position order — whole-stage codegen end to end (an
     array-slice transform was tried first: higher-order functions run
     interpreted, 5x slower on the span pass).
@@ -2124,13 +2134,20 @@ def q_dup_spans(spark, sf):
         )
         .where(F.col("fp").isNotNull())
     )
-    dup_fps = (
-        spans.groupBy("fp")
-        .agg(F.count("*").alias("occurrences"))
+    # ONE pass (round 12, guide §2.4 "two operations keyed the same way
+    # share one exchange"): the historical groupBy+join-back computed the
+    # span window pipeline TWICE (once under the fingerprint aggregate,
+    # once for the join probe) and shuffled it twice. A count over a
+    # fingerprint-partitioned window is the same number per row with one
+    # spans computation and one exchange; the window's partition is an
+    # occurrence group (tiny by construction — it is the dup count
+    # itself). Output identical (exceptAll 0 both ways; oracle re-green
+    # ×3 scales). Same-session A/B at sf0.1: 1.22 → 0.68 s.
+    occ = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    return (
+        spans.withColumn("occurrences", occ.cast("long"))
         .where(F.col("occurrences") > 1)
-    )
-    return spans.join(dup_fps, "fp").select(
-        "doc_id", "pos", "fp", "occurrences"
+        .select("doc_id", "pos", "fp", "occurrences")
     )
 
 
@@ -2463,9 +2480,9 @@ def q_ngram_novelty(spark, sf):
     complement of dedup, used to down-weight late near-copies that no
     pairwise threshold catches.
 
-    Scale shape: first-occurrence is one min-aggregate over (ngram_fp,
-    doc_id) — only 16-byte fingerprints shuffle, never n-gram text; the
-    per-doc score is a fingerprint-keyed join back plus a ratio aggregate.
+    Scale shape: first-occurrence is one min-over-window on the
+    fingerprint-partitioned gram relation — only 16-byte fingerprints
+    shuffle, never n-gram text; the per-doc score is a ratio aggregate.
     """
     n = 3
     d = _t(spark, sf, "documents").where(
@@ -2488,9 +2505,17 @@ def q_ngram_novelty(spark, sf):
             F.md5(F.concat_ws(" ", *parts)),
         ).alias("fp"),
     ).where(F.col("fp").isNotNull()).select("doc_id", "fp").distinct()
-    first = gram.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    # ONE pass (round 12, same rewrite as dup_spans): first-occurrence is
+    # a MIN over a fingerprint-partitioned window instead of a groupBy +
+    # join-back — the historical form computed the gram pipeline
+    # (explode + per-doc window + distinct) twice and shuffled it twice.
+    # Output identical (exceptAll 0 both ways; oracle re-green ×3
+    # scales). Same-session A/B at sf0.1: 1.14 → 0.91 s (an eager
+    # checkpoint of `gram` instead measured WORSE, 1.45 s — the
+    # serialized materialization outweighed the saved recompute).
+    first_w = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        gram.join(first, "fp")
+        gram.withColumn("first_doc", first_w)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

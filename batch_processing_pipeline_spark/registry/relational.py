@@ -56,8 +56,19 @@ def q_perplexity(spark, sf):
         .select("doc_id", F.explode("t").alias("w"))
         .where(F.length("w") > 0)
     )
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    # vocab materialized ONCE (round 12, guide §3.3): it feeds both the
+    # corpus total and the scoring join — and the total is DERIVED from
+    # it (Σ n_w == corpus token count exactly), which deletes the third
+    # full explode+count pass the old separate total aggregate paid.
+    # The relation is vocabulary-sized (Zipf-compact at any scale).
+    # Output identical (exceptAll 0 both ways; oracle re-green ×3
+    # scales). Same-session A/B at sf0.1: 1.06 → 0.99 s.
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("n_w").cast("double").alias("n_total"))
     scored = (
         toks.join(vocab, "w")
         .crossJoin(F.broadcast(total))
