@@ -86,18 +86,6 @@ def prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(_CEIL_EPS))
         + 1
     ).select("id", "token")
-    # Materialized ONCE before the self-join (round 12, guide §3.3): both
-    # join branches otherwise recompute the whole prefix pipeline —
-    # explode, df join, TWO window passes over the exploded token stream
-    # (exchange reuse dedupes only the pre-window shuffle, not the sorts
-    # and windows above it). Eager localCheckpoint = construction runs a
-    # job (the rank-family precedent); the checkpoint is released when
-    # the caller drops the returned frame. The fixed round-robin
-    # repartition keeps the checkpointed scan parallel (AQE would
-    # coalesce the small prefix relation toward one partition locally).
-    prefix = prefix.repartition(
-        sets.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
 
     # candidates: pairs sharing any prefix token (rarest-first order keeps
     # this join's key distribution the least skewed possible)
@@ -116,17 +104,7 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     Returns (id_a, id_b, jac) with id_a < id_b and ``jac`` unrounded
     (callers round for oracle comparison).
     """
-    # token_sets is read by FOUR consumers (the candidate pipeline's
-    # explode + df aggregation inside prefix_candidates, then the sa/sb
-    # verification sides) — without materialization every branch re-reads
-    # the source and re-runs the regex split + array_distinct per row
-    # (six recomputes in the round-12 before-plan). One eager
-    # localCheckpoint runs the tokenization exactly once (guide §3.3);
-    # construction executes a job (rank-family precedent, see docstring
-    # note in prefix_candidates).
-    sets = token_sets(docs).repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    sets = token_sets(docs)
     cand = prefix_candidates(sets, threshold)
 
     # exact verification on candidates only
