@@ -871,21 +871,47 @@ def refresh_ivfpq_index(
     vec = vectors.select(id_col, vec_col)
     C = np.asarray(centroids, dtype=np.float64)
     trained: list[int] = []
+    # ONE sampling pass for ALL dirty cells (round-12 optimization): the
+    # historical form ran |dirty| sequential join+TakeOrdered+collect
+    # jobs — O(dirty cells) driver round-trips over the same joined
+    # relation. The sample DECISION depends only on (cell, id) — the md5
+    # key never reads the vector — so the per-cell top-``max_train`` is
+    # taken on the tiny checkpointed ``assigned`` relation (a window
+    # limit over 16 B rows; WindowGroupLimit keeps per-task state at k),
+    # and only the ≤ max_train·|dirty| WINNING ids broadcast-join back
+    # to the vectors: the fat embedding column is never shuffled (the
+    # guide-§2.3 discipline — decide on small rows, move heavy bytes
+    # once). Selected rows and their ascending-key order are identical
+    # to the per-cell form (same key per (cell, id), same top k). The
+    # key is materialized as a column before the sort for the
+    # TakeOrderedAndProject reason documented at pq.md5_ordered_sample.
+    from pyspark.sql import Window as _W
+
+    key = F.md5(
+        F.concat(
+            F.lit("ivfpqrefresh:"),
+            F.col("cell").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    sel = (
+        assigned.select("cell", F.col(id_col), key.alias("__k"))
+        .withColumn(
+            "__rn", F.row_number().over(_W.partitionBy("cell").orderBy("__k"))
+        )
+        .where(F.col("__rn") <= max_train)
+        .drop("__rn")
+    )
+    sampled = (
+        vec.join(F.broadcast(sel), id_col)
+        .orderBy("cell", "__k")
+        .select("cell", vec_col)
+        .toPandas()
+    )
     for c in dirty:
-        # key materialized before the orderBy — TakeOrderedAndProject
-        # re-evaluates an ordering EXPRESSION per comparison (see
-        # pq.md5_ordered_sample)
-        key = F.md5(
-            F.concat(F.lit(f"ivfpqrefresh:{c}:"), F.col(id_col).cast("string"))
-        )
-        rows = (
-            vec.join(assigned.where(F.col("cell") == int(c)), id_col)
-            .select(key.alias("__k"), F.col(vec_col))
-            .orderBy("__k")
-            .limit(max_train)
-            .select(vec_col)
-        )
-        X = collect_vectors(rows, vec_col)
+        part = sampled.loc[sampled["cell"] == int(c), vec_col]
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in part])
         if len(X) < ksub:
             # not enough members to train ksub codewords — leave the
             # cell on the global/previous books and say so in the report

@@ -757,3 +757,63 @@ def test_refresh_ivfpq_rejects_stale_corpus_snapshot(spark, ivfpq_model, tmp_pat
 
     report = refresh_ivfpq_index(emb, path, cells=[2])
     assert [r["cell"] for r in report if r["refreshed"]] == [2]
+
+
+def test_refresh_sample_matches_percell_md5_reference(spark, tmp_path):
+    """Round-12 optimization guard: refresh's dirty-cell training sample
+    is selected in ONE pass (per-cell window limit over (cell, id) keys
+    + broadcast join-back) instead of one TakeOrdered job per cell. The
+    selected rows, their ascending-md5 ORDER, and the ``max_train``
+    TRUNCATION must equal the per-cell reference — books are a pure
+    function of that ordered sample, so equality is asserted on the
+    stored ``cell_codebooks`` against an independently computed
+    Python-side reference (hashlib md5, per-cell sort, top max_train)."""
+    import hashlib
+    import json as _json
+
+    import numpy as np
+
+    from batch_processing_pipeline_spark.operators.ivfpq import (
+        refresh_ivfpq_index,
+        save_ivfpq_index,
+        train_ivfpq,
+    )
+    from batch_processing_pipeline_spark.operators.pq import subspace_codebooks
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents, books = train_ivfpq(emb, k_coarse=4, m=8, ksub=4, seed=7)
+    path = str(tmp_path / "sample_ref_index")
+    save_ivfpq_index(emb, path, cents, books)
+
+    # max_train=8 >= ksub=4 but far below cell populations: truncation
+    # (the window-limit path) is exercised, not just whole-cell collects
+    max_train, seed, iters = 8, 7, 20
+    refresh_ivfpq_index(
+        emb, path, cells=[0, 1, 2, 3], max_train=max_train, seed=seed, iters=iters
+    )
+    with open(f"{path}/model.json") as f:
+        model = _json.load(f)
+
+    # independent reference: membership from the stored codes, key =
+    # md5(f"ivfpqrefresh:{cell}:{id}"), ascending, top max_train
+    rows = spark.read.parquet(f"{path}/codes").select("vec_id", "cell").collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    C = np.asarray(cents, dtype=np.float64)
+    for c in range(4):
+        ids = [r.vec_id for r in rows if r.cell == c]
+        assert len(ids) > max_train, "fixture must force truncation"
+        keyed = sorted(
+            ids,
+            key=lambda i: hashlib.md5(
+                f"ivfpqrefresh:{c}:{i}".encode()
+            ).hexdigest(),
+        )[:max_train]
+        X = np.asarray([vecs[i] for i in keyed])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        expected = subspace_codebooks(
+            X - C[c], m=8, ksub=4, seed=seed + 7919 * c, iters=iters
+        )
+        assert model["cell_codebooks"][str(c)] == expected, f"cell {c}"
