@@ -877,11 +877,13 @@ def refresh_ivfpq_index(
     # relation. The sample DECISION depends only on (cell, id) — the md5
     # key never reads the vector — so the per-cell top-``max_train`` is
     # taken on the tiny checkpointed ``assigned`` relation (a window
-    # limit over 16 B rows; WindowGroupLimit keeps per-task state at k),
-    # and only the ≤ max_train·|dirty| WINNING ids broadcast-join back
-    # to the vectors: the fat embedding column is never shuffled (the
-    # guide-§2.3 discipline — decide on small rows, move heavy bytes
-    # once). Selected rows and their ascending-key order are identical
+    # limit over ~16 B key rows), and only the ≤ max_train·|dirty|
+    # WINNING ids broadcast-join back to the vectors: the corpus-sized
+    # embedding relation never shuffles — the single exchange that
+    # carries vectors is the final (cell, key) sort of the SELECTED
+    # sample rows, bounded by max_train·|dirty| (the guide-§2.3
+    # discipline — decide on small rows, move heavy bytes once).
+    # Selected rows and their ascending-key order are identical
     # to the per-cell form (same key per (cell, id), same top k). The
     # key is materialized as a column before the sort for the
     # TakeOrderedAndProject reason documented at pq.md5_ordered_sample.

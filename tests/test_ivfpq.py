@@ -761,8 +761,10 @@ def test_refresh_ivfpq_rejects_stale_corpus_snapshot(spark, ivfpq_model, tmp_pat
 
 def test_refresh_sample_matches_percell_md5_reference(spark, tmp_path):
     """Round-12 optimization guard: refresh's dirty-cell training sample
-    is selected in ONE pass (per-cell window limit over (cell, id) keys
-    + broadcast join-back) instead of one TakeOrdered job per cell. The
+    is selected in ONE pass (per-cell window limit over the (cell, id)
+    key relation + broadcast join-back of the winning ids, so the
+    corpus-sized vector relation never shuffles) instead of one
+    TakeOrdered job per cell. The
     selected rows, their ascending-md5 ORDER, and the ``max_train``
     TRUNCATION must equal the per-cell reference — books are a pure
     function of that ordered sample, so equality is asserted on the
