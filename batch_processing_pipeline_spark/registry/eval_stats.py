@@ -3316,6 +3316,13 @@ ORACLES["bpe_compression_by_lang"] = f"""
 QUERIES["bpe_compression_by_lang"] = q_bpe_compression_by_lang
 
 
+#: build hybrid_rrf_search's two independent rank pins from a 2-thread
+#: pool (overlapping their eager checkpoint jobs, guide §2.6). Private
+#: escape hatch: False restores the sequential build — same results
+#: (proven by A/B), kept for incident triage and the interleaved bench.
+_RRF_PARALLEL_PINS = True
+
+
 def q_hybrid_rrf_search(spark, sf):
     """Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.:
     score = sum 1/(60+rank)) — the standard way production search fuses
@@ -3376,12 +3383,6 @@ def q_hybrid_rrf_search(spark, sf):
         .groupBy("doc_id")
         .agg(F.sum("score").alias("score"))
     )
-    lex = exact_global_rank(
-        lex_scored.select("doc_id", round4(F.col("score")).alias("__s")),
-        [F.col("__s").desc(), F.col("doc_id").asc()],
-        out_col="r_lex",
-    ).select("doc_id", F.col("r_lex"))
-
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_vec")
@@ -3396,11 +3397,37 @@ def q_hybrid_rrf_search(spark, sf):
             ),
         )
     )
-    sem = exact_global_rank(
-        sem_scored,
-        [F.col("cos").desc(), F.col("doc_id").asc()],
-        out_col="r_sem",
-    ).select("doc_id", F.col("r_sem"))
+
+    # The two rank pins are INDEPENDENT pipelines whose eager range-
+    # shuffle checkpoints each execute a job at construction time
+    # (operators/rank.py). Building them from a 2-thread pool overlaps
+    # those jobs — the lexical side's tail tasks backfill with the
+    # cosine side's scan (guide §2.6 "overlap independent jobs"); each
+    # branch still pins its OWN boundaries, so per-branch results are
+    # byte-identical to the sequential build (asserted by the round-12
+    # A/B: exceptAll both ways = 0, oracle hash-green ×3 scales).
+    def _lex():
+        return exact_global_rank(
+            lex_scored.select("doc_id", round4(F.col("score")).alias("__s")),
+            [F.col("__s").desc(), F.col("doc_id").asc()],
+            out_col="r_lex",
+        ).select("doc_id", F.col("r_lex"))
+
+    def _sem():
+        return exact_global_rank(
+            sem_scored,
+            [F.col("cos").desc(), F.col("doc_id").asc()],
+            out_col="r_sem",
+        ).select("doc_id", F.col("r_sem"))
+
+    if _RRF_PARALLEL_PINS:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lex, f_sem = pool.submit(_lex), pool.submit(_sem)
+            lex, sem = f_lex.result(), f_sem.result()
+    else:  # sequential escape hatch (A/B + incident fallback)
+        lex, sem = _lex(), _sem()
 
     fused = (
         lex.join(sem, "doc_id", "full_outer")
