@@ -2268,7 +2268,20 @@ def q_quantile_normalize(spark, sf):
     d = _t(spark, sf, "documents").where(
         F.length(F.lower(F.trim(F.col("text")))) > 0
     )
-    scored = d.select("doc_id", "lang", quality_score(F.col("text")).alias("score"))
+    # scored feeds THREE runtime consumers — the global-rank pin (a job
+    # at build time), scored.count(), and the per-language window branch
+    # of the final action — and without a persist each one re-scans the
+    # text and re-evaluates quality_score (round-12 fourth session,
+    # measured 0.65× with the cache; the count becomes a cache count
+    # instead of a text scan). Narrow rows (id, lang, double); the cache
+    # backs the returned frame, so it is released by the ContextCleaner
+    # when the caller drops it (the pq_topk precedent). Deriving n from
+    # the pin's max(rn) instead was measured SLOWER than the cache count
+    # (2.11 vs 1.50 s) — an aggregate job over checkpoint storage costs
+    # more than counting a hot cache.
+    scored = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("score")
+    ).persist()
     wd = Window.partitionBy("lang").orderBy("score", "doc_id")
     ranked = scored.select(
         "doc_id",
