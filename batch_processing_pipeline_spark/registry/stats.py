@@ -1063,10 +1063,16 @@ def q_ks_test(spark, sf):
         F.col("event_type").isin("click", "purchase")
         & F.col("value").isNotNull()
     )
+    # per_v feeds the range-sharded cumagg's PIN JOB (build time) and the
+    # broadcast totals subtree of the final action — two different jobs,
+    # so exchange reuse can never deduplicate them and the events scan +
+    # groupBy ran twice (round-12 fourth session; the quantile_normalize
+    # pattern). The pin job populates this cache; the totals read it.
+    # Released by the ContextCleaner when the caller drops the frame.
     per_v = e.groupBy(F.col("value").alias("v")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("nb"),
-    )
+    ).persist()
     from batch_processing_pipeline_spark.operators.rank import (
         exact_global_cumagg,
     )
@@ -1561,12 +1567,16 @@ def q_pareto_abc(spark, sf):
     # per-part revenue as exact long 1e-4-dollar units (r12 sweep): the
     # rollup, the cumulative shards, and the class sums are then all
     # order-free integer arithmetic in both engines
+    # rev feeds the range-sharded cumagg's PIN JOB (build time) plus TWO
+    # broadcast total subtrees in the final action — cross-job, so the
+    # fact-table groupBy ran up to three times (round-12 fourth session;
+    # the quantile_normalize pattern). The pin job populates this cache.
     rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.sum(
             cents(F.col("l_extendedprice"))
             * (F.lit(100).cast("long") - cents(F.col("l_discount")))
         ).alias("rev_u")
-    )
+    ).persist()
     from batch_processing_pipeline_spark.operators.rank import (
         exact_global_cumagg,
     )
