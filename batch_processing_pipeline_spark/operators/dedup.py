@@ -572,7 +572,12 @@ def simhash_dedup(
     generation is a band-key equi-join, then exact hamming verification.
     """
     width = 64 // bands
-    sim = simhash64_bulk(df, id_col, tokens_col)
+    # sim feeds BOTH sides of the band self-join below — without a pin the
+    # whole simhash pipeline (tokenize → explode → xxhash64 → 63-buffer
+    # majority aggregation) re-runs once per side (round 12, guide §3.3 —
+    # the winnowing/ppjoin class). The pinned relation is (id, simhash):
+    # 16 B per document at any scale.
+    sim = simhash64_bulk(df, id_col, tokens_col).localCheckpoint(eager=True)
     banded = sim.select(
         id_col,
         "simhash",

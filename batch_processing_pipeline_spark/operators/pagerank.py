@@ -95,24 +95,40 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        extra = 0.0
-        if redistribute_dangling:
-            # one scalar aggregate per round; the collected value is a
-            # single float broadcast back inside the next plan as a literal
-            leaked = (
-                ranks.join(dangling, "node", "left_semi")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-            )
-            extra = damping * (leaked or 0.0) / n_nodes
         c = F.broadcast(contrib) if small else contrib
-        ranks = nodes.join(c, nodes.node == c.dst, "left").select(
-            "node",
-            (
-                F.lit(base + extra)
-                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if redistribute_dangling:
+            # the dangling-mass scalar rides IN-PLAN as a broadcast 1-row
+            # aggregate over the (checkpointed) previous ranks instead of
+            # a per-round driver collect (round 12 fifth session, guide
+            # §5.1): the round's checkpoint job now computes contrib and
+            # the scalar together — one job per round, not two. The FP
+            # expression replicates the collected form's operation order
+            # exactly (damping·leaked → /N → base+ → +damping·in_sum),
+            # so ranks are bit-identical to the driver-literal path.
+            leaked_scalar = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_leaked"))
+            )
+            ranks = (
+                nodes.join(c, nodes.node == c.dst, "left")
+                .crossJoin(F.broadcast(leaked_scalar))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.col("_leaked") / F.lit(float(n_nodes))
+                        + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(c, nodes.node == c.dst, "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
         # Round-12 optimization: on the SMALL (broadcast) path the rounds
         # fuse into one lazy plan — each round references the previous
         # ranks exactly once (inside the broadcast contrib), so lineage

@@ -69,26 +69,56 @@ def scd2_apply(
     changed = ~F.lit(True)
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
-    # current version survives: no update, or update that changes nothing
-    kept = j.where(has_cur & (~has_upd | ~changed)).select(
-        *keys, *attrs, valid_from, valid_to, current_col
+    vt_type = dict(dim.dtypes)[valid_to]
+    # ONE pass over the join (round 12 fifth session, guide §2.4): the
+    # historical three-way routing (kept / closed / opened as separate
+    # filters unioned back together) consumed `j` three times, so the
+    # full-outer join AND everything under it (the dimension scan, the
+    # update batch with its latest-per-key window) re-ran once per
+    # branch. A row routes to at most TWO output versions (closed +
+    # opened), so each j row emits a compacted array of version structs
+    # and one explode replaces the three filter branches. Output rows
+    # are identical (exceptAll 0 both ways; oracle hash-green ×3
+    # scales on the scd2 caller).
+    ver = lambda a_cols, vf, vt, cu: F.struct(  # noqa: E731
+        *[c.alias(n) for c, n in zip(a_cols, attrs)],
+        vf.alias(valid_from),
+        vt.alias(valid_to),
+        cu.alias(current_col),
     )
-    # current version closed by a real change
-    closed = j.where(has_cur & has_upd & changed).select(
-        *keys,
-        *attrs,
-        F.col(valid_from),
-        F.col("_u_ts").alias(valid_to),
-        F.lit(False).alias(current_col),
+    cur_attrs = [F.col(a) for a in attrs]
+    upd_attrs = [F.col(f"_u_{a}") for a in attrs]
+    routed = F.array_compact(
+        F.array(
+            # current version survives: no update, or a no-op update
+            F.when(
+                has_cur & (~has_upd | ~changed),
+                ver(cur_attrs, F.col(valid_from), F.col(valid_to), F.col(current_col)),
+            ),
+            # current version closed by a real change
+            F.when(
+                has_cur & has_upd & changed,
+                ver(cur_attrs, F.col(valid_from), F.col("_u_ts"), F.lit(False)),
+            ),
+            # new open version: changed key, or brand-new key
+            F.when(
+                has_upd & (~has_cur | changed),
+                ver(
+                    upd_attrs,
+                    F.col("_u_ts"),
+                    F.lit(None).cast(vt_type),
+                    F.lit(True),
+                ),
+            ),
+        )
     )
-    # new open version: changed key, or brand-new key
-    opened = j.where(has_upd & (~has_cur | changed)).select(
+    applied = j.select(*keys, F.explode(routed).alias("_v")).select(
         *keys,
-        *[F.col(f"_u_{a}").alias(a) for a in attrs],
-        F.col("_u_ts").alias(valid_from),
-        F.lit(None).cast(dict(dim.dtypes)[valid_to]).alias(valid_to),
-        F.lit(True).alias(current_col),
+        *[F.col(f"_v.{a}").alias(a) for a in attrs],
+        F.col(f"_v.{valid_from}").alias(valid_from),
+        F.col(f"_v.{valid_to}").alias(valid_to),
+        F.col(f"_v.{current_col}").alias(current_col),
     )
     return hist.select(*keys, *attrs, valid_from, valid_to, current_col).unionByName(
-        kept
-    ).unionByName(closed).unionByName(opened)
+        applied
+    )

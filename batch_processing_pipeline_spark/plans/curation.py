@@ -14,7 +14,7 @@ pairs, and the final accounting is a partial-aggregated group-by.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from batch_processing_pipeline_spark.functions.rounding import round4
@@ -55,14 +55,31 @@ def curate(
     """
     scored = score_documents(df, text_col)
     qualified = scored.where(F.col("quality") >= min_quality)
-    survivors = qualified.groupBy("fingerprint").agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
-    )
-    return survivors.join(
+    # ONE pass (round 12 fifth session, guide §2.4 "two operations keyed
+    # the same way share one exchange"): the historical groupBy+join-back
+    # consumed `qualified` twice, so the whole scoring projection (quality
+    # heuristic, language id, token counts, md5 fingerprint — the
+    # expensive regex work) ran once under the survivor aggregate and
+    # again under the join-back. min-id / group-count over a
+    # fingerprint-partitioned window flags the survivor in the same
+    # exchange; `text` is projected away before the shuffle.
+    w = Window.partitionBy("fingerprint")
+    return (
         qualified.select(
-            id_col, "quality", "lang_pred", "ws_tokens", "bpe_tokens"
-        ),
-        id_col,
+            id_col, "fingerprint", "quality", "lang_pred", "ws_tokens", "bpe_tokens"
+        )
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .select(
+            id_col,
+            "fingerprint",
+            "dup_count",
+            "quality",
+            "lang_pred",
+            "ws_tokens",
+            "bpe_tokens",
+        )
     )
 
 

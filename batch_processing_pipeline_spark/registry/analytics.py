@@ -734,17 +734,23 @@ def q_user_paths(spark, sf):
         "session_id",
         F.sum(new_s).over(wu.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    # trigram leads ride the SAME user window (round 12 fifth session,
+    # guide §2.4): sessions are contiguous and non-decreasing in user
+    # order by construction, so "two rows ahead within my session" ≡
+    # "two rows ahead within my user AND lead(session_id, 2) equals my
+    # session_id" — the historical second window partitioned by
+    # (user_id, session_id) cost a second full exchange + sort of the
+    # event relation for the same rows.
     path = F.concat_ws(
         ">",
         F.col("event_type"),
-        F.lead("event_type", 1).over(ws),
-        F.lead("event_type", 2).over(ws),
+        F.lead("event_type", 1).over(wu),
+        F.lead("event_type", 2).over(wu),
     )
     trigrams = sess.select(
         path.alias("path"),
-        F.lead("event_type", 2).over(ws).alias("_has3"),
-    ).where(F.col("_has3").isNotNull())
+        (F.lead("session_id", 2).over(wu) == F.col("session_id")).alias("_same"),
+    ).where(F.col("_same"))
     wr = Window.partitionBy().orderBy(
         F.desc("n"), F.md5(F.encode(F.col("path"), "UTF-8")).asc()
     )
@@ -1036,15 +1042,25 @@ def q_boilerplate_ngrams(spark, sf):
             )
         ).alias("g"))
     )
-    df_counts = grams.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("df")
+    # ONE explode pass (round 12 fifth session, guide §3.3): `grams` fed
+    # THREE consumers (document frequency, per-doc totals, the boiler
+    # count), each re-running the tokenize + 5-gram xxhash explode from
+    # the scan. One (doc, gram) partial aggregation — pinned — carries
+    # everything the three consumers need: count-per-(doc,gram) sums to
+    # the per-doc totals, and its per-gram row count IS countDistinct(doc)
+    # (the relation is distinct on (doc, gram) by construction).
+    gd = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
+    df_counts = gd.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     common = df_counts.where(F.col("df") >= 3).select("g")
-    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = gd.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
     boiler = (
-        grams.join(F.broadcast(common), "g", "left_semi")
+        gd.join(F.broadcast(common), "g", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+        .agg(F.sum("c").alias("n_boiler"))
     )
     return (
         per_doc.join(boiler, "doc_id", "left")

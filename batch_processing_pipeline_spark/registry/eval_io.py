@@ -905,10 +905,13 @@ def q_k_core(spark, sf):
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
-        .persist()
     )
     k = 2
+    # the checkpoint is edges' ONLY consumer — the round-12 fifth session
+    # dropped a persist() here that was written during the checkpoint job
+    # and never read again
     cur = edges.localCheckpoint(eager=True)
+    n_cur = cur.count()
     converged = False
     # 30 removal rounds + 1 confirming pass: a peel whose last removal
     # lands exactly on round 30 must still get the stability-confirming
@@ -927,12 +930,17 @@ def q_k_core(spark, sf):
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == cur.count():
-            cur = nxt
+        keep.unpersist()
+        # carry the edge count between rounds: nxt's count is next
+        # round's cur count, so the convergence check costs ONE count
+        # job per round, not two (round 12 fifth session — the
+        # dedup_clusters cheap-convergence discipline)
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
             converged = True
             break
-        cur = nxt
-    edges.unpersist()
+        n_cur = n_nxt
     if not converged:
         # an unconverged peel is a supergraph of the true k-core — fail
         # loudly rather than emit a silently-wrong result (a long cascade
@@ -1001,9 +1009,13 @@ def q_cohort_ltv(spark, sf):
     join back. Ages with activity but no purchases still appear (zero
     revenue, via the retention-grid left join) so the curve is dense."""
     e = _events(spark, sf)
+    # first feeds THREE consumers (cohort sizes, the activity join, the
+    # revenue join) — without a pin the full-events user aggregation
+    # re-runs once per consumer (round 12 fifth session, guide §3.3).
+    # The pin is (user_id, cohort): 12 B per user at any scale.
     first = e.groupBy("user_id").agg(
         F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort")
-    )
+    ).localCheckpoint(eager=True)
     sizes = first.groupBy("cohort").agg(
         F.countDistinct("user_id").alias("cohort_users")
     )

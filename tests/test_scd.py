@@ -66,3 +66,25 @@ def test_scd2_idempotent_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_scd2_null_safe_change_detection(spark):
+    """NULL attributes route through the single-pass version array
+    correctly (round-12 rewrite): null -> value is a CHANGE, null -> null
+    is a NO-OP (eqNullSafe, not =)."""
+    dim = spark.createDataFrame(
+        [
+            (1, None, 10.0, T0, None, True),   # null name, update fills it
+            (2, None, 5.0, T0, None, True),    # null name, update keeps null
+        ],
+        DIM_SCHEMA,
+    )
+    upd = spark.createDataFrame(
+        [(1, "ann", 10.0, T2), (2, None, 5.0, T2)], UPD_SCHEMA
+    )
+    out = scd2_apply(dim, upd, ["k"], ["name", "bal"])
+    rows = {(r.k, r.valid_from, r.valid_to): (r.name, r.bal, r.is_current) for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[(1, T0, T2)] == (None, 10.0, False)   # closed
+    assert rows[(1, T2, None)] == ("ann", 10.0, True)  # opened with new attr
+    assert rows[(2, T0, None)] == (None, 5.0, True)    # no-op: untouched
