@@ -20,6 +20,14 @@ Also diffs per-query times against the newest BENCH_r{N}.json in the repo
 root (stderr only — the stdout contract stays one line) and calls out any
 query slower than REGRESSION_FACTOR× its previous time.
 
+Round-13 noise instrumentation (VERDICT r12 items 1-3, all OUTSIDE every
+timed window; stdout contract unchanged): a fixed calibration probe
+(64 MB fsync write + 10M-row in-memory agg + load averages) runs between
+rows to stderr, SQL caches AND leftover RDD blocks (localCheckpoint debt
+clearCache never freed) are released between rows and BETWEEN the N_RUNS
+of a row — so min-of-N can no longer read a warm cache populated by a
+persisting query's first run. Timed actions themselves are unchanged.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
@@ -41,6 +49,80 @@ from batch_processing_pipeline_spark import get_spark
 from batch_processing_pipeline_spark.registry import QUERIES
 
 REGRESSION_FACTOR = 1.5
+
+#: Noise-calibration probe (round 13, VERDICT r12 item 1): a fixed-cost
+#: disk write + a fixed-cost in-memory Spark aggregation timed BETWEEN
+#: rows (stderr only — the stdout contract stays one line). The r12
+#: driver run was host-confounded (61/84 rows slower including untouched
+#: code, both core counts equally inflated) and nothing in the committed
+#: log could prove it; these probes make external disk/CPU contention
+#: measurable post hoc: a row reading high next to probe readings at
+#: their quiet-host level is a code regression, next to inflated probes
+#: it is the host. Costs ~0.5-1.5 s/row outside every timed window.
+PROBE_DISK_BYTES = 64 << 20  # constant 64 MB fsync'd write
+PROBE_AGG_ROWS = 10_000_000  # constant in-memory agg, 8 fixed partitions
+_PROBE_BUF: bytes | None = None
+
+
+def _noise_probe(spark, label: str) -> None:
+    """Time a 64 MB fsync'd write and a 10M-row in-memory aggregation,
+    and print them with the 1/5/15-min load averages. Pure diagnostics:
+    runs between rows, never inside a timed window."""
+    global _PROBE_BUF
+    if _PROBE_BUF is None:
+        _PROBE_BUF = bytes(PROBE_DISK_BYTES)
+    fd, path = tempfile.mkstemp(prefix="bench_probe_")
+    try:
+        t0 = time.time()
+        os.write(fd, _PROBE_BUF)
+        os.fsync(fd)
+        t_disk = time.time() - t0
+    finally:
+        os.close(fd)
+        os.unlink(path)
+    t0 = time.time()
+    # fixed 8 partitions so the probe is comparable across core counts
+    spark.range(0, PROBE_AGG_ROWS, 1, 8).selectExpr(
+        "sum(id % 1000003) as s"
+    ).collect()
+    t_cpu = time.time() - t0
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = float("nan")
+    print(
+        f"# probe[{label}]: disk64mb={t_disk:.3f}s agg10m={t_cpu:.3f}s "
+        f"load={la1:.1f}/{la5:.1f}/{la15:.1f}",
+        file=sys.stderr,
+    )
+
+
+def _release_blocks(spark) -> None:
+    """Drop SQL caches AND leftover RDD blocks (localCheckpoint debt).
+
+    ``clearCache()`` does NOT free localCheckpoint RDD blocks — they wait
+    for driver GC + ContextCleaner, so a checkpoint-bearing row could
+    bleed block-manager pressure into later rows (VERDICT r12 item 2).
+    Python gc drops the py4j refs, the explicit unpersist releases any
+    still-registered blocks, and a JVM System.gc() lets the
+    ContextCleaner finish the rest. Safe between rows/runs by contract:
+    every query builds from the parquet inputs, nothing persists across
+    invocations."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+        rdds = list(jmap.values().toArray())
+    except Exception:  # noqa: BLE001 — diagnostics must never kill the bench
+        rdds = []
+    for jrdd in rdds:
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — e.g. protected checkpoint blocks
+            pass
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
 #: committed number = min over this many runs per row. VERDICT r9: the
 #: builder-vs-driver spread on an identical tree (113.0 vs 128.6 s) was
@@ -545,9 +627,23 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def run_min(fn, n_runs: int = N_RUNS) -> float:
+        """min-of-N with cache/block hygiene BETWEEN the runs (round 13,
+        VERDICT r12 item 3): clearCache() used to run only after a row's
+        N runs, so runs 2..N of a query that persists an intermediate
+        could hit run 1's cache via CacheManager plan-matching, turning
+        min-of-N into a warm-cache number for those rows. Each run now
+        starts cache-cold; the timed action itself is unchanged."""
+        best = run_once(fn)
+        for _ in range(n_runs - 1):
+            _release_blocks(spark)
+            best = min(best, run_once(fn))
+        return best
+
     for name in HEADLINE:
         fn = QUERIES[name]
-        dt = min(run_once(fn) for _ in range(N_RUNS))
+        _noise_probe(spark, name)
+        dt = run_min(fn)
         # a sustained host-load spike can slow every base attempt at once
         # (observed: 3x for ~60 s). The previous round's recorded time is
         # an independent reference: if we're still >1.15x over it, grant
@@ -559,23 +655,27 @@ def main() -> None:
         if was is not None and was >= 0.2:
             extra = 0
             while dt > 1.15 * was and extra < 2:
+                _release_blocks(spark)
                 dt = min(dt, run_once(fn))
                 extra += 1
         dt = round(dt, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
-        # operators persist compact intermediates; drop them (and collect
-        # the garbage NOW) so queries don't inherit each other's heap debt
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        # operators persist compact intermediates; drop them (and the
+        # localCheckpoint block debt clearCache never touched) so queries
+        # don't inherit each other's heap/block-manager pressure
+        _release_blocks(spark)
 
     # IVFADC build/search cost split (not a QUERIES entry): min-of-N of
     # each phase independently; `sim_topk_ivfpq` above stays the
     # end-to-end row for continuity
-    builds, searches = zip(
-        *(_bench_ivfpq_split(spark, sf_dir) for _ in range(N_RUNS))
-    )
+    _noise_probe(spark, "ivfpq_split")
+    splits = []
+    for _ in range(N_RUNS):
+        splits.append(_bench_ivfpq_split(spark, sf_dir))
+        _release_blocks(spark)
+    builds, searches = zip(*splits)
     for entry, dt in (
         ("ivfpq_index_build", min(builds)),
         ("ivfpq_search_prebuilt", min(searches)),
@@ -587,7 +687,11 @@ def main() -> None:
 
     # index-maintenance lifecycle rows (not QUERIES entries: they mutate
     # a scratch index): min-of-N per leg, fresh index per run
-    runs = [_bench_ivfpq_lifecycle(spark, sf_dir) for _ in range(N_RUNS)]
+    _noise_probe(spark, "ivfpq_lifecycle")
+    runs = []
+    for _ in range(N_RUNS):
+        runs.append(_bench_ivfpq_lifecycle(spark, sf_dir))
+        _release_blocks(spark)
     for entry, dt in (
         ("ivfpq_refresh_cells", min(r[0] for r in runs)),
         ("ivfpq_delete_ids", min(r[1] for r in runs)),
@@ -598,7 +702,12 @@ def main() -> None:
         total += dt
         print(f"# {entry}: {dt:.3f}s", file=sys.stderr)
 
-    dt = round(min(_bench_reservoir_merge(spark, sf_dir) for _ in range(N_RUNS)), 3)
+    _noise_probe(spark, "reservoir_merge_step")
+    best = _bench_reservoir_merge(spark, sf_dir)
+    for _ in range(N_RUNS - 1):
+        _release_blocks(spark)
+        best = min(best, _bench_reservoir_merge(spark, sf_dir))
+    dt = round(best, 3)
     timings["reservoir_merge_step"] = dt
     total += dt
     print(f"# reservoir_merge_step: {dt:.3f}s", file=sys.stderr)
@@ -606,7 +715,11 @@ def main() -> None:
     # Zipf-skew guard pair (synthetic 30%-hot-prefix fixture, not a
     # QUERIES entry): two-phase plan vs rewrite-disabled naive window
     for entry, naive in (("topk_zipf_twophase", False), ("topk_zipf_naive", True)):
-        dt = min(_bench_topk_skew(spark, naive=naive) for _ in range(N_RUNS))
+        _noise_probe(spark, entry)
+        dt = _bench_topk_skew(spark, naive=naive)
+        for _ in range(N_RUNS - 1):
+            _release_blocks(spark)
+            dt = min(dt, _bench_topk_skew(spark, naive=naive))
         dt = round(dt, 3)
         timings[entry] = dt
         total += dt
@@ -628,11 +741,16 @@ def main() -> None:
         # min-of-2 base (not N_RUNS: each run is a full availableNow job,
         # 2-11 s of mostly fixed per-trigger cost — a third base run buys
         # little and costs the most wall-clock of any row), +1 on a spike
+        _noise_probe(spark, entry)
+        dt = _bench_stream_batch(
+            spark, sf_dir, state_buckets=buckets, max_files_per_trigger=mfpt
+        )
+        _release_blocks(spark)
         dt = min(
+            dt,
             _bench_stream_batch(
                 spark, sf_dir, state_buckets=buckets, max_files_per_trigger=mfpt
-            )
-            for _ in range(2)
+            ),
         )
         if dt > 20.0:
             # ~10 s on a quiet host — a 2x+ reading is an external load spike
@@ -655,9 +773,11 @@ def main() -> None:
         ("serving_pipeline", None),
         ("serving_pipeline_bucketed", 8),
     ):
+        _noise_probe(spark, entry)
+        dt = _bench_serving_pipeline(spark, sf_dir, state_buckets=buckets)
+        _release_blocks(spark)
         dt = min(
-            _bench_serving_pipeline(spark, sf_dir, state_buckets=buckets)
-            for _ in range(2)
+            dt, _bench_serving_pipeline(spark, sf_dir, state_buckets=buckets)
         )
         if dt > 20.0:
             dt = min(
@@ -668,6 +788,7 @@ def main() -> None:
         total += dt
         print(f"# {entry}: {dt:.3f}s", file=sys.stderr)
 
+    _noise_probe(spark, "suite_end")
     _print_regression_diff(timings)
 
     # ascending-by-time + compact separators + value LAST: see the module
