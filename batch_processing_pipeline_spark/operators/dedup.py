@@ -17,6 +17,7 @@ All column expressions, no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +26,13 @@ from batch_processing_pipeline_spark.functions.text_analysis import (
     char_shingles,
     doc_fingerprint,
 )
+from batch_processing_pipeline_spark.functions.xxh import shingle_hashes_batch
+
+#: Round-13 escape hatch: the verification shingle relation is computed by
+#: a vectorized Arrow/NumPy kernel that replicates Spark's xxhash64
+#: bit-for-bit (functions/xxh.py; equivalence pinned in tests/test_dedup).
+#: False restores the interpreted within-row column expression.
+SHINGLE_ARROW = True
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -211,6 +219,20 @@ def signature_agreement(num_perm: int, left: str, right: str) -> Column:
     return matches.cast("double") / F.lit(float(num_perm))
 
 
+def _shingle_hash_udf(shingle_n: int, int_lit: int = 1_000_003):
+    """Series→Series pandas UDF: text → int64 shingle-hash array, equal
+    bit-for-bit to ``transform(sequence(1, len-n+1), i ->
+    xxhash64(substr(t, i, n), lit(int_lit)))`` (see functions/xxh.py)."""
+
+    @F.pandas_udf("array<bigint>")
+    def sh(batch: pd.Series) -> pd.Series:
+        return pd.Series(
+            shingle_hashes_batch(batch.tolist(), shingle_n, int_lit)
+        )
+
+    return sh
+
+
 def shingle_hash_sets(
     docs: DataFrame,
     only_ids: DataFrame | None,
@@ -246,22 +268,35 @@ def shingle_hash_sets(
     scoped = docs.where(F.length(norm) >= shingle_n)
     if only_ids is not None:
         scoped = scoped.join(only_ids.hint("shuffle_hash"), id_col, "left_semi")
-    t = F.col("_t")
-    starts = F.sequence(F.lit(1), F.length(t) - F.lit(shingle_n - 1))
-    hashes = F.transform(
-        starts, lambda i: F.xxhash64(t.substr(i, F.lit(shingle_n)), F.lit(1_000_003))
-    )
     # No array_distinct (round-12 optimization): every consumer compares
     # these arrays through ``jaccard``, whose ``array_intersect`` /
     # ``array_union`` ALREADY deduplicate — Jaccard over the multiset
     # equals Jaccard over the set bit-for-bit (pinned by
     # test_shingle_hash_sets_jaccard_matches_string_shingles). Dropping
     # the per-row hash-set build cuts ~25% off the interpreted lambda
-    # (the stage's whole cost) and shrinks nothing downstream: the array
-    # length was already the document length either way.
-    return scoped.select(F.col(id_col), norm.alias("_t")).select(
-        id_col, hashes.alias("shingles")
+    # and shrinks nothing downstream: the array length was already the
+    # document length either way.
+    base = scoped.select(F.col(id_col), norm.alias("_t"))
+    if SHINGLE_ARROW:
+        # Round-13 (guide §4.2): the per-position xxhash64 ran as an
+        # INTERPRETED array lambda (~µs/shingle of allocation churn —
+        # the dominant cost of the verify stage). One Arrow batch in,
+        # one vectorized NumPy XXH64 pass over every shingle of every
+        # document, one Arrow batch out; values are BIT-IDENTICAL to the
+        # column expression (functions/xxh.py replicates Spark's
+        # xxhash64 fold exactly; pinned by
+        # test_shingle_hash_sets_arrow_matches_expression). Only
+        # (id, _t) crosses the boundary — normalization stays in the
+        # JVM, so lower/trim semantics are Spark's own.
+        return base.select(
+            id_col, _shingle_hash_udf(shingle_n)("_t").alias("shingles")
+        )
+    t = F.col("_t")
+    starts = F.sequence(F.lit(1), F.length(t) - F.lit(shingle_n - 1))
+    hashes = F.transform(
+        starts, lambda i: F.xxhash64(t.substr(i, F.lit(shingle_n)), F.lit(1_000_003))
     )
+    return base.select(id_col, hashes.alias("shingles"))
 
 
 def minhash_lsh_dedup(

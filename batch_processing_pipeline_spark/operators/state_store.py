@@ -172,6 +172,7 @@ def merge_touched_buckets(
     key_cols: tuple[str, str] = ("prefix", "query"),
     bucket_col: str | None = None,
     freq_col: str = "frequency",
+    known_stamps: dict[int, int] | None = None,
 ) -> list[int]:
     """Incremental merge that rewrites ONLY the state buckets a batch touched.
 
@@ -214,6 +215,22 @@ def merge_touched_buckets(
     unpublished after a crash between state commit and publish, so the
     publisher must cover it; publishing from current state is idempotent
     either way). Callers therefore need no second bucket collect.
+
+    ``known_stamps`` (round 13, guide §5 driver round-trips): a
+    caller-owned ``{bucket_id: _merged_batch}`` cache that makes the
+    per-trigger replay-stamp aggregation job incremental. This store is
+    single-writer, so once one streaming run has READ a bucket's stamp
+    or WRITTEN the bucket, that stamp is exactly known — the stamp-check
+    job then runs only over touched buckets the run has never seen
+    (zero of them in steady state, so the job and its driver collect
+    disappear entirely from every trigger after the first). The dict is
+    updated in place (observed stamps after the check, ``batch_id`` for
+    every bucket the commit wrote) and MUST be scoped to one streaming
+    query run (a fresh dict per (re)start): correctness never depends on
+    it — ``None`` (the default, and what direct/batch callers use) keeps
+    the full per-trigger check, and an UNKNOWN bucket is always checked,
+    which is what keeps the fresh-checkpoint-over-stale-stamps regime
+    (batch ids restart at 0; pinned in tests/test_streaming.py) exact.
     """
     import os
 
@@ -223,53 +240,103 @@ def merge_touched_buckets(
     d = delta.select(
         *keys, F.col(freq_col).cast("long").alias(freq_col)
     ).withColumn("bucket", b)
-    delta_touched = sorted(
-        r.bucket for r in d.select("bucket").distinct().collect()
-    )
-    touched = list(delta_touched)
-    if not touched:
-        return []
-    cached = _read_bucket_dirs(spark, state_dir, touched)
-    if cached is not None:
-        # one materialized pass over the touched partitions feeds the
-        # replay-stamp check AND the merge AND the write lineage — without
-        # the persist the touched state is re-read once per consumer
-        # (measured 2-3x the per-batch I/O)
-        cached = cached.persist()
-        state = cached
-        done = {
-            r.bucket: r.mb
-            for r in cached.groupBy("bucket")
-            .agg(F.max("_merged_batch").alias("mb"))
-            .collect()
-        }
-        skip = [bk for bk, mb in done.items() if mb >= batch_id]
-        if skip:
-            d = d.where(~F.col("bucket").isin(skip))
-            touched = [bk for bk in touched if bk not in skip]
-            if not touched:
-                cached.unpersist()
-                return delta_touched
-            state = cached.where(~F.col("bucket").isin(skip))
-        merged = merge_frequencies_join(
-            state.select(*keys, freq_col), d.select(*keys, freq_col),
-            key_cols=key_cols, freq_col=freq_col,
-        )
-    else:
-        merged = d.select(*keys, freq_col)
+    # the delta feeds two jobs (this collect + the merge/write) — persist
+    # so the batch's normalize/explode/aggregate pipeline runs once per
+    # trigger, not once per consumer; the collect below materializes it.
+    # `d` may be narrowed by replay filters below — unpersist the PINNED
+    # frame, not whatever `d` ends up aliased to.
+    d_pinned = d = d.persist()
     try:
-        (
-            merged.withColumn("bucket", b)
-            .withColumn("_merged_batch", F.lit(batch_id))
-            .write.partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(state_dir)
+        delta_touched = sorted(
+            r.bucket for r in d.select("bucket").distinct().collect()
         )
+        touched = list(delta_touched)
+        if not touched:
+            return []
+        # replay-skips already known from this run's own reads/writes
+        if known_stamps:
+            skip0 = [bk for bk in touched if known_stamps.get(bk, -1) >= batch_id]
+            if skip0:
+                d = d.where(~F.col("bucket").isin(skip0))
+                touched = [bk for bk in touched if bk not in skip0]
+                if not touched:
+                    return delta_touched
+        # which touched buckets exist on disk, and which of those still
+        # have unknown stamps (first trigger of a run: all of them;
+        # steady state: none — the check job is skipped outright)
+        existing = _existing_bucket_dirs(spark, state_dir) or set()
+        exist_touched = [bk for bk in touched if f"bucket={bk}" in existing]
+        unknown = (
+            exist_touched
+            if known_stamps is None
+            else [bk for bk in exist_touched if bk not in known_stamps]
+        )
+        def _read_exist() -> DataFrame:
+            # the existence listing already ran above — read the resolved
+            # partition paths directly instead of re-listing the store
+            paths = [
+                f"{state_dir.rstrip('/')}/bucket={bk}" for bk in exist_touched
+            ]
+            return spark.read.option("basePath", state_dir).parquet(*paths)
+
+        cached = None
+        if exist_touched and unknown:
+            # one materialized pass over the touched partitions feeds the
+            # replay-stamp check AND the merge AND the write lineage —
+            # without the persist the touched state is re-read once per
+            # consumer (measured 2-3x the per-batch I/O)
+            cached = _read_exist().persist()
+            state = cached
+            done = {
+                r.bucket: r.mb
+                for r in cached.groupBy("bucket")
+                .agg(F.max("_merged_batch").alias("mb"))
+                .collect()
+            }
+            if known_stamps is not None:
+                known_stamps.update(done)
+            skip = [bk for bk, mb in done.items() if mb >= batch_id]
+            if skip:
+                d = d.where(~F.col("bucket").isin(skip))
+                touched = [bk for bk in touched if bk not in skip]
+                if not touched:
+                    cached.unpersist()
+                    return delta_touched
+                state = cached.where(~F.col("bucket").isin(skip))
+            merged = merge_frequencies_join(
+                state.select(*keys, freq_col), d.select(*keys, freq_col),
+                key_cols=key_cols, freq_col=freq_col,
+            )
+        elif exist_touched:
+            # every touched bucket's stamp is known < batch_id: no check
+            # job, no driver collect, and the touched state is read
+            # exactly once — by the merge itself (no persist needed)
+            state = _read_exist()
+            merged = merge_frequencies_join(
+                state.select(*keys, freq_col), d.select(*keys, freq_col),
+                key_cols=key_cols, freq_col=freq_col,
+            )
+        else:
+            merged = d.select(*keys, freq_col)
+        try:
+            (
+                merged.withColumn("bucket", b)
+                .withColumn("_merged_batch", F.lit(batch_id))
+                .write.partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(state_dir)
+            )
+        finally:
+            if cached is not None:
+                cached.unpersist()
+        if known_stamps is not None:
+            # the commit stamped every bucket it wrote with batch_id
+            for bk in touched:
+                known_stamps[bk] = batch_id
+        return delta_touched
     finally:
-        if cached is not None:
-            cached.unpersist()
-    return delta_touched
+        d_pinned.unpersist()
 
 
 def merge_aggregates(

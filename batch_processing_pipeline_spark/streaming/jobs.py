@@ -239,6 +239,11 @@ def run_autocomplete_stream(
 
             shutil.rmtree(old_target, ignore_errors=True)
 
+    # per-run replay-stamp cache (round 13): scoped to THIS streaming query
+    # run — a restart builds a fresh closure, so the first trigger after
+    # any (re)start still checks stamps; see merge_touched_buckets
+    _known_stamps: dict[int, int] = {}
+
     def process_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
         from batch_processing_pipeline_spark.operators.prefix import (
             normalize_queries,
@@ -259,7 +264,8 @@ def run_autocomplete_stream(
         # never written, so the publisher must still cover them.
         # Publishing from current state is idempotent either way.
         publish = merge_touched_buckets(
-            spark, delta, state_dir, batch_id, buckets=state_buckets
+            spark, delta, state_dir, batch_id, buckets=state_buckets,
+            known_stamps=_known_stamps,
         )
         if not publish:
             return
@@ -423,6 +429,9 @@ def run_autocomplete_serving_pipeline(
         if old_target is not None and os.path.isdir(old_target):
             shutil.rmtree(old_target, ignore_errors=True)
 
+    # per-run replay-stamp cache (round 13; see run_autocomplete_stream)
+    _known_stamps: dict[int, int] = {}
+
     def process_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
         from batch_processing_pipeline_spark.operators.prefix import (
             normalize_queries,
@@ -438,7 +447,8 @@ def run_autocomplete_serving_pipeline(
         sugg_dir = os.path.join(work_dir, "suggestions")
         delta_freq = prefix_frequencies(normalize_queries(batch_df))
         touched = merge_touched_buckets(
-            spark, delta_freq, state_dir, batch_id, buckets=state_buckets
+            spark, delta_freq, state_dir, batch_id, buckets=state_buckets,
+            known_stamps=_known_stamps,
         )
         if not touched:
             return

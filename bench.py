@@ -441,6 +441,39 @@ def _bench_ivfpq_lifecycle(spark, sf_dir: str) -> tuple[float, float, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_incremental_dedup_prebuilt(spark, sf_dir: str) -> float:
+    """Incremental near-dedup against a PREBUILT snapshot band index
+    (round 13, VERDICT r12 task 3 — the `ivfpq_search_prebuilt`
+    precedent). The `incremental_dedup_near` registry row rebuilds the
+    snapshot's LSH band index in-query because the fixture ships no
+    stored index; a production refresh amortizes that build (the index
+    is written once per snapshot — `minhash_band_index`'s documented
+    contract). This row builds the index UNTIMED within the run (every
+    invocation still computes from the parquet inputs — nothing persists
+    across runs) and times only the per-batch incremental path: probe,
+    estimate prefilter, exact verification, within-batch near-dedup.
+    Same parameters and relations as the registry row, so the pair
+    separates index-build cost from refresh cost across rounds."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.dedup import (
+        minhash_band_index,
+        neardedup_against_index,
+    )
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    snap = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    # untimed: the production snapshot ships this relation precomputed
+    index = minhash_band_index(snap).localCheckpoint(eager=True)
+    t0 = time.time()
+    _kept, acct = neardedup_against_index(
+        batch, index, snapshot=snap, threshold=0.8
+    )
+    acct.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def _bench_reservoir_merge(spark, sf_dir: str) -> float:
     """Steady-state cost of one streaming-reservoir merge step
     (weighted_reservoir_merge): previous reservoir (built untimed) ∪ a
@@ -701,6 +734,19 @@ def main() -> None:
         timings[entry] = dt
         total += dt
         print(f"# {entry}: {dt:.3f}s", file=sys.stderr)
+
+    # prebuilt-index twin of the incremental_dedup_near row (round 13):
+    # index build runs untimed per run; only the incremental path is timed
+    _noise_probe(spark, "incremental_dedup_near_prebuilt")
+    best = _bench_incremental_dedup_prebuilt(spark, sf_dir)
+    for _ in range(N_RUNS - 1):
+        _release_blocks(spark)
+        best = min(best, _bench_incremental_dedup_prebuilt(spark, sf_dir))
+    dt = round(best, 3)
+    timings["incremental_dedup_near_prebuilt"] = dt
+    total += dt
+    print(f"# incremental_dedup_near_prebuilt: {dt:.3f}s", file=sys.stderr)
+    _release_blocks(spark)
 
     _noise_probe(spark, "reservoir_merge_step")
     best = _bench_reservoir_merge(spark, sf_dir)

@@ -410,3 +410,44 @@ def test_banded_signatures_shape_and_collision(spark):
     assert all(len(v) == 8 for v in per_doc.values())
     assert per_doc[1] == per_doc[2]          # exact dup: all bands collide
     assert per_doc[1] != per_doc[3]          # distinct text: some band differs
+
+
+def test_shingle_hash_sets_arrow_matches_expression(spark):
+    """Round-13 Arrow shingle kernel (functions/xxh.py): the vectorized
+    NumPy XXH64 must reproduce Spark's
+    ``xxhash64(substr(_t, i, n), lit(1000003))`` BIT-FOR-BIT — array
+    order included — over ASCII, multibyte (2/3/4-byte UTF-8), mixed
+    text, and both shingle widths the operators use. The escape hatch
+    (SHINGLE_ARROW=False) is the reference implementation."""
+    from batch_processing_pipeline_spark.operators import dedup as dd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "héllo wörld — naïve café crème brûlée"),           # 2-byte + punct
+        (3, "日本語のテキストで五文字のシングルを確認する"),        # 3-byte chars
+        (4, "emoji 😀😃 mix 👍 with ascii and ümlauts"),          # 4-byte chars
+        (5, "aaaaa"),                                            # exactly n chars
+        (6, "ab"),                                               # short: filtered
+        (7, "  padded   with   spaces  and\ttabs  "),
+        (8, "ΑΒΓΔΕ ζηθικ МИКС кирилица λόγος"),                  # Greek/Cyrillic
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (3, 5):
+        assert dd.SHINGLE_ARROW is True
+        got = {
+            r.doc_id: list(r.shingles)
+            for r in dd.shingle_hash_sets(docs, None, "doc_id", "text", n).collect()
+        }
+        dd.SHINGLE_ARROW = False
+        try:
+            want = {
+                r.doc_id: list(r.shingles)
+                for r in dd.shingle_hash_sets(
+                    docs, None, "doc_id", "text", n
+                ).collect()
+            }
+        finally:
+            dd.SHINGLE_ARROW = True
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == want[k], (n, k, got[k][:5], want[k][:5])

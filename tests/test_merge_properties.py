@@ -119,3 +119,109 @@ def test_bucketed_state_batch_split_invariance(rows, n_batches, spark, tmp_path_
         assert again == got
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_known_stamps_cache_equivalence_and_replay_safety(spark, tmp_path_factory):
+    """Round-13 replay-stamp cache (merge_touched_buckets ``known_stamps``):
+    a caller-owned per-run {bucket: stamp} dict lets steady-state triggers
+    skip the per-trigger stamp-check job. Pinned here:
+
+    * state after N batches is identical with and without the cache;
+    * a replay WITHIN a run (same dict) is skipped via the cache;
+    * a replay after a RESTART (fresh dict) is skipped via the disk check;
+    * the cross-lineage corner: a fresh run whose early batches never
+      touch a stale-stamped bucket must still skip that bucket when a
+      later batch reaches it (unknown buckets are always disk-checked).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_pipeline_spark.operators.state_store import (
+        merge_touched_buckets,
+        read_bucketed_state,
+        state_bucket,
+    )
+
+    def bucket_of(prefix: str) -> int:
+        return (
+            spark.createDataFrame([(prefix,)], "prefix string")
+            .select(state_bucket("prefix", 4).alias("b"))
+            .collect()[0]
+            .b
+        )
+
+    # two prefixes guaranteed to live in different buckets
+    cands = ["aa", "ab", "ba", "bb", "ca", "cb", "da"]
+    by_bucket: dict[int, str] = {}
+    for p in cands:
+        by_bucket.setdefault(bucket_of(p), p)
+        if len(by_bucket) >= 2:
+            break
+    (b1, p1), (b2, p2) = list(by_bucket.items())[:2]
+
+    batches = [
+        [(p1, p1 + "x", 3)],
+        [(p2, p2 + "y", 5)],
+        [(p1, p1 + "x", 2), (p2, p2 + "z", 1)],
+    ]
+
+    def run(state_dir, stamps):
+        for i, rows in enumerate(batches):
+            merge_touched_buckets(
+                spark,
+                _df(spark, rows),
+                state_dir,
+                batch_id=i,
+                buckets=4,
+                known_stamps=stamps,
+            )
+
+    base = tmp_path_factory.mktemp("stamps")
+    dir_cached, dir_plain = str(base / "cached"), str(base / "plain")
+    try:
+        stamps: dict[int, int] = {}
+        run(dir_cached, stamps)
+        run(dir_plain, None)
+        got_cached = _collect(read_bucketed_state(spark, dir_cached))
+        got_plain = _collect(read_bucketed_state(spark, dir_plain))
+        assert got_cached == got_plain
+        # the cache recorded the last batch id that wrote each bucket
+        assert stamps == {b1: 2, b2: 2}
+
+        # replay WITHIN the run: same dict, stamp >= batch_id -> skipped
+        merge_touched_buckets(
+            spark, _df(spark, batches[2]), dir_cached, batch_id=2,
+            buckets=4, known_stamps=stamps,
+        )
+        assert _collect(read_bucketed_state(spark, dir_cached)) == got_cached
+
+        # replay after RESTART: fresh dict, the disk check must skip it
+        fresh: dict[int, int] = {}
+        merge_touched_buckets(
+            spark, _df(spark, batches[2]), dir_cached, batch_id=2,
+            buckets=4, known_stamps=fresh,
+        )
+        assert _collect(read_bucketed_state(spark, dir_cached)) == got_cached
+        assert fresh[b1] >= 2 and fresh[b2] >= 2  # learned from disk
+
+        # cross-lineage corner: fresh checkpoint restarts ids at 0 while
+        # bucket b2 is stamped 2. A new run merges batch 0 into b1 ONLY
+        # (learns nothing about b2), then batch 1 reaches b2 -> unknown ->
+        # disk-checked -> skipped (no double count).
+        lineage2: dict[int, int] = {}
+        merge_touched_buckets(
+            spark, _df(spark, [(p1, p1 + "q", 7)]), dir_cached, batch_id=0,
+            buckets=4, known_stamps=lineage2,
+        )
+        merge_touched_buckets(
+            spark, _df(spark, [(p2, p2 + "y", 5)]), dir_cached, batch_id=1,
+            buckets=4, known_stamps=lineage2,
+        )
+        after = _collect(read_bucketed_state(spark, dir_cached))
+        # b1's batch-0 merge also replays into a stamp-2 bucket -> skipped;
+        # b2's batch-1 delta must NOT have double-counted (stamp 2 >= 1)
+        assert after == got_cached
+    finally:
+        shutil.rmtree(dir_cached, ignore_errors=True)
+        shutil.rmtree(dir_plain, ignore_errors=True)
